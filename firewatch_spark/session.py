@@ -1,0 +1,77 @@
+"""SparkSession builder with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default local[*]);
+the same config block is what we would ship to a 1000-executor cluster —
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+explicit shuffle-partition sizing, Arrow enabled for the pandas-UDF path,
+and nanosecond parquet timestamps read as long (the synthetic testdata is
+written with TIMESTAMP(NANOS), which Spark does not support natively).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "firewatch-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    At 100 TB the same knobs apply, with shuffle partitions sized to
+    ~128 MB of post-shuffle data per task; AQE coalesces the rest.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet uses TIMESTAMP(NANOS); read as bigint nanos.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # AQE: runtime partition coalescing + skew-join handling — the
+        # mechanism that keeps these plans healthy at 1000 executors.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for the pandas-UDF path (inference / media ops).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Broadcast threshold: dimension tables (region/nation/part/...)
+        # stay broadcast even at 100 TB fact scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Load every testdata table as a DataFrame keyed by name."""
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
