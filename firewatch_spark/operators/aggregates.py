@@ -42,15 +42,30 @@ def global_counters(df: DataFrame, has_fire: str = "has_fire") -> DataFrame:
 
 
 def expected_frame_count(
-    df: DataFrame, key: str, seq: str, interval: int
+    df: DataFrame,
+    key: str,
+    seq: str,
+    interval: int,
+    source_total: "str | None" = None,
 ) -> DataFrame:
     """A5 — producer-side expected-frame arithmetic
-    (scripts/test_with_videos.py:44-54): ceil(total/interval) via
-    floor-div + remainder bump, computed per key from the max seq."""
-    out = df.groupBy(key).agg((F.max(seq) + 1).alias("source_frames"))
-    base = (F.col("source_frames") / F.lit(interval)).cast("long")
-    bump = (F.col("source_frames") % F.lit(interval) > 0).cast("long")
-    return out.withColumn("expected_frames", base + bump)
+    (reference scripts/test_with_videos.py:44-54): ceil(total/interval)
+    via pure-integer floor-div + remainder bump.
+
+    ``source_total`` names a column holding the pre-sampling source
+    frame count (the reference reads it from container metadata).  When
+    absent, the observed per-key row count is used — correct for dense
+    streams, documented divergence for pre-sampled ones.
+    """
+    if source_total is not None:
+        out = df.groupBy(key).agg(F.max(source_total).cast("long").alias("source_frames"))
+    else:
+        out = df.groupBy(key).agg(F.count(F.lit(1)).alias("source_frames"))
+    # integer domain throughout (no double rounding at large counts)
+    return out.withColumn(
+        "expected_frames",
+        F.expr(f"(source_frames div {interval}) + CAST(source_frames % {interval} > 0 AS BIGINT)"),
+    )
 
 
 def with_progress_pct(
@@ -59,17 +74,26 @@ def with_progress_pct(
     seq: str,
     total_col: str,
     pct_col: str = "progress_pct",
+    producer_pct_col: "str | None" = None,
 ) -> DataFrame:
     """A6 — monotone, capped progress percentage
-    (streams/pipeline/progress.py:74-95,125-131): at each row,
-    pct = min(int(done*100/total), 100), forced monotone non-decreasing
-    with a running max.  `total_col` is the per-key expected total."""
+    (reference streams/pipeline/progress.py:74-95,125-131): at each row,
+    pct = min(done*100 div total, producer_progress, 100), forced
+    monotone non-decreasing with a running max.
+
+    Pure-integer division (`div`) — float floor can disagree with
+    integer arithmetic at large counts.  ``producer_pct_col`` carries
+    the reference's producer-progress cap; in batch there is often no
+    producer analogue, in which case the cap is omitted (documented
+    divergence, reference cap at progress.py:80-84).
+    """
     w = Window.partitionBy(key).orderBy(seq)
-    done = F.row_number().over(w)
-    raw_pct = F.least(
-        F.floor(done * 100 / F.col(total_col)).cast("int"), F.lit(100)
-    )
+    df = df.withColumn("_done", F.row_number().over(w).cast("long"))
+    caps = [F.expr(f"(_done * 100) div {total_col}"), F.lit(100).cast("long")]
+    if producer_pct_col is not None:
+        caps.append(F.col(producer_pct_col).cast("long"))
+    raw_pct = F.least(*caps)
     monotone = F.max(raw_pct).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn(pct_col, monotone)
+    return df.withColumn(pct_col, monotone.cast("long")).drop("_done")

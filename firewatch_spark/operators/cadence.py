@@ -101,16 +101,39 @@ def with_gradcam_cadence(
     every_n_fire: int,
     heatmap_col: str | None = None,
     recompute_col: str = "recompute_heatmap",
+    inference_only_col: str | None = None,
 ) -> DataFrame:
     """M5 — GradCAM run-length sampling with heatmap reuse.
 
-    Reference semantics (fire_detect_nn.py:134-153): a per-video counter
-    of *consecutive* positives increments on each positive frame and
+    Reference semantics (fire_detect_nn.py:134-153): a counter of
+    *consecutive* positives increments on each positive frame and
     resets to 0 on any negative; the heatmap is recomputed when the
     counter (pre-increment) % N == 0 — i.e. on the 1st, (N+1)th, (2N+1)th
     ... consecutive positive.  Between recomputes the cached heatmap is
     reused (LOCF within the positive run; negatives carry no heatmap).
+
+    Intentional divergence from the reference: its counter lives on the
+    single shared model instance (`_consecutive_fire_frames`,
+    fire_detect_nn.py:33-37), so interleaved videos share one counter —
+    an artifact of the single-threaded consumer, not a semantic.  Here
+    the run-length is **per key**, which is the distributable meaning.
+
+    When composing after M6's LOCF, pass ``inference_only_col`` (e.g.
+    ``"is_inference"``): the reference's counter only advances on actual
+    predict() calls, so carried-forward rows must not count — rows
+    failing the predicate are excluded from the run-length domain and
+    never marked for recompute.
     """
+    if inference_only_col is not None:
+        inf_rows = df.filter(F.col(inference_only_col))
+        rest = df.filter(~F.col(inference_only_col))
+        marked = with_gradcam_cadence(
+            inf_rows, key, seq, has_fire, every_n_fire, heatmap_col, recompute_col
+        )
+        rest = rest.withColumn("run_id", F.lit(None).cast("long")).withColumn(
+            "run_pos", F.lit(None).cast("int")
+        ).withColumn(recompute_col, F.lit(False))
+        return marked.unionByName(rest, allowMissingColumns=True)
     df = with_run_length(df, key, seq, has_fire)
     fire = F.col(has_fire)
     recompute = fire & (((F.col("run_pos") - 1) % F.lit(every_n_fire)) == 0)

