@@ -1,0 +1,86 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with the noop sink (full pipeline
+runs, nothing collected to the driver), after a warmup action to pay
+JVM/codegen startup once.  BASELINE.md's reference numbers are
+frames/sec on the streaming path; the comparable figure here is
+events-rows/sec through the flagship surrogate->session->stats
+pipeline, reported as `rows_per_sec_flagship`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: flagship pipeline + one per operator family
+BENCH_QUERIES = [
+    "session_stats",        # flagship: surrogate -> sessions -> stats
+    "completion_stats",     # per-key aggregation
+    "inference_cadence",    # window LOCF
+    "gradcam_cadence",      # run-length windows
+    "predict_udf",          # Arrow pandas-UDF inference path
+    "pricing_summary",      # scan-heavy aggregate (lineitem)
+    "revenue_by_nation",    # broadcast star join
+    "top_orders_per_customer",  # windowed top-k
+    "asof_join",            # union+LOCF as-of join
+    "dedup_minhash_lsh",    # shingle/minhash/band join
+    "simhash",              # 64-bit fingerprint fold
+    "ann_topk",             # broadcast brute-force cosine top-k
+    "range_join",           # equi+band join
+    "window_running",       # running/moving windows
+]
+
+
+def main() -> None:
+    from firewatch_spark.queries import registry
+    from firewatch_spark.session import get_spark
+
+    spark = get_spark("firewatch-bench")
+    reg = registry()
+
+    def run(name: str) -> float:
+        df = reg[name].fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warmup: pay JVM/codegen/parquet-footer costs outside the clock
+    reg["completion_stats"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = round(run(name), 4)
+
+    total = round(sum(times.values()), 4)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    flagship_rps = round(n_events / times["session_stats"], 1)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "rows_per_sec_flagship": flagship_rps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
