@@ -1,0 +1,114 @@
+"""Dedup (exact / MinHash-LSH / SimHash / Jaccard) and text-analysis
+operator contracts on hand-built corpora."""
+
+from pyspark.sql import functions as F
+
+from firewatch_spark.operators import dedup, text
+from tests.conftest import rows
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog today"),      # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat today"),      # near dup of 1
+    (4, "completely different words about spark query engines here"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_and_keeps_min_id(spark):
+    out = rows(dedup.exact_dedup(_docs(spark)), "keep_doc_id")
+    by_keep = {r["keep_doc_id"]: r["n_copies"] for r in out}
+    assert by_keep == {1: 2, 3: 1, 4: 1}
+
+
+def test_minhash_identical_docs_estimate_1(spark):
+    pairs = rows(dedup.lsh_candidate_pairs(_docs(spark)), "doc_a", "doc_b")
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in pairs}
+    # exact duplicates always collide in every band with estimate 1.0
+    assert by_pair[(1, 2)]["est_jaccard"] == 1.0
+    assert by_pair[(1, 2)]["n_common_minhash"] == 12
+    # the unrelated doc never pairs with anything
+    assert not any(4 in p for p in by_pair)
+
+
+def test_minhash_near_dup_candidate_found(spark):
+    # one changed word in a 20-word doc leaves the minimal shingle of
+    # every salt untouched here -> the pair collides in every band
+    # (deterministic for this fixed corpus; verified empirically)
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("tau", "tav")),
+         (3, "totally different content about nothing shared at all")],
+        "doc_id long, text string",
+    )
+    pairs = rows(dedup.lsh_candidate_pairs(docs), "doc_a", "doc_b")
+    found = {(r["doc_a"], r["doc_b"]): r["n_common_minhash"] for r in pairs}
+    assert found == {(1, 2): 12}
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _docs(spark)
+    out = rows(
+        dedup.ngram_jaccard(docs, docs, F.col("a.doc_id") < F.col("b.doc_id")),
+        "doc_a",
+        "doc_b",
+    )
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert by_pair[(1, 2)]["jaccard"] == 1.0
+    # docs 1 and 3 differ in word 9 of 10 -> the 2 shingles covering it
+    # differ; 6 of 8 shared, union 10
+    j13 = by_pair[(1, 3)]
+    assert (j13["n_inter"], j13["n_union"]) == (6, 10)
+    assert j13["jaccard"] == 6 / 10
+    assert by_pair[(1, 4)]["n_inter"] == 0
+
+
+def test_simhash_identical_and_near(spark):
+    out = {r["doc_id"]: r["simhash"] for r in rows(dedup.with_simhash(_docs(spark)))}
+    assert out[1] == out[2]
+    assert len(out[1]) == 64 and set(out[1]) <= {"0", "1"}
+    # near-dup differs in few bits, unrelated differs in many
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+
+
+def test_simhash_near_pairs_bucketed(spark):
+    out = rows(dedup.simhash_near_pairs(_docs(spark), max_hamming=10))
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert found[(1, 2)] == 0
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], "doc_id long, text string")
+    out = rows(text.with_token_stats(df))[0]
+    assert out["n_tokens"] == 6
+    assert out["n_chars"] == 22
+    assert out["n_stopwords"] == 2  # 'the' twice
+    assert out["avg_token_len"] == (22 - 5) / 6
+    assert out["stopword_ratio"] == 2 / 6
+
+
+def test_lang_id_deterministic_argmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the fast fox and a slow dog"),        # en profile hits
+            (2, "data table row column data table"),   # es profile hits
+            (3, "zzz yyy xxx"),                        # no hits -> first lang wins
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in rows(text.with_lang_id(df))}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "en"
+
+
+def test_fingerprint_stable_under_identity(spark):
+    out = {r["doc_id"]: r for r in rows(text.with_fingerprint(_docs(spark)))}
+    assert out[1]["content_md5"] == out[2]["content_md5"]
+    assert out[1]["shingle_fp"] == out[2]["shingle_fp"]
+    assert out[1]["content_md5"] != out[3]["content_md5"]

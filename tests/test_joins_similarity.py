@@ -1,0 +1,107 @@
+"""As-of join, top-k, and embedding-similarity operator contracts."""
+
+from pyspark.sql import functions as F
+
+from firewatch_spark.operators import joins, similarity
+from tests.conftest import rows
+
+
+def _events(spark, data):
+    return spark.createDataFrame(data, "user_id string, event_id long, value double")
+
+
+def test_asof_join_strict(spark):
+    left = _events(spark, [("u", 10, 0.0), ("u", 20, 0.0), ("u", 5, 0.0)]).select(
+        "user_id", "event_id"
+    )
+    right = _events(spark, [("u", 10, 1.0), ("u", 15, 2.0)])
+    out = rows(
+        joins.asof_join(left, right, "user_id", "event_id", ["value"], strict=True),
+        "event_id",
+    )
+    # strict: the right row AT event 10 is not visible to left event 10
+    assert [(r["event_id"], r["asof_value"]) for r in out] == [
+        (5, None), (10, None), (20, 2.0),
+    ]
+
+
+def test_asof_join_non_strict(spark):
+    left = _events(spark, [("u", 10, 0.0)]).select("user_id", "event_id")
+    right = _events(spark, [("u", 10, 1.0)])
+    out = rows(
+        joins.asof_join(left, right, "user_id", "event_id", ["value"], strict=False)
+    )
+    assert out[0]["asof_value"] == 1.0  # <= semantics matches same-seq row
+
+
+def test_asof_join_per_key_isolation(spark):
+    left = _events(spark, [("a", 10, 0.0), ("b", 10, 0.0)]).select("user_id", "event_id")
+    right = _events(spark, [("a", 5, 1.0)])
+    out = {r["user_id"]: r["asof_value"] for r in rows(
+        joins.asof_join(left, right, "user_id", "event_id", ["value"])
+    )}
+    assert out == {"a": 1.0, "b": None}
+
+
+def test_topk_per_group_with_tiebreak(spark):
+    df = _events(
+        spark,
+        [("u", 1, 5.0), ("u", 2, 5.0), ("u", 3, 1.0), ("v", 9, 2.0)],
+    )
+    out = rows(
+        joins.topk_per_group(df, "user_id", [F.desc("value"), F.asc("event_id")], k=2),
+        "user_id",
+        "rank",
+    )
+    assert [(r["user_id"], r["event_id"], r["rank"]) for r in out] == [
+        ("u", 1, 1), ("u", 2, 2), ("v", 9, 1),
+    ]
+
+
+def _emb(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # nearest to 1
+        (3, [0.0, 1.0, 0.0]),   # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 1)
+    out = rows(similarity.cosine_topk(emb, q, k=3), "rank")
+    assert [r["neighbor_id"] for r in out] == [2, 3, 4]
+    assert out[0]["cos_sim"] > 0.99
+    assert abs(out[1]["cos_sim"]) < 1e-9
+    assert out[2]["cos_sim"] < -0.99
+
+
+def test_cosine_excludes_self(spark):
+    emb = _emb(spark)
+    out = rows(similarity.cosine_topk(emb, emb, k=3))
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
+def test_lsh_bucket_collision_for_identical_vectors(spark):
+    vecs = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.75]), (2, [0.5, -0.25, 0.75]), (3, [-0.5, 0.25, -0.75])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["bucket"] for r in rows(similarity.with_lsh_bucket(vecs))}
+    assert out[1] == out[2]          # identical vectors share a bucket
+    assert len(out[1]) == 8
+    # an exactly-opposite vector flips every hyperplane sign (no zero
+    # projections with these weights) -> different bucket
+    assert out[3] != out[1]
+
+
+def test_lsh_topk_finds_in_bucket_neighbor(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.01]), (3, [9.0, -8.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = rows(similarity.lsh_topk(vecs, q, k=2))
+    assert out and out[0]["neighbor_id"] == 2
