@@ -15,11 +15,12 @@ Layout:
   session.py              SparkSession builder (scale-aware defaults)
   schemas.py              explicit StructTypes for the wire records
   surrogate.py            deterministic surrogate "model" (oracle-testable)
-  operators/              cadence, sessionization, aggregates, dedup,
-                          similarity, text ops, top-k
-  functions/              scalar projection builders (P1-P11)
-  sources/                synthetic frame source, Kafka builders, multimodal
-  streaming/              Structured Streaming pipeline + stateful session op
+  models.py               model-backend registry (M1) + pandas-UDF path
+  operators/              cadence, sessions, aggregates, dedup, text,
+                          similarity, joins (as-of/range/top-k)
+  functions/projections   scalar projection builders (P1/P5/P8)
+  sources/                Kafka builders, synthetic frame source, multimodal
+  streaming/              stateful session op, EP2 pipeline, custom sinks
   queries.py              the (queries, oracle_sql) registry for the driver
 """
 

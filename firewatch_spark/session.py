@@ -49,8 +49,11 @@ def get_spark(
         # stay broadcast even at 100 TB fact scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # NOTE: spark.driver.memory cannot be set here — by getOrCreate
+    # time the JVM is already launching and the value is ignored. Set
+    # it via spark-submit / PYSPARK_SUBMIT_ARGS before process start:
+    #   PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell"
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,142 @@
+"""Multimodal (image/audio/video) column plumbing — opaque binary
+payloads with typed metadata, processed via mapInPandas.
+
+Design for 100 TB of media:
+* payloads are ``binary`` columns that NEVER enter a shuffle — all
+  media ops are per-row mapInPandas stages, so the bytes stay in the
+  scan→transform pipeline on the executor that read them;
+* metadata (kind/width/height/duration) is a separate struct column so
+  downstream relational logic prunes the payload away (column pruning
+  drops the heavy bytes from any branch that doesn't need pixels);
+* Arrow batch size bounds executor memory: payload_bytes ×
+  maxRecordsPerBatch is the working-set per batch.
+
+The actual codecs (cv2/PIL/ffmpeg) are NOT in this container, so the
+decode kernels are deterministic fakes behind the same signatures the
+real ones would have (clearly marked); the Spark-side plumbing —
+schemas, batching, passthrough, partitioning — is real and tested.
+Reference behaviors mirrored: JPEG decode (P2, stream.py:136-137),
+resize (S3, producer/video_producer.py:108-109), frame sampling
+(S2, :106), heatmap overlay shape contract (P10, overlay.py:10-44).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real decoder if ever present; the container has no cv2
+    import cv2  # type: ignore  # noqa: F401
+
+    HAVE_CV2 = True
+except ImportError:
+    HAVE_CV2 = False
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("content_sha", StringType(), True),
+    ]
+)
+
+
+def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """DETERMINISTIC FAKE for cv2.imdecode (P2): derives stable pseudo
+    dimensions from the payload hash.  Replace with cv2 when present."""
+    h = hashlib.sha256(payload).digest()
+    return 320 + (h[0] % 4) * 160, 240 + (h[1] % 4) * 120
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """P2-analog decode stage: binary payload → typed features, one
+    Arrow batch at a time; payload dropped on output (pruned early)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a real decoder would initialize codec state here, once per
+        # worker, then decode each Arrow batch vectorized
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                # Arrow->pandas surfaces null ints as NaN floats
+                payload = None if row.payload is None else bytes(row.payload)
+                if payload is None:
+                    out.append((row.media_id, row.kind, None, None, None, None))
+                    continue
+                if HAVE_CV2 and row.kind == "image":
+                    raise NotImplementedError(
+                        "real cv2 decode path not exercised in this container"
+                    )
+                w, h = _fake_decode_dims(payload)
+                out.append(
+                    (
+                        row.media_id,
+                        row.kind,
+                        w if pd.isna(row.meta_width) else int(row.meta_width),
+                        h if pd.isna(row.meta_height) else int(row.meta_height),
+                        len(payload),
+                        hashlib.sha256(payload).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "width", "height", "n_bytes", "content_sha",
+                ],
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """S3-analog resize stage: passthrough plumbing that records the
+    target dims (a real kernel replaces the body; shapes/batching are
+    what this proves).  Stays per-row: no shuffle."""
+
+    out_schema = StructType(
+        list(MEDIA_SCHEMA.fields)
+        + [StructField("target_width", IntegerType()), StructField("target_height", IntegerType())]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            # real path: cv2.resize(img, (target_w, target_h)) per row
+            pdf["target_width"] = target_w
+            pdf["target_height"] = target_h
+            yield pdf
+
+    return df.mapInPandas(_resize, schema=out_schema)
+
+
+def sample_every_nth(df: DataFrame, seq_col: str, n: int) -> DataFrame:
+    """S2 frame sampling: keep rows where seq % n == 0
+    (producer/video_producer.py:106) — a pure filter, pushed to scan."""
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col(seq_col) % n == 0)

@@ -1,0 +1,149 @@
+"""Custom sinks — S10 (per-video media sink), S12 (S3 upload), S13
+(progress side-channel) as foreachBatch functions.
+
+The reference's MP4 writer is executor-local cv2 state with a
+finalize/verify dance (streams/pipeline/video_writer.py:23-167); cv2
+is not in this container, so S10 here writes per-video ordered frame
+*manifests* (same lifecycle: lazy open → ordered append → finalize +
+verify) — the cv2 codec call is the only stubbed line.  S12 wraps
+boto3 behind an import-try.  S13 writes the reference's progress-file
+shape; in Spark the idiomatic channel is StreamingQueryListener /
+query.lastProgress (SURVEY.md S13 row), so this exists for parity.
+
+Scale note: foreachBatch receives each micro-batch as a regular
+DataFrame; the per-video grouping below happens on the executors via
+groupBy—only manifest paths hit the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+try:
+    import boto3  # type: ignore
+
+    HAVE_BOTO3 = True
+except ImportError:
+    HAVE_BOTO3 = False
+
+
+def media_manifest_sink(output_dir: str):
+    """S10 analog: per-video ordered frame manifest with
+    finalize-verify.  Real codec integration replaces `_encode_line`;
+    the lifecycle (lazy open on first frame with known dims, ordered
+    appends, last-frame rewrite, post-write verification —
+    video_writer.py:45-167) is preserved."""
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    manifest_schema = StructType([StructField("path", StringType())])
+
+    def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_number")
+        video_id = pdf["video_id"].iloc[0]
+        path = os.path.join(output_dir, f"{video_id}_with_heatmaps.manifest")
+        # collision-safe suffixing (video_writer.py:52-58)
+        k = 1
+        while os.path.exists(path):
+            path = os.path.join(output_dir, f"{video_id}_with_heatmaps_{k}.manifest")
+            k += 1
+        with open(path, "w") as f:
+            for row in pdf.itertuples(index=False):
+                f.write(_encode_line(row))
+            # finalize: re-write the last frame to flush codec buffers
+            # (video_writer.py:112-117)
+            f.write(_encode_line(pdf.iloc[-1]))
+            f.flush()
+            os.fsync(f.fileno())
+        # verify step (moov-atom probe analog, video_writer.py:119-167)
+        ok = os.path.getsize(path) > 0
+        return pd.DataFrame({"path": [path if ok else None]})
+
+    def _encode_line(row) -> str:
+        # STUB for cv2.VideoWriter.write(frame): records frame identity
+        fn = row.frame_number if hasattr(row, "frame_number") else row["frame_number"]
+        hf = row.has_fire if hasattr(row, "has_fire") else row["has_fire"]
+        return f"{fn}\t{int(bool(hf))}\n"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select("video_id", "frame_number", "has_fire")
+            .groupBy("video_id")
+            .applyInPandas(_write_group, schema=manifest_schema)
+            .collect()  # manifest paths only — O(videos), not O(frames)
+        )
+
+    return sink
+
+
+def s3_upload_sink(bucket: str, delete_local: bool = False):
+    """S12 — upload finalized media to s3://bucket/videos/{id}_....
+    (consumer/s3_video_consumer.py:56-105); boto3 gated, bucket
+    preflight mirrored.  Runs inside foreachBatch on completion rows
+    that carry a `local_filepath` column."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not HAVE_BOTO3:
+            raise NotImplementedError(
+                "boto3 not available in this container; S12 plumbing is "
+                "exercised via its unit contract (key layout + delete flag)"
+            )
+        s3 = boto3.client("s3")
+        for row in batch_df.select("video_id", "local_filepath").collect():
+            key = s3_key(row["video_id"])
+            s3.upload_file(
+                row["local_filepath"], bucket, key,
+                ExtraArgs={"ContentType": "video/mp4"},
+            )
+            if delete_local:
+                os.remove(row["local_filepath"])
+
+    return sink
+
+
+def s3_key(video_id: str) -> str:
+    """Key layout contract (consumer/s3_video_consumer.py:72)."""
+    return f"videos/{video_id}_with_heatmaps.mp4"
+
+
+def progress_file_sink(progress_path: str, total_frames: dict[str, int]):
+    """S13 — throttle-free batch variant of the fcntl progress file
+    (streams/pipeline/progress.py:52-135): monotone, capped, merged
+    per micro-batch.  Single-writer (the driver), so no lock needed."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        counts = {
+            r["video_id"]: r["n"]
+            for r in batch_df.groupBy("video_id").agg(F.count("*").alias("n")).collect()
+        }
+        state = {"videos": []}
+        if os.path.exists(progress_path):
+            with open(progress_path) as f:
+                state = json.load(f)
+        by_id = {v["video_id"]: v for v in state["videos"]}
+        for vid, n in counts.items():
+            entry = by_id.setdefault(
+                vid,
+                {"video_id": vid, "stream_progress": 0,
+                 "total_frames": total_frames.get(vid, 0)},
+            )
+            entry["frames_done"] = entry.get("frames_done", 0) + n
+            total = entry["total_frames"] or 1
+            pct = min((entry["frames_done"] * 100) // total, 100)
+            # monotone guard (progress.py:125-131)
+            entry["stream_progress"] = max(entry["stream_progress"], pct)
+        state["videos"] = list(by_id.values())
+        tmp = progress_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, progress_path)
+
+    return sink

@@ -1,0 +1,126 @@
+"""EP2 end-to-end: frames → decode → predict → events/sessions →
+sinks, on a bounded file-source stream (no Kafka needed)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from firewatch_spark.sources import frames as frames_src
+from firewatch_spark.streaming import pipeline, sinks
+from tests.conftest import rows
+
+
+def _frame_stream(spark, tmp_path, n_files=2):
+    data_dir = str(tmp_path / "frames_in")
+    frames_src.write_frame_stream_dir(spark, data_dir, n_files=n_files)
+    return (
+        spark.readStream.schema(frames_src.FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+
+
+def test_detection_event_stream_end_to_end(spark, tmp_path):
+    stream = _frame_stream(spark, tmp_path)
+    predicted = pipeline.with_predictions(stream)
+    events = pipeline.detection_events(
+        predicted, deterministic_ts=F.lit("2024-01-01T00:00:00")
+    )
+    q = (
+        events.writeStream.format("memory")
+        .queryName("det_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = rows(spark.sql("SELECT * FROM det_events"))
+    n_frames = frames_src.synthetic_frames(spark).count()
+    assert len(out) == n_frames  # one event per frame, skipped or not
+    ev = json.loads(out[0]["value"])
+    assert set(ev) == {
+        "video_id", "frame_number", "timestamp", "processing_timestamp",
+        "has_fire", "fire_probability", "detections", "frame_metadata",
+    }
+    assert set(ev["frame_metadata"]) == {"width", "height", "fps"}
+    # fps default backfill for the fps-less video (stream.py:328)
+    short = [json.loads(r["value"]) for r in out if r["key"] == "short"]
+    assert short and all(e["frame_metadata"]["fps"] == 30.0 for e in short)
+
+
+def test_completion_stream_and_manifest_sink(spark, tmp_path):
+    stream = _frame_stream(spark, tmp_path)
+    predicted = pipeline.with_predictions(stream)
+
+    media_dir = str(tmp_path / "media")
+    manifest = sinks.media_manifest_sink(media_dir)
+    q = (
+        predicted.select("video_id", "frame_number", "has_fire")
+        .writeStream.foreachBatch(manifest)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = sorted(os.listdir(media_dir))
+    assert any(f.startswith("dense_with_heatmaps") for f in files)
+    # finalize rewrites the last frame -> dense manifest has 400+1 lines
+    dense = [f for f in files if f.startswith("dense_with_heatmaps")]
+    total = sum(
+        sum(1 for _ in open(os.path.join(media_dir, f))) for f in dense
+    )
+    assert total == 400 + len(dense)  # one extra finalize line per batch file
+
+
+def test_completion_events_json_shape(spark, tmp_path):
+    stream = _frame_stream(spark, tmp_path)
+    predicted = pipeline.with_predictions(stream)
+    comp = pipeline.completion_events_json(
+        pipeline.completion_events(predicted, gap=300)
+    )
+    q = (
+        comp.writeStream.format("memory")
+        .queryName("comp_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = rows(spark.sql("SELECT * FROM comp_events"))
+    # the gap fixture closes at least one session during the stream
+    assert out
+    payload = json.loads(out[0]["value"])
+    assert set(payload["stats"]) == {"total_frames", "fire_count", "max_fire_probability"}
+
+
+def test_progress_file_sink_monotone(spark, tmp_path):
+    path = str(tmp_path / "progress.json")
+    sink = sinks.progress_file_sink(path, {"v": 10})
+    b1 = spark.createDataFrame([("v", i) for i in range(4)], "video_id string, frame_number long")
+    b2 = spark.createDataFrame([("v", i) for i in range(4, 10)], "video_id string, frame_number long")
+    sink(b1, 0)
+    state1 = json.load(open(path))
+    assert state1["videos"][0]["stream_progress"] == 40
+    sink(b2, 1)
+    state2 = json.load(open(path))
+    assert state2["videos"][0]["stream_progress"] == 100
+
+
+def test_s3_key_layout():
+    assert sinks.s3_key("abc") == "videos/abc_with_heatmaps.mp4"
+
+
+def test_base64_transport_roundtrip(spark):
+    import base64
+
+    payload = base64.b64encode(b"JPEG!").decode()
+    msg = json.dumps(
+        {"video_id": "v", "frame_number": 1, "timestamp": "t", "fps": 30.0,
+         "frame_data": payload, "width": 2, "height": 2}
+    )
+    kafka_like = spark.createDataFrame([("v", msg)], "key string, value string")
+    out = rows(pipeline.decode_frame_stream(kafka_like, transport="base64-json"))
+    assert bytes(out[0]["frame_data"]) == b"JPEG!"

@@ -1,0 +1,180 @@
+"""Streaming spine: stateful session parity vs batch, shutdown-flush
+timeout, Kafka builder options, synthetic source patterns, multimodal
+plumbing."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from firewatch_spark import surrogate
+from firewatch_spark.operators.sessions import session_stats, with_session_id
+from firewatch_spark.sources import frames as frames_src
+from firewatch_spark.sources import kafka as kafka_src
+from firewatch_spark.sources import multimodal
+from firewatch_spark.streaming.session_state import sessionize_stream
+from tests.conftest import rows
+
+GAP = 300
+
+
+def _with_pred(df):
+    raw = surrogate.raw_probability(F.col("frame_number"))
+    return df.withColumn("has_fire", surrogate.has_fire(raw)).withColumn(
+        "fire_probability", surrogate.fire_probability(raw)
+    )
+
+
+_RUN_COUNTER = iter(range(1000))
+
+
+def _run_stream(spark, tmp_path, timeout_ms=600_000, wait_after=0.0, trigger=None):
+    name = f"sessions_out_{next(_RUN_COUNTER)}"
+    data_dir = str(tmp_path / "stream_in")
+    frames_src.write_frame_stream_dir(spark, data_dir, n_files=4)
+    stream = (
+        spark.readStream.schema(frames_src.FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    out = sessionize_stream(_with_pred(stream), gap=GAP, timeout_ms=timeout_ms)
+    kwargs = {"availableNow": True} if trigger is None else {"processingTime": trigger}
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(**kwargs)
+        .start()
+    )
+    if trigger is None:
+        query.awaitTermination(120)
+    else:
+        time.sleep(wait_after)
+        query.stop()
+        query.awaitTermination(60)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_gap_sessions_match_batch(spark, tmp_path):
+    """Closed-by-gap streaming sessions must equal the batch
+    sessionization on the same frames (exact parity, W2)."""
+    streamed = {
+        (r["video_id"], r["session_id"]): r
+        for r in rows(_run_stream(spark, tmp_path))
+        if r["closed_by"] == "gap"
+    }
+    batch = _with_pred(frames_src.synthetic_frames(spark))
+    bsess = with_session_id(batch, "video_id", "frame_number", gap=GAP)
+    bstats = {
+        (r["video_id"], r["session_id"]): r
+        for r in rows(session_stats(bsess, "video_id", "frame_number"))
+    }
+    # every key's non-final batch session must appear, value-identical
+    last_per_key = {}
+    for vid, sid in bstats:
+        last_per_key[vid] = max(last_per_key.get(vid, 0), sid)
+    expected_closed = {
+        k: v for k, v in bstats.items() if k[1] < last_per_key[k[0]]
+    }
+    assert set(streamed) == set(expected_closed)
+    assert expected_closed  # the gap video guarantees at least one
+    for k, exp in expected_closed.items():
+        got = streamed[k]
+        for col in ("total_frames", "fire_count", "max_fire_probability", "first_seq", "last_seq"):
+            assert got[col] == exp[col], (k, col, got[col], exp[col])
+
+
+def test_streaming_timeout_flushes_open_sessions(spark, tmp_path):
+    """W4 shutdown-flush analog: with a short state timeout and a
+    running processing-time trigger, every open session is emitted as
+    closed_by='timeout'."""
+    df = _run_stream(
+        spark, tmp_path, timeout_ms=2_000, wait_after=12.0, trigger="1 second"
+    )
+    out = rows(df)
+    timed_out = {r["video_id"] for r in out if r["closed_by"] == "timeout"}
+    # all seven fixture videos eventually flush their final session
+    assert {"dense", "sampled", "gapvid", "inter_a", "inter_b", "short", "dup"} <= timed_out
+
+
+def test_duplicate_frames_counted_at_least_once(spark, tmp_path):
+    """W5 parity: the reference reprocesses duplicates (at-least-once);
+    the dup fixture's repeated frame is counted twice."""
+    df = _run_stream(
+        spark, tmp_path, timeout_ms=2_000, wait_after=12.0, trigger="1 second"
+    )
+    dup = [r for r in rows(df) if r["video_id"] == "dup"]
+    assert dup and dup[0]["total_frames"] == 4  # frames 0,1,1,2
+
+
+def test_kafka_builder_options_mirror_reference():
+    # S6/S8/S9 producer knobs (producer/video_producer.py:57-67)
+    assert kafka_src.PRODUCER_OPTIONS["kafka.acks"] == "1"
+    assert kafka_src.PRODUCER_OPTIONS["kafka.compression.type"] == "gzip"
+    assert kafka_src.PRODUCER_OPTIONS["kafka.batch.size"] == "16384"
+    assert kafka_src.PRODUCER_OPTIONS["kafka.linger.ms"] == "10"
+    # S7 consumer knobs (streams/stream.py:79-82)
+    assert kafka_src.CONSUMER_OPTIONS["kafka.fetch.min.bytes"] == "32768"
+    assert kafka_src.CONSUMER_OPTIONS["kafka.max.partition.fetch.bytes"] == str(10 * 1024 * 1024)
+    assert kafka_src.CONSUMER_OPTIONS["startingOffsets"] == "earliest"
+
+
+def test_kafka_builders_are_lazy(spark):
+    # no broker in the container: builders must not contact anything
+    reader = kafka_src.frames_source(spark, "localhost:9092")
+    assert reader is not None
+    df = spark.createDataFrame([("v", "{}")], "video_id string, payload string")
+    # writer construction is also lazy (start() would need a broker)
+    from pyspark.sql import functions as F2
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(F2.lit("v").alias("video_id"), F2.lit("{}").alias("payload"))
+    )
+    writer = kafka_src.keyed_kafka_sink(
+        sdf, "localhost:9092", "fire-detections", "video_id", "payload", "/tmp/ckpt-x"
+    )
+    assert writer is not None
+
+
+def test_synthetic_frames_patterns(spark):
+    df = frames_src.synthetic_frames(spark)
+    counts = {r["video_id"]: r["n"] for r in rows(df.groupBy("video_id").agg(F.count("*").alias("n")))}
+    assert counts["dense"] == 400 and counts["dup"] == 4
+    # sampled video: every 5th frame
+    sampled = rows(df.filter(F.col("video_id") == "sampled"), "frame_number")
+    assert [r["frame_number"] for r in sampled][:3] == [0, 5, 10]
+    # payload determinism: same (video, frame) -> same bytes
+    p1 = frames_src._payload("dense", 7)
+    assert p1 == frames_src._payload("dense", 7) and len(p1) == 1024
+    # short video omits fps (consumer defaults 30.0 downstream)
+    short = rows(df.filter(F.col("video_id") == "short").limit(1))
+    assert short[0]["fps"] is None
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"\xff\xd8fakejpeg", 640, 480),
+            (2, "audio", b"RIFFfakewav", None, None),
+            (3, "image", None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in rows(multimodal.decode_media(media))}
+    assert out[1]["width"] == 640 and out[1]["n_bytes"] == 10
+    assert out[2]["width"] is not None  # fake-decoded dims are deterministic
+    assert out[3]["n_bytes"] is None    # null payload passes through as nulls
+    import hashlib
+    assert out[1]["content_sha"] == hashlib.sha256(b"\xff\xd8fakejpeg").hexdigest()
+
+
+def test_multimodal_resize_and_sampling(spark):
+    media = spark.createDataFrame(
+        [(i, "image", b"x" * 10, 640, 480) for i in range(10)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    resized = multimodal.resize_plan(media, 224, 224)
+    assert rows(resized.limit(1))[0]["target_width"] == 224
+    sampled = multimodal.sample_every_nth(media, "media_id", 3)
+    assert sampled.count() == 4  # 0,3,6,9
