@@ -733,6 +733,48 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_decode",
+    """
+    WITH h AS (
+      SELECT doc_id AS media_id, sha256(text) AS content_sha,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id, 'text' AS kind,
+           320 + (((instr('0123456789abcdef', substring(content_sha, 1, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substring(content_sha, 2, 1)) - 1) % 4) * 160 AS width,
+           240 + (((instr('0123456789abcdef', substring(content_sha, 3, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substring(content_sha, 4, 1)) - 1) % 4) * 120 AS height,
+           n_bytes, content_sha
+    FROM h
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas media-decode stage (P2 plumbing) run over the
+    documents table as opaque binary payloads.  The deterministic fake
+    decoder derives pseudo-dims from the payload sha256; the oracle
+    replays the exact byte arithmetic from the hex digest — proving the
+    Arrow batch path end-to-end, not just the schema."""
+    from .sources.multimodal import decode_media
+
+    docs = _tbl(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+    )
+    out = decode_media(media)
+    return out.select(
+        "media_id", "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes", "content_sha",
+    )
+
+
 # ===========================================================================
 # Group C — relational parity-plus (SURVEY.md §2.6): joins, top-k,
 # grouping sets, set ops, as-of/range joins, windows
@@ -1052,6 +1094,108 @@ def topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", [F.desc("value"), F.asc("event_id")], k=2
     )
     return out.select("user_id", "event_id", "value", "rank")
+
+
+# ===========================================================================
+# Group D — Structured Streaming parity (the stateful session operator
+# run as a real streaming query, checked against the batch oracle)
+# ===========================================================================
+
+
+_STREAM_SESSION_SQL = f"""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS video_id, event_id,
+             {RAW_SQL} >= 0.5 AS hf,
+             CASE WHEN {RAW_SQL} >= 0.5 THEN {RAW_SQL} ELSE 0.0 END AS fp
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN lag(event_id) OVER w IS NULL
+                          OR event_id - lag(event_id) OVER w > {SESSION_GAP}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY video_id ORDER BY event_id)
+    ),
+    sess AS (
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY video_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT video_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS total_frames,
+           CAST(SUM(CAST(hf AS INT)) AS BIGINT) AS fire_count,
+           MAX(fp) AS max_fire_probability,
+           MIN(event_id) AS first_seq, MAX(event_id) AS last_seq
+    FROM sess GROUP BY video_id, session_id
+    """
+
+
+@q("streaming_session_parity", _STREAM_SESSION_SQL)
+def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W4 as a REAL Structured Streaming query: the events stream is
+    replayed through a file source micro-batch by micro-batch into the
+    applyInPandasWithState session operator, and the emitted completion
+    rows are checked against the batch/SQL sessionization oracle.
+
+    Determinism without timeout reliance: a final sentinel batch
+    carries one frame per key at ``max_seq + gap + 1``, so every real
+    session closes via the gap rule (W2) — the sentinel's own session
+    is the only state left open and is excluded from the output.
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming.session_state import sessionize_stream
+
+    ev = _with_surrogate(_tbl(spark, sf_dir, "events")).select(
+        F.col("user_id").cast("string").alias("video_id"),
+        F.col("event_id").alias("frame_number"),
+        F.col("has_fire_b").alias("has_fire"),
+        F.col("fire_probability"),
+    )
+    pdf = ev.toPandas().sort_values("frame_number")
+    sentinels = (
+        pdf.groupby("video_id", as_index=False)["frame_number"]
+        .max()
+        .assign(
+            frame_number=lambda d: d["frame_number"] + SESSION_GAP + 1,
+            has_fire=False,
+            fire_probability=0.0,
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_stream_")
+    n_files = 3
+    per = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if not chunk.empty:
+            pq.write_table(pa.Table.from_pandas(chunk), f"{tmp}/chunk_{i:03d}.parquet")
+    pq.write_table(pa.Table.from_pandas(sentinels), f"{tmp}/chunk_999.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "video_id string, frame_number long, has_fire boolean, fire_probability double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    out = sessionize_stream(stream, gap=SESSION_GAP, timeout_ms=3_600_000)
+    name = f"fw_sessions_{abs(hash(tmp)) % 10_000_000}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.sql(
+        f"""SELECT video_id, session_id, total_frames, fire_count,
+                   max_fire_probability, first_seq, last_seq
+            FROM {name} WHERE closed_by = 'gap'"""
+    )
 
 
 # ===========================================================================
