@@ -18,9 +18,13 @@ Layout:
   models.py               model-backend registry (M1) + pandas-UDF path
   operators/              cadence, sessions, aggregates, dedup, text,
                           similarity, joins (as-of/range/top-k)
-  functions/projections   scalar projection builders (P1/P5/P8)
-  sources/                Kafka builders, synthetic frame source, multimodal
-  streaming/              stateful session op, EP2 pipeline, custom sinks
+  functions/projections   scalar projection builders (P1/P5/P8, S5 encode)
+  functions/heatmap       GradCAM surrogate + overlay contract (M3/P10/P11)
+  sources/                Kafka builders, synthetic frame + video-file scan,
+                          multimodal decode/resize/encode plumbing
+  streaming/              stateful session op, full EP2 stateful pipeline
+                          (cadence+session in one operator), custom sinks,
+                          late/duplicate policy (W5)
   queries.py              the (queries, oracle_sql) registry for the driver
 """
 

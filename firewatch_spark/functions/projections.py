@@ -28,6 +28,18 @@ def decode_transport(value: Column, transport: str = "msgpack") -> Column:
     raise ValueError(f"unknown transport {transport!r} (reference config.py:64-67)")
 
 
+def encode_transport(payload: Column, transport: str = "msgpack") -> Column:
+    """S5 — transport encode, the producer-side inverse of
+    :func:`decode_transport` (reference producer/video_producer.py:69-77):
+    msgpack mode ships raw bytes on the Kafka value natively; legacy
+    base64-json mode wraps them in a base64 string."""
+    if transport == "msgpack":
+        return payload.cast("binary")
+    if transport == "base64-json":
+        return F.base64(payload)
+    raise ValueError(f"unknown transport {transport!r} (reference config.py:64-67)")
+
+
 def filter_detections(detections: Column, threshold: float) -> Column:
     """P5 — per-box confidence filter, strict `>` (yolov8.py:145).
 

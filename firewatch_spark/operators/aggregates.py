@@ -41,6 +41,33 @@ def global_counters(df: DataFrame, has_fire: str = "has_fire") -> DataFrame:
     )
 
 
+def frames_written(
+    df: DataFrame, key: str, written_flag: "str | None" = None
+) -> DataFrame:
+    """A3 — per-video count of frames actually written to the MP4 sink
+    (reference streams/stream.py:393-395).  ``written_flag`` names an
+    optional boolean column marking sink acceptance (the reference
+    increments only after a successful `writer.write`); absent, every
+    row counts."""
+    flag = F.col(written_flag).cast("long") if written_flag else F.lit(1)
+    return df.groupBy(key).agg(F.sum(flag).alias("frames_written"))
+
+
+def last_frame(
+    df: DataFrame, key: str, seq: str, frame_col: str
+) -> DataFrame:
+    """A4 — most recent frame payload per video (reference
+    streams/stream.py:110,396; re-written at finalize to flush codec
+    buffers, video_writer.py:112-117).  `max_by` keeps exactly one
+    payload per key through the partial/final aggregation — the
+    shuffle carries one frame per key per map task, never the
+    stream."""
+    return df.groupBy(key).agg(
+        F.max_by(frame_col, seq).alias("last_frame"),
+        F.max(seq).alias("last_seq"),
+    )
+
+
 def expected_frame_count(
     df: DataFrame,
     key: str,

@@ -407,6 +407,228 @@ def predict_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "frames_written",
+    f"""
+    SELECT user_id,
+           CAST(SUM(CAST({RAW_SQL} >= 0.5 AS INT)) AS BIGINT) AS frames_written
+    FROM events GROUP BY user_id
+    """,
+)
+def frames_written_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 frames-written counter (stream.py:393-395) — the flag path:
+    only sink-accepted rows count (here: fire frames as the stand-in
+    acceptance predicate)."""
+    ev = _with_surrogate(_tbl(spark, sf_dir, "events"))
+    return aggregates.frames_written(ev, "user_id", written_flag="has_fire_b")
+
+
+@q(
+    "last_frame",
+    """
+    SELECT user_id,
+           arg_max(md5(concat(CAST(user_id AS VARCHAR), '|', CAST(event_id AS VARCHAR))), event_id) AS last_frame,
+           MAX(event_id) AS last_seq
+    FROM events GROUP BY user_id
+    """,
+)
+def last_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 last-frame tracking (stream.py:110,396) via max_by — one
+    payload per key survives the partial agg, the stream never
+    shuffles.  The payload is an md5 fingerprint standing in for the
+    frame bytes (hashable in both engines)."""
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "frame_md5",
+        F.md5(
+            F.concat_ws(
+                "|", F.col("user_id").cast("string"), F.col("event_id").cast("string")
+            )
+        ),
+    )
+    return aggregates.last_frame(ev, "user_id", "event_id", "frame_md5")
+
+
+_HM_CELLS = 16
+_HM_INT_SQL = (
+    f"list_transform(range(0, {_HM_CELLS}), "
+    f"j -> (event_id * {_HM_CELLS} + j) * {surrogate.KNUTH} % {surrogate.MOD})"
+)
+
+
+@q(
+    "gradcam_heatmap",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id, {RAW_SQL} >= 0.5 AS hf FROM events
+    ),
+    runs AS (
+      SELECT event_id, user_id, hf,
+             CASE WHEN lag(hf) OVER w IS NULL OR lag(hf) OVER w <> hf THEN 1 ELSE 0 END AS chg
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    rid AS (
+      SELECT event_id, user_id, hf,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM runs
+    ),
+    pos AS (
+      SELECT event_id, user_id, hf,
+             ROW_NUMBER() OVER (PARTITION BY user_id, run_id ORDER BY event_id) AS run_pos
+      FROM rid
+    ),
+    computed AS (
+      SELECT event_id, user_id,
+             CAST(hf AND (run_pos - 1) % {GRADCAM_N} = 0 AS INT) AS recompute_heatmap,
+             CASE WHEN hf AND (run_pos - 1) % {GRADCAM_N} = 0
+                  THEN CAST(list_max({_HM_INT_SQL}) AS BIGINT) END AS c_max,
+             CASE WHEN hf AND (run_pos - 1) % {GRADCAM_N} = 0
+                  THEN CAST(list_position({_HM_INT_SQL}, list_max({_HM_INT_SQL})) AS BIGINT) END AS c_arg
+      FROM pos
+    )
+    SELECT event_id, user_id, recompute_heatmap,
+           last_value(c_max IGNORE NULLS) OVER w AS hm_max,
+           last_value(c_arg IGNORE NULLS) OVER w AS hm_argmax
+    FROM computed
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def gradcam_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3+M5+cache composition (gradcam.py:19-90 + fire_detect_nn.py:
+    134-153): heatmaps computed only on cadence-selected positive rows,
+    carried forward (LOCF) between — checked through the integer-domain
+    surrogate kernel so max/argmax hash identically.  The normalized
+    kernel + P10 overlay arithmetic are pinned by unit tests."""
+    from .functions import heatmap as hm
+
+    def int_kernel(seq_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_HM_CELLS - 1)),
+            lambda j: (seq_col * _HM_CELLS + j) * F.lit(surrogate.KNUTH) % F.lit(surrogate.MOD),
+        )
+
+    ev = _with_surrogate(_tbl(spark, sf_dir, "events"))
+    out = cadence.with_gradcam_cadence(
+        ev, "user_id", "event_id", "has_fire_b", every_n_fire=GRADCAM_N
+    )
+    out = hm.with_gradcam_heatmap(
+        out, "user_id", "event_id", heatmap_fn=int_kernel
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("recompute_heatmap").cast("int").alias("recompute_heatmap"),
+        F.array_max("heatmap").cast("long").alias("hm_max"),
+        F.array_position(F.col("heatmap"), F.array_max("heatmap"))
+        .cast("long")
+        .alias("hm_argmax"),
+    )
+
+
+@q(
+    "late_dedup",
+    """
+    WITH dup AS (
+      SELECT user_id, event_id FROM events
+      UNION ALL
+      SELECT user_id, event_id FROM events WHERE event_id % 10 = 0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_deduped
+    FROM dup GROUP BY user_id
+    """,
+)
+def late_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 duplicate handling: at-least-once redelivery (every 10th
+    event re-sent) collapsed by the dedup policy — the documented
+    upgrade over the reference's reprocessing (stream.py:465-489)."""
+    from .streaming.pipeline import with_late_policy
+
+    ev = _tbl(spark, sf_dir, "events").select("user_id", "event_id")
+    dup = ev.unionAll(ev.filter(F.col("event_id") % 10 == 0))
+    deduped = with_late_policy(dup, dedup_keys=["user_id", "event_id"])
+    raw_counts = dup.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_raw"))
+    dd_counts = deduped.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_deduped"))
+    return raw_counts.join(dd_counts, "user_id")
+
+
+@q(
+    "transport_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS decoded_md5
+    FROM documents
+    """,
+)
+def transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 encode → P1 decode round-trip in base64-json mode
+    (video_producer.py:69-77 / stream.py:125-137): the oracle md5s the
+    original bytes directly, so a match proves decode(encode(x)) == x
+    byte-for-byte."""
+    from .functions import projections
+
+    docs = _tbl(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    enc = projections.encode_transport(payload, "base64-json")
+    dec = projections.decode_transport(enc, "base64-json")
+    return docs.select(
+        "doc_id",
+        F.octet_length(dec).cast("long").alias("n_bytes"),
+        F.md5(dec).alias("decoded_md5"),
+    )
+
+
+@q(
+    "jpeg_encode_plan",
+    """
+    SELECT doc_id AS media_id,
+           CAST(GREATEST(64, ((320 + (doc_id % 4) * 160) * (240 + (doc_id % 4) * 120)) // 85) AS BIGINT) AS n_jpeg_bytes
+    FROM documents
+    """,
+)
+def jpeg_encode_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 JPEG-encode stage (video_producer.py:112-113) through the
+    mapInPandas plumbing: the fake kernel's size arithmetic
+    (w*h/quality) is replayed exactly by the oracle, proving batch
+    shape + metadata flow; the pixel codec itself stays a documented
+    stub."""
+    from .sources.multimodal import jpeg_encode
+
+    docs = _tbl(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        (F.lit(320) + (F.col("doc_id") % 4) * 160).cast("int").alias("meta_width"),
+        (F.lit(240) + (F.col("doc_id") % 4) * 120).cast("int").alias("meta_height"),
+    )
+    out = jpeg_encode(media, quality=85)
+    return out.select(
+        "media_id", F.octet_length("jpeg").cast("long").alias("n_jpeg_bytes")
+    )
+
+
+@q("video_scan", None)  # payload/probe fakes are Python-side → rows-only
+def video_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 video-file scan: binaryFile source → mapInPandas frame
+    explosion (one task per file, no shuffle).  Inputs are deterministic
+    fake container files; frame counts/fps derive from their sha256."""
+    import os
+    import tempfile
+
+    from .sources.frames import video_file_scan
+
+    tmp = tempfile.mkdtemp(prefix="fw_videos_")
+    for i in range(4):
+        with open(os.path.join(tmp, f"video_{i}.mp4"), "wb") as f:
+            f.write(bytes([i]) * (1000 + i * 37))
+    out = video_file_scan(spark, tmp, frame_interval=2)
+    return out.select("video_id", "frame_number", "timestamp", "fps", "width", "height")
+
+
 # ===========================================================================
 # Group B — LLM-data-pipeline pack (documents / embeddings)
 # ===========================================================================

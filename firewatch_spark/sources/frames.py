@@ -111,6 +111,63 @@ def synthetic_frames(
     return spark.createDataFrame(rows, FRAME_SCHEMA)
 
 
+def video_file_scan(
+    spark: SparkSession,
+    path_glob: str,
+    frame_interval: int = 1,
+    payload_bytes: int = 1024,
+) -> DataFrame:
+    """S1 — video-file scan (reference producer/video_producer.py:79-143):
+    one input video file → one row per sampled frame.
+
+    Spark-first shape: ``spark.read.format("binaryFile")`` scans the
+    container files distributed (one task per file, no shuffle), then a
+    mapInPandas stage explodes each file into frame rows — the cv2
+    read loop's distributed twin.  S2 sampling (`frame_count % N == 0`,
+    :106) happens inside the explode so skipped frames never
+    materialize.
+
+    cv2 is not in this container: frame count / fps / dims come from a
+    DETERMINISTIC FAKE (sha256 of the file bytes), payloads from the
+    FIXTURES.md generator.  A real deployment replaces `_probe` and
+    `_read_frame` with cv2.VideoCapture calls — the scan/explode
+    plumbing is what this module proves.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content)
+                h = hashlib.sha256(content).digest()
+                # fake container probe: 30-240 frames, fps from header byte
+                n_frames = 30 + h[0] % 211
+                fps = float(15 + h[1] % 46)
+                video_id = row.path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                frames = range(0, n_frames, frame_interval)
+                yield pd.DataFrame(
+                    {
+                        "video_id": video_id,
+                        "frame_number": list(frames),
+                        "timestamp": [_iso(fn, fps) for fn in frames],
+                        "fps": fps,
+                        "frame_data": [
+                            _payload(video_id, fn, payload_bytes) for fn in frames
+                        ],
+                        "width": 640,
+                        "height": 480,
+                    }
+                )
+
+    return files.mapInPandas(_explode, schema=FRAME_SCHEMA)
+
+
 def write_frame_stream_dir(
     spark: SparkSession,
     path: str,

@@ -134,6 +134,44 @@ def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return df.mapInPandas(_resize, schema=out_schema)
 
 
+def jpeg_encode(df: DataFrame, quality: int = 85) -> DataFrame:
+    """S4-analog JPEG encode (reference producer/video_producer.py:112-113,
+    `cv2.imencode('.jpg', frame, [IMWRITE_JPEG_QUALITY, 85])`).
+
+    DETERMINISTIC FAKE kernel: the "encoded" payload is a sha256-seeded
+    byte string whose length scales with `width*height/quality` — stable
+    and size-realistic, so downstream size-based logic (Kafka batching,
+    Arrow batch memory math) is exercised for real.  A real deployment
+    swaps the body for cv2.imencode; the mapInPandas batching, the
+    binary output column, and the no-shuffle placement are the point."""
+
+    out_schema = StructType(
+        list(MEDIA_SCHEMA.fields) + [StructField("jpeg", BinaryType())]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            jpegs = []
+            for row in pdf.itertuples(index=False):
+                if row.payload is None:
+                    jpegs.append(None)
+                    continue
+                if HAVE_CV2:
+                    raise NotImplementedError(
+                        "real cv2.imencode path not exercised in this container"
+                    )
+                w = 640 if pd.isna(row.meta_width) else int(row.meta_width)
+                h = 480 if pd.isna(row.meta_height) else int(row.meta_height)
+                size = max(64, w * h // max(quality, 1))
+                seed = hashlib.sha256(bytes(row.payload)).digest()
+                jpegs.append((seed * (size // len(seed) + 1))[:size])
+            pdf["jpeg"] = jpegs
+            yield pdf
+
+    return df.mapInPandas(_encode, schema=out_schema)
+
+
 def sample_every_nth(df: DataFrame, seq_col: str, n: int) -> DataFrame:
     """S2 frame sampling: keep rows where seq % n == 0
     (producer/video_producer.py:106) — a pure filter, pushed to scan."""

@@ -54,6 +54,36 @@ def decode_frame_stream(kafka_df: DataFrame, transport: str = "msgpack") -> Data
     )
 
 
+def with_late_policy(
+    frames: DataFrame,
+    event_time_col: "str | None" = None,
+    max_delay: str = "10 seconds",
+    dedup_keys: "list[str] | None" = None,
+) -> DataFrame:
+    """W5 — late/duplicate-data policy, the principled upgrade over the
+    reference (documented intentional difference, SURVEY.md §2.5 W5).
+
+    The reference absorbs out-of-order frames inside the 300-frame gap
+    and reprocesses duplicates (at-least-once, stream.py:340-349,
+    465-489).  Spark gives both knobs properly:
+
+    * ``withWatermark`` bounds how late an event may arrive before the
+      engine may drop it — which is also what lets the sessionizer's
+      state be reclaimed at 100 TB instead of growing forever;
+    * ``dropDuplicates`` on (video_id, frame_number) upgrades delivery
+      to effectively-once for the detection math.  With a watermark the
+      dedup state is likewise bounded; without one Spark must keep all
+      keys (batch mode / tests only).
+    """
+    out = frames
+    if event_time_col is not None:
+        out = out.withWatermark(event_time_col, max_delay)
+    keys = dedup_keys if dedup_keys is not None else ["video_id", "frame_number"]
+    if event_time_col is not None:
+        return out.dropDuplicatesWithinWatermark(keys)
+    return out.dropDuplicates(keys)
+
+
 def with_predictions(
     frames: DataFrame,
     backend: str = "surrogate",

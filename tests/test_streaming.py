@@ -28,7 +28,13 @@ def _with_pred(df):
 _RUN_COUNTER = iter(range(1000))
 
 
-def _run_stream(spark, tmp_path, timeout_ms=600_000, wait_after=0.0, trigger=None):
+def _run_stream(
+    spark, tmp_path, timeout_ms=600_000, wait_after=0.0, trigger=None, until=None
+):
+    """Run the sessionizer over the fixture stream.  With a
+    processing-time trigger, ``until(rows) -> bool`` polls the memory
+    sink and stops as soon as it holds (deadline ``wait_after``) — a
+    fixed sleep is flaky under suite-wide CPU contention."""
     name = f"sessions_out_{next(_RUN_COUNTER)}"
     data_dir = str(tmp_path / "stream_in")
     frames_src.write_frame_stream_dir(spark, data_dir, n_files=4)
@@ -50,7 +56,11 @@ def _run_stream(spark, tmp_path, timeout_ms=600_000, wait_after=0.0, trigger=Non
     if trigger is None:
         query.awaitTermination(120)
     else:
-        time.sleep(wait_after)
+        deadline = time.monotonic() + wait_after
+        while time.monotonic() < deadline:
+            if until is not None and until(rows(spark.sql(f"SELECT * FROM {name}"))):
+                break
+            time.sleep(0.5)
         query.stop()
         query.awaitTermination(60)
     return spark.sql(f"SELECT * FROM {name}")
@@ -89,20 +99,27 @@ def test_streaming_timeout_flushes_open_sessions(spark, tmp_path):
     """W4 shutdown-flush analog: with a short state timeout and a
     running processing-time trigger, every open session is emitted as
     closed_by='timeout'."""
+    all_vids = {"dense", "sampled", "gapvid", "inter_a", "inter_b", "short", "dup"}
+
+    def flushed(out):
+        return all_vids <= {r["video_id"] for r in out if r["closed_by"] == "timeout"}
+
     df = _run_stream(
-        spark, tmp_path, timeout_ms=2_000, wait_after=12.0, trigger="1 second"
+        spark, tmp_path, timeout_ms=2_000, wait_after=90.0, trigger="1 second",
+        until=flushed,
     )
     out = rows(df)
     timed_out = {r["video_id"] for r in out if r["closed_by"] == "timeout"}
     # all seven fixture videos eventually flush their final session
-    assert {"dense", "sampled", "gapvid", "inter_a", "inter_b", "short", "dup"} <= timed_out
+    assert all_vids <= timed_out
 
 
 def test_duplicate_frames_counted_at_least_once(spark, tmp_path):
     """W5 parity: the reference reprocesses duplicates (at-least-once);
     the dup fixture's repeated frame is counted twice."""
     df = _run_stream(
-        spark, tmp_path, timeout_ms=2_000, wait_after=12.0, trigger="1 second"
+        spark, tmp_path, timeout_ms=2_000, wait_after=90.0, trigger="1 second",
+        until=lambda out: any(r["video_id"] == "dup" for r in out),
     )
     dup = [r for r in rows(df) if r["video_id"] == "dup"]
     assert dup and dup[0]["total_frames"] == 4  # frames 0,1,1,2
