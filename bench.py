@@ -63,6 +63,56 @@ def main() -> None:
     for name in BENCH_QUERIES:
         times[name] = round(run(name), 4)
 
+    # Batched-inference demonstration — the reference's explicitly
+    # deferred win (docs/PERFORMANCE.md:148-150): same surrogate model
+    # as a row-at-a-time Python UDF vs Arrow pandas UDF vs JVM column
+    # expression, timed over the same scan.
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from firewatch_spark import surrogate
+
+    # lineitem's key column: enough rows that per-row Python overhead
+    # (what batching removes) dominates the timing signal
+    ev = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("event_id")
+    )
+
+    row_udf = F.udf(
+        lambda s: float((s * surrogate.KNUTH) % surrogate.MOD) / surrogate.MOD,
+        "double",
+    )
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which breaks pandas_udf signature inference
+    arrow_udf = pandas_udf(
+        lambda s: ((s * surrogate.KNUTH) % surrogate.MOD) / float(surrogate.MOD),
+        "double",
+    )
+
+    def time_variant(col) -> float:
+        df = ev.select(col.alias("p"))
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    inference = {
+        "row_udf_sec": round(time_variant(row_udf(F.col("event_id"))), 4),
+        "pandas_udf_sec": round(time_variant(arrow_udf(F.col("event_id"))), 4),
+        "column_expr_sec": round(
+            time_variant(surrogate.raw_probability(F.col("event_id"))), 4
+        ),
+    }
+    # NB: the surrogate's arithmetic is trivial, so this measures pure
+    # per-row overhead; a real model forward pass widens the gap by its
+    # per-call cost (the reference's deferred "batched inference" win).
+    inference["pandas_vs_row_speedup"] = round(
+        inference["row_udf_sec"] / inference["pandas_udf_sec"], 2
+    )
+    inference["column_vs_row_speedup"] = round(
+        inference["row_udf_sec"] / inference["column_expr_sec"], 2
+    )
+
     total = round(sum(times.values()), 4)
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     flagship_rps = round(n_events / times["session_stats"], 1)
@@ -76,6 +126,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "rows_per_sec_flagship": flagship_rps,
+                "batched_inference": inference,
             }
         )
     )

@@ -159,3 +159,40 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family member
+    that works on vectors instead of text.
+
+    Plan: one LSH bucket per vector (sign-bit string) → self-equi-join
+    on the bucket → exact cosine only within buckets → threshold.
+    Never all-pairs: at 100 TB the candidate count is Σ bucket², and
+    raising `num_planes` shrinks buckets geometrically (collision
+    probability (1-θ/π)^planes).  Each vector has exactly one bucket,
+    so no pair is emitted twice.
+    """
+    b = with_norm2(with_scaled_vec(with_lsh_bucket(corpus, vec_col, num_planes), vec_col))
+    a = b.select(
+        F.col(id_col).alias("doc_a"), "bucket",
+        F.col("iv").alias("aiv"), F.col("n2").alias("an2"),
+    )
+    c = b.select(
+        F.col(id_col).alias("doc_b"), "bucket",
+        F.col("iv").alias("biv"), F.col("n2").alias("bn2"),
+    )
+    pairs = a.join(c, ["bucket"]).filter(F.col("doc_a") < F.col("doc_b"))
+    scored = pairs.withColumn("_dot", _dot("aiv", "biv")).withColumn(
+        "cos_sim",
+        F.col("_dot").cast("double")
+        / F.sqrt(F.col("an2").cast("double") * F.col("bn2").cast("double")),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold).select(
+        "doc_a", "doc_b", "cos_sim"
+    )

@@ -1318,6 +1318,126 @@ def topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "rank")
 
 
+@q(
+    "tumbling_window",
+    """
+    SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS hour_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_value_scaled
+    FROM events GROUP BY 1
+    """,
+)
+def tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window via F.window — declared parity-plus
+    (SURVEY.md §2.5 note: the reference has no time windows at all).
+    events.ts arrives as int64 nanos (nanosAsLong); converted to a real
+    timestamp for the window, reported as epoch seconds (portable)."""
+    ev = _tbl(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        ev.groupBy(F.window("ts_t", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000.0).cast("long")).alias(
+                "sum_value_scaled"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "n_events",
+            "sum_value_scaled",
+        )
+    )
+
+
+@q(
+    "session_window_time",
+    f"""
+    WITH flagged AS (
+      SELECT event_id, user_id,
+             CASE WHEN lag(event_id) OVER w IS NULL
+                       OR event_id - lag(event_id) OVER w > {SESSION_GAP}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    sess AS (
+      SELECT event_id, user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(event_id) AS session_start_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_events, MAX(event_id) AS last_seq
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 option (a) from SURVEY.md §2.5: the IDIOMATIC Spark gap
+    session — synthesize event-time (1 s per sequence unit) and use the
+    built-in ``session_window`` aggregation.  The built-in merges two
+    events when their gap is <= the window gap (boundary inclusive,
+    verified empirically against the oracle), which IS the reference's
+    strict-`>`-closes rule — so the same GAP value reproduces the
+    frame-domain sessions exactly.  The exact-parity stateful twin
+    lives in streaming/session_state.py; this is the
+    zero-custom-code path."""
+    ev = _tbl(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_t", F.timestamp_seconds(F.col("event_id")))
+    return (
+        ev.groupBy("user_id", F.session_window("ts_t", f"{SESSION_GAP} seconds").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").alias("last_seq"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start_epoch"),
+            "n_events",
+            "last_seq",
+        )
+    )
+
+
+_NEARDUP_SQL = f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, iv,
+             CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2
+      FROM iv
+    ),
+    b AS (
+      SELECT vec_id, iv, n2,
+             concat({', '.join(
+                 "CASE WHEN (list_sum(list_transform(generate_series(1, len(iv)), i -> list_extract(iv, i) * "
+                 + similarity.hyperplane_weight_expr(p, 'i') + "))) > 0 THEN '1' ELSE '0' END"
+                 for p in range(8)
+             )}) AS bucket
+      FROM n
+    )
+    SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+           CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                i -> list_extract(a.iv, i) * list_extract(b2.iv, i))) AS DOUBLE)
+             / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b2.n2 AS DOUBLE)) AS cos_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+            i -> list_extract(a.iv, i) * list_extract(b2.iv, i))) AS DOUBLE)
+          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b2.n2 AS DOUBLE)) >= 0.1
+    """
+
+
+@q("embedding_near_dup", _NEARDUP_SQL)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH bucket self-join → within-bucket
+    exact cosine → threshold.  Candidate count is Σ bucket², never n² —
+    the all-pairs form never exists in the plan."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup(emb, threshold=0.1)
+
+
 # ===========================================================================
 # Group D — Structured Streaming parity (the stateful session operator
 # run as a real streaming query, checked against the batch oracle)

@@ -65,3 +65,26 @@ def test_session_stats_summary(spark):
     assert out[1]["total_frames"] == 2 and out[1]["fire_count"] == 0
     assert out[1]["max_fire_probability"] == 0.0
     assert (out[1]["first_seq"], out[1]["last_seq"]) == (500, 501)
+
+
+def test_builtin_session_window_boundary_matches_gap_rule(spark):
+    """The idiomatic F.session_window path (SURVEY §2.5 W2 option a):
+    with event-time = 1 s per sequence unit and gap = GAP seconds, the
+    built-in merges a jump of exactly GAP (reference keeps the session,
+    stream.py:343-347) and closes at GAP+1 — same boundary as the
+    frame-domain strict-`>` rule."""
+    from pyspark.sql import functions as F
+
+    gap = 300
+    df = spark.createDataFrame(
+        [("v", 0), ("v", gap), ("v", 2 * gap + 1)], "k string, seq long"
+    )
+    df = df.withColumn("ts_t", F.timestamp_seconds(F.col("seq")))
+    out = rows(
+        df.groupBy("k", F.session_window("ts_t", f"{gap} seconds").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("sw.start").alias("start"), "n"),
+        "start",
+    )
+    # 0 and 300 merge (jump of exactly gap); 601 (jump gap+1) closes
+    assert [(r["start"], r["n"]) for r in out] == [(0, 2), (601, 1)]
