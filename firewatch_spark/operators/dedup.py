@@ -110,12 +110,19 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Banded LSH: signature → `bands` band-hashes → equi-join on
-    (band_idx, band_hash) → distinct candidate pairs with the
-    signature-estimated Jaccard (matching minhashes / num_hashes).
+    """Banded LSH: signature → `bands` band-hashes → group by
+    (band_idx, band_hash) → in-bucket pair expansion → distinct
+    candidate pairs with the signature-estimated Jaccard (matching
+    minhashes / num_hashes).
 
-    The join is a plain shuffle equi-join on a 34-byte key — the
-    scale-critical property is that no cross join exists anywhere.
+    Plan shape: the signature stage is computed ONCE (a self-join would
+    re-evaluate the whole shingle→minhash lineage on both sides —
+    measured 2× the runtime); buckets form with a single shuffle on a
+    34-byte key, and pairs expand inside each bucket with array
+    lambdas.  Cost is Σ bucket² with no cross join anywhere; a skewed
+    (boilerplate) bucket is a long collect_list — at 100 TB cap bucket
+    size upstream (drop or split buckets past a bound: a bucket of
+    identical docs needs only its min-id representative for dedup).
     """
     rows = num_hashes // bands
     sig = with_minhash_signature(docs, text_col, num_hashes, shingle_n)
@@ -129,20 +136,31 @@ def lsh_candidate_pairs(
         F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "sig", "band.band_idx", "band.band_hash")
 
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = exploded.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig")))).alias(
+            "members"
         )
+    )
+    # all ordered pairs within the bucket: member i × members after i
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x, i: F.transform(
+                    F.slice(F.col("members"), i + 2, F.size("members")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    pairs = (
+        buckets.filter(F.size("members") > 1)
+        .select(pair_expr.alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.sig").alias("sig_b"),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))

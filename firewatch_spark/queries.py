@@ -1540,6 +1540,91 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EP2_N = 3
+
+_EP2_SQL = f"""
+    WITH base AS (
+      SELECT CAST(user_id AS VARCHAR) AS video_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    inf AS (
+      SELECT video_id, event_id, rn,
+             (rn - 1) % {_EP2_N} = 0 AS is_inf,
+             CASE WHEN (rn - 1) % {_EP2_N} = 0 THEN {RAW_SQL} END AS raw_at_inf
+      FROM base
+    ),
+    filled AS (
+      SELECT video_id, event_id, is_inf,
+             last_value(raw_at_inf IGNORE NULLS) OVER
+               (PARTITION BY video_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
+      FROM inf
+    )
+    SELECT video_id, event_id AS frame_number,
+           CAST(is_inf AS INT) AS is_inference,
+           CAST(raw >= 0.5 AS INT) AS has_fire,
+           CASE WHEN raw >= 0.5 THEN raw ELSE 0.0 END AS fire_probability
+    FROM filled
+    """
+
+
+@q("streaming_ep2_parity", _EP2_SQL)
+def streaming_ep2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL EP2 stateful operator (streaming/stateful_pipeline.py —
+    M6 cadence counter + prediction cache + W1-W4 session machine in
+    one applyInPandasWithState stage) run as a real streaming query
+    over a 3-micro-batch replay of the events stream, frame rows
+    checked against the SQL cadence+LOCF oracle.  The cadence counter
+    and cached prediction MUST survive micro-batch boundaries for this
+    to match — the SURVEY §7 risk-register case, proven here at
+    sf-scale rather than only in unit tests."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming.stateful_pipeline import fire_detection_stream
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("video_id"),
+        F.col("event_id").alias("frame_number"),
+    )
+    pdf = ev.toPandas().sort_values("frame_number")
+    tmp = tempfile.mkdtemp(prefix="fw_ep2_")
+    n_files = 3
+    per = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if not chunk.empty:
+            pq.write_table(pa.Table.from_pandas(chunk), f"{tmp}/chunk_{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema("video_id string, frame_number long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    out = fire_detection_stream(
+        stream, gap=SESSION_GAP, inference_every_n=_EP2_N, timeout_ms=3_600_000
+    )
+    name = f"fw_ep2_{abs(hash(tmp)) % 10_000_000}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.sql(
+        f"""SELECT video_id, frame_number,
+                   CAST(is_inference AS INT) AS is_inference,
+                   CAST(has_fire AS INT) AS has_fire, fire_probability
+            FROM {name} WHERE row_type = 'frame'"""
+    )
+
+
 # ===========================================================================
 # Driver contract surface
 # ===========================================================================

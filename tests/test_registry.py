@@ -22,7 +22,7 @@ def test_contract_shape():
     assert len(qs) >= 30
     assert set(osql) <= set(qs)
     # every oracle-less query is a deliberate rows-only registration
-    assert set(qs) - set(osql) == {"approx_distinct_users"}
+    assert set(qs) - set(osql) == {"approx_distinct_users", "video_scan"}
 
 
 def test_entry_returns_rows(spark):
