@@ -113,9 +113,14 @@ def main() -> None:
         inference["row_udf_sec"] / inference["column_expr_sec"], 2
     )
 
+    # flagship latency percentiles (reference scripts/bench.py reports
+    # p50/p95/p99 per frame; the batch analog is repeated query runs)
+    flagship_runs = sorted(run("session_stats") for _ in range(5))
+    pct = lambda p: round(flagship_runs[min(int(p * len(flagship_runs)), len(flagship_runs) - 1)], 4)
+
     total = round(sum(times.values()), 4)
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
-    flagship_rps = round(n_events / times["session_stats"], 1)
+    flagship_rps = round(n_events / flagship_runs[len(flagship_runs) // 2], 1)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -126,6 +131,8 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "rows_per_sec_flagship": flagship_rps,
+                "flagship_p50_sec": pct(0.5),
+                "flagship_p95_sec": pct(0.95),
                 "batched_inference": inference,
             }
         )

@@ -100,3 +100,23 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", shingle_n: int = 4) 
         .withColumn("shingle_fp", F.array_min(F.expr("transform(_sh, s -> md5(s))")))
         .drop("_toks", "_sh")
     )
+
+
+# GPT-2-ish pre-tokenizer approximation, restricted to constructs that
+# behave identically under Java regex (Spark) and RE2 (DuckDB): runs of
+# letters, single digits (BPE splits digit runs), and single
+# non-alphanumeric non-space marks.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """BPE-ish token counting — the subword-aware twin of the
+    whitespace count in :func:`with_token_stats`, used to budget
+    training-token costs.  Pure regexp projection: no shuffle, stays in
+    codegen; at 100 TB this is a scan-side column like any other."""
+    return df.withColumn(
+        out_col,
+        F.expr(f"size(regexp_extract_all({text_col}, '{BPE_PATTERN}', 0))").cast("long"),
+    )

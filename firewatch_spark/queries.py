@@ -806,6 +806,28 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace tokens vs the BPE-ish regex count
+    (subword-aware, GPT-2-pre-tokenizer-shaped) — both pure scan-side
+    projections."""
+    docs = _tbl(spark, sf_dir, "documents")
+    out = text.with_bpe_token_count(docs)
+    return out.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        "n_bpe_tokens",
+    )
+
+
 def _lang_id_sql() -> str:
     langs = list(text.LANG_PROFILES)
     scores = ",\n             ".join(
