@@ -1562,6 +1562,73 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           md5(concat('{"event_id":', CAST(event_id AS VARCHAR), ',"k":',
+                      CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR), '}')) AS rebuilt_md5
+    FROM events
+    """,
+)
+def json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 JSON-function row: get_json_object extraction from the
+    props payload + to_json re-serialization (the reference JSON-codes
+    every event, stream.py:64,87) — the rebuilt record's md5 proves the
+    serializer shape, not just the extracted value."""
+    ev = _tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    rebuilt = F.to_json(F.struct(F.col("event_id"), k.alias("k")))
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
+        F.md5(rebuilt).alias("rebuilt_md5"),
+    )
+
+
+@q(
+    "sliding_window",
+    """
+    WITH h AS (
+      SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS hour_epoch, value
+      FROM events
+    ),
+    assigned AS (
+      SELECT hour_epoch AS win_start, value FROM h
+      UNION ALL
+      SELECT hour_epoch - 3600 AS win_start, value FROM h
+    )
+    SELECT win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_value_scaled
+    FROM assigned GROUP BY win_start
+    """,
+)
+def sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time window (2 h length, 1 h slide) via F.window — each
+    event lands in two windows; the oracle replays the assignment as a
+    union of the containing hour bucket and its predecessor."""
+    ev = _tbl(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        ev.groupBy(F.window("ts_t", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000.0).cast("long")).alias(
+                "sum_value_scaled"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "n_events",
+            "sum_value_scaled",
+        )
+    )
+
+
 _EP2_N = 3
 
 _EP2_SQL = f"""
