@@ -28,7 +28,7 @@ plumbing (schema, batching, registry) is real and tested.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -214,27 +214,32 @@ def with_prediction(
 
     predict_batch = backend.predict_batch
 
-    # mapInPandas keeps arbitrary passthrough columns without a join.
-    out_schema = StructType(
-        [
-            StructField("_pred", PREDICTION_SCHEMA),
-            StructField("_passthrough", df.schema),
-        ]
-    )
-    renamed = df.select(
-        F.col(seq).cast("long").alias("seq"),
-        F.col(width).cast("long").alias("width"),
-        F.col(height).cast("long").alias("height"),
-        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
-    )
+    # Scalar pandas UDF returning the prediction struct: ONLY the three
+    # key columns cross the Arrow boundary; every passthrough column
+    # stays JVM-side untouched.  (The previous mapInPandas wrapper
+    # round-tripped the whole row through Python — measured ~2× slower
+    # at sf0.1.)
+    def _predict(seq_s, width_s, height_s):
+        return predict_batch(
+            pd.DataFrame({"seq": seq_s, "width": width_s, "height": height_s})
+        )
 
-    def _iter2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pred = predict_batch(pdf[["seq", "width", "height"]])
-            yield pd.DataFrame(
-                {"_pred": pred.to_dict("records"), "_passthrough": pdf["_row"]}
-            )
+    # manual annotations: `from __future__ import annotations` would
+    # stringify inline hints and break pandas_udf signature inference
+    _predict.__annotations__ = {
+        "seq_s": pd.Series,
+        "width_s": pd.Series,
+        "height_s": pd.Series,
+        "return": pd.DataFrame,
+    }
+    from pyspark.sql.functions import pandas_udf
 
-    result = renamed.mapInPandas(_iter2, schema=out_schema)
-    cols = [F.col(f"_passthrough.{c}").alias(c) for c in df.columns]
-    return result.select(*cols, F.col("_pred").alias(out_col))
+    udf = pandas_udf(_predict, returnType=PREDICTION_SCHEMA)
+    return df.withColumn(
+        out_col,
+        udf(
+            F.col(seq).cast("long"),
+            F.col(width).cast("long"),
+            F.col(height).cast("long"),
+        ),
+    )
