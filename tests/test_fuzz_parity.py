@@ -1,0 +1,109 @@
+"""Randomized parity fuzz: many generated frame sequences, one Spark
+pass, checked against independent pure-Python re-implementations of the
+reference loop (streams/stream.py:340-386, fire_detect_nn.py:134-153).
+
+Complements the hand-built boundary tests: random gaps/duplicates/runs
+catch off-by-ones the curated fixtures might miss.  Seeded — fully
+deterministic."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from firewatch_spark.operators.cadence import with_gradcam_cadence, with_inference_cadence
+from firewatch_spark.operators.sessions import with_session_id
+from tests.conftest import rows
+
+GAP = 30
+N = 4
+
+
+def _gen_sequences(seed: int, n_keys: int = 40):
+    rng = random.Random(seed)
+    data = []
+    for k in range(n_keys):
+        seq, pos = [], 0
+        for _ in range(rng.randint(1, 120)):
+            pos += rng.choice([1, 1, 1, 2, 5, GAP, GAP + 1, rng.randint(1, 3 * GAP)])
+            seq.append(pos)
+        data += [(f"k{k}", s) for s in seq]
+    return data
+
+
+def _py_sessions(seqs: list[int], gap: int) -> list[int]:
+    """The reference's session rule (stream.py:340-349): new session
+    when the jump from the last seen frame is strictly greater than gap."""
+    out, sid, last = [], 0, None
+    for s in seqs:
+        if last is None or s - last > gap:
+            sid += 1
+        out.append(sid)
+        last = s
+    return out
+
+
+def _py_cadence(seqs: list[int], n: int) -> list[bool]:
+    """M6: model runs on ordinals 0, n, 2n, ... (stream.py:366-378)."""
+    return [(i % n) == 0 for i in range(len(seqs))]
+
+
+def _py_gradcam(flags: list[bool], n: int) -> list[bool]:
+    """M5: consecutive-positive counter, reset on negative; recompute
+    when (pre-increment counter) % n == 0 (fire_detect_nn.py:134-153)."""
+    out, ctr = [], 0
+    for hf in flags:
+        if not hf:
+            ctr = 0
+            out.append(False)
+            continue
+        out.append(ctr % n == 0)
+        ctr += 1
+    return out
+
+
+def test_session_ids_match_python_reference(spark):
+    data = _gen_sequences(seed=7)
+    df = spark.createDataFrame(data, "k string, seq long")
+    got = rows(with_session_id(df, "k", "seq", gap=GAP), "k", "seq")
+    by_key: dict[str, list] = {}
+    for r in got:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        expected = _py_sessions([r["seq"] for r in rs], GAP)
+        assert [r["session_id"] for r in rs] == expected, k
+
+
+def test_cadence_locf_matches_python_reference(spark):
+    data = _gen_sequences(seed=11)
+    df = spark.createDataFrame(data, "k string, seq long").withColumn(
+        "v", F.col("seq") * 3 % 17
+    )
+    got = rows(
+        with_inference_cadence(df, "k", "seq", ["v"], every_n=N), "k", "seq"
+    )
+    by_key: dict[str, list] = {}
+    for r in got:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        flags = _py_cadence([r["seq"] for r in rs], N)
+        assert [r["is_inference"] for r in rs] == flags, k
+        # LOCF: value equals the value at the latest inference row
+        carried = None
+        for r, is_inf in zip(rs, flags):
+            if is_inf:
+                carried = r["seq"] * 3 % 17
+            assert r["v"] == carried, (k, r["seq"])
+
+
+def test_gradcam_recompute_matches_python_reference(spark):
+    data = _gen_sequences(seed=13)
+    df = spark.createDataFrame(data, "k string, seq long").withColumn(
+        "hf", (F.col("seq") * 7 % 5) < 2
+    )
+    got = rows(with_gradcam_cadence(df, "k", "seq", "hf", every_n_fire=2), "k", "seq")
+    by_key: dict[str, list] = {}
+    for r in got:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        expected = _py_gradcam([r["hf"] for r in rs], 2)
+        assert [r["recompute_heatmap"] for r in rs] == expected, k
