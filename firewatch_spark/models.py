@@ -4,8 +4,8 @@ The reference's extensibility point is a config-driven dispatcher with a
 uniform ``predict(frame) -> dict`` contract
 (reference streams/models/dispatcher.py:34-87).  Here the same contract is
 a *batch* function ``predict_batch(pd.DataFrame) -> pd.DataFrame`` wrapped
-in an iterator-style pandas UDF: the model loads once per Python worker
-(executor singleton), Arrow ships columnar batches, and batch size is
+in a struct-returning scalar pandas UDF: the model loads once per Python
+worker (executor singleton), Arrow ships columnar batches, and batch size is
 governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — which is
 exactly the batched-inference win the reference deferred
 (reference docs/PERFORMANCE.md:148-150).

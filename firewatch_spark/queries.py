@@ -772,6 +772,37 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_simhash(docs).select("doc_id", "simhash")
 
 
+_SIMHASH_PAIRS_SQL = f"""
+    WITH sh AS (SELECT * FROM ({_simhash_sql()})),
+    segs AS (
+      SELECT doc_id, simhash, i.i AS seg_idx,
+             substring(simhash, i.i * 16 + 1, 16) AS seg
+      FROM sh, (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM segs a JOIN segs b
+        ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(range(1, 65),
+                p -> substring(sh_a, CAST(p AS INT), 1) <> substring(sh_b, CAST(p AS INT), 1))) AS BIGINT) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 65),
+          p -> substring(sh_a, CAST(p AS INT), 1) <> substring(sh_b, CAST(p AS INT), 1))) <= 3
+    """
+
+
+@q("simhash_pairs", _SIMHASH_PAIRS_SQL)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit segment banding (hamming ≤ 3
+    guarantees ≥ 1 equal segment by pigeonhole) → equi-join → exact
+    hamming verify.  Same Σ bucket² shape as MinHash-LSH."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
 @q(
     "text_stats",
     f"""
