@@ -1543,6 +1543,10 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.session_state import sessionize_stream
 
+    # stateful stage cost scales with state-store instances (= shuffle
+    # partitions); a vanilla session's 200 is pure overhead at sf scale
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
     ev = _with_surrogate(_tbl(spark, sf_dir, "events")).select(
         F.col("user_id").cast("string").alias("video_id"),
         F.col("event_id").alias("frame_number"),
@@ -1575,7 +1579,10 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp)
     )
-    out = sessionize_stream(stream, gap=SESSION_GAP, timeout_ms=3_600_000)
+    # NoTimeout: every real session closes via the sentinel-driven gap
+    # rule, and an armed processing-time timer would keep the
+    # availableNow query alive forever (never terminating)
+    out = sessionize_stream(stream, gap=SESSION_GAP, timeout_ms=None)
     name = f"fw_sessions_{abs(hash(tmp)) % 10_000_000}"
     query = (
         out.writeStream.format("memory")
@@ -1586,6 +1593,7 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination(300)
+    query.stop()  # don't leak a running query into the driver session
     return spark.sql(
         f"""SELECT video_id, session_id, total_frames, fire_count,
                    max_fire_probability, first_seq, last_seq
@@ -1706,6 +1714,9 @@ def streaming_ep2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.stateful_pipeline import fire_detection_stream
 
+    # see streaming_session_parity: bound state-store instance count
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
     ev = _tbl(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("video_id"),
         F.col("event_id").alias("frame_number"),
@@ -1725,7 +1736,9 @@ def streaming_ep2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(tmp)
     )
     out = fire_detection_stream(
-        stream, gap=SESSION_GAP, inference_every_n=_EP2_N, timeout_ms=3_600_000
+        # NoTimeout: see streaming_session_parity (frame rows don't
+        # depend on session flushes)
+        stream, gap=SESSION_GAP, inference_every_n=_EP2_N, timeout_ms=None
     )
     name = f"fw_ep2_{abs(hash(tmp)) % 10_000_000}"
     query = (
@@ -1737,6 +1750,7 @@ def streaming_ep2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination(300)
+    query.stop()  # don't leak a running query into the driver session
     return spark.sql(
         f"""SELECT video_id, frame_number,
                    CAST(is_inference AS INT) AS is_inference,

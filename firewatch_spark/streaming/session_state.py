@@ -139,7 +139,8 @@ def _session_fn(gap: int, timeout_ms: int):
                 maxp = max(maxp, prob)
 
         state.update((sid, first, last, total, fires, maxp))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         if closed:
             yield pd.DataFrame(closed)
 
@@ -149,7 +150,7 @@ def _session_fn(gap: int, timeout_ms: int):
 def sessionize_stream(
     frames: DataFrame,
     gap: int = DEFAULT_GAP,
-    timeout_ms: int = 60_000,
+    timeout_ms: "int | None" = 60_000,
     key: str = "video_id",
 ) -> DataFrame:
     """Streaming sessionization: frames (video_id, frame_number,
@@ -157,11 +158,22 @@ def sessionize_stream(
 
     Requires a streaming DataFrame; output mode `update`/`append` at
     the sink.  State is O(keys), not O(rows).
+
+    ``timeout_ms=None`` disables the W4 idle-timeout flush entirely
+    (NoTimeout).  Use it for bounded ``availableNow`` replays that
+    close every session via the gap rule: a query with a pending
+    ProcessingTimeTimeout timer never terminates under availableNow
+    (Spark keeps the query alive for future timers), so a
+    timer-armed replay burns its whole awaitTermination budget.
     """
     return frames.groupBy(key).applyInPandasWithState(
         _session_fn(gap, timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -161,7 +161,8 @@ def _pipeline_fn(gap: int, every_n: int, timeout_ms: int, predict_fn: Callable):
         ctr += len(seqs)
 
         state.update((sid, first, last, total, fires, maxp, ctr, c_hf, c_prob))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(out)
 
     return fn
@@ -171,17 +172,25 @@ def fire_detection_stream(
     frames: DataFrame,
     gap: int = 300,
     inference_every_n: int = 1,
-    timeout_ms: int = 60_000,
+    timeout_ms: "int | None" = 60_000,
     predict_fn: Callable = surrogate_predict_fn,
     key: str = "video_id",
 ) -> DataFrame:
     """EP2 in one stateful stage: frames (video_id, frame_number) →
     per-frame detection rows (cadence+LOCF applied) + session
-    completion rows, exactly like the reference consumer loop."""
+    completion rows, exactly like the reference consumer loop.
+
+    ``timeout_ms=None`` → NoTimeout (no W4 idle flush); required for
+    ``availableNow`` replays to terminate — see
+    session_state.sessionize_stream."""
     return frames.groupBy(key).applyInPandasWithState(
         _pipeline_fn(gap, inference_every_n, timeout_ms, predict_fn),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -25,7 +25,11 @@ def _run(spark, tmp_path, pdf, every_n, n_files):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(data_dir))
     )
-    out = fire_detection_stream(stream, gap=300, inference_every_n=every_n)
+    # NoTimeout: availableNow never terminates with an armed
+    # processing-time timer; these tests only assert gap/frame rows
+    out = fire_detection_stream(
+        stream, gap=300, inference_every_n=every_n, timeout_ms=None
+    )
     name = f"ep2_{abs(hash(str(tmp_path))) % 10_000_000}"
     q = (
         out.writeStream.format("memory").queryName(name).outputMode("append")

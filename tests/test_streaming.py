@@ -29,7 +29,7 @@ _RUN_COUNTER = iter(range(1000))
 
 
 def _run_stream(
-    spark, tmp_path, timeout_ms=600_000, wait_after=0.0, trigger=None, until=None
+    spark, tmp_path, timeout_ms=None, wait_after=0.0, trigger=None, until=None
 ):
     """Run the sessionizer over the fixture stream.  With a
     processing-time trigger, ``until(rows) -> bool`` polls the memory
