@@ -22,23 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# headline set: flagship pipeline + one per operator family
-BENCH_QUERIES = [
-    "session_stats",        # flagship: surrogate -> sessions -> stats
-    "completion_stats",     # per-key aggregation
-    "inference_cadence",    # window LOCF
-    "gradcam_cadence",      # run-length windows
-    "predict_udf",          # Arrow pandas-UDF inference path
-    "pricing_summary",      # scan-heavy aggregate (lineitem)
-    "revenue_by_nation",    # broadcast star join
-    "top_orders_per_customer",  # windowed top-k
-    "asof_join",            # union+LOCF as-of join
-    "dedup_minhash_lsh",    # shingle/minhash/band join
-    "simhash",              # 64-bit fingerprint fold
-    "ann_topk",             # broadcast brute-force cosine top-k
-    "range_join",           # equi+band join
-    "window_running",       # running/moving windows
-]
+# every batch query in the registry gets a datapoint; excluded only:
+# the streaming replays (stateful operator perf is covered by the
+# micro-batch parity gate) and the temp-file video scan
+BENCH_EXCLUDE = {"streaming_session_parity", "streaming_ep2_parity", "video_scan"}
 
 
 def main() -> None:
@@ -60,8 +47,9 @@ def main() -> None:
     ).save()
 
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        times[name] = round(run(name), 4)
+    for name in sorted(reg):
+        if name not in BENCH_EXCLUDE:
+            times[name] = round(run(name), 4)
 
     # Batched-inference demonstration — the reference's explicitly
     # deferred win (docs/PERFORMANCE.md:148-150): same surrogate model

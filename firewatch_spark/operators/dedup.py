@@ -288,9 +288,11 @@ def simhash_near_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
-    16-bit segments (hamming ≤ 3 guarantees one equal band), equi-join
-    on (segment_idx, segment), then verify the exact hamming distance.
-    Same no-cross-join shape as MinHash-LSH."""
+    16-bit segments (hamming ≤ 3 guarantees one equal band), group by
+    (segment_idx, segment), expand pairs within the bucket, then verify
+    the exact hamming distance.  Same no-cross-join, compute-once shape
+    as MinHash-LSH: a self-join would re-evaluate the whole fingerprint
+    fold on both sides (measured >2× slower)."""
     sh = with_simhash(docs, text_col)
     segs = sh.select(
         id_col,
@@ -307,19 +309,30 @@ def simhash_near_pairs(
             )
         ).alias("s"),
     ).select(id_col, "simhash", "s.seg_idx", "s.seg")
-    a, b = segs.alias("a"), segs.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.seg_idx") == F.col("b.seg_idx"))
-            & (F.col("a.seg") == F.col("b.seg"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = segs.groupBy("seg_idx", "seg").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+        ).alias("members")
+    )
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x, i: F.transform(
+                    F.slice(F.col("members"), i + 2, F.size("members")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
         )
+    )
+    pairs = (
+        buckets.filter(F.size("members") > 1)
+        .select(pair_expr.alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.b.id").alias("doc_b"),
+            F.col("p.a.simhash").alias("sh_a"),
+            F.col("p.b.simhash").alias("sh_b"),
         )
         .distinct()
     )
