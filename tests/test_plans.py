@@ -1,0 +1,91 @@
+"""Physical-plan assertions — the 100 TB properties SCALE.md claims,
+machine-checked so a refactor can't silently regress them.
+
+These never execute the queries (plan-only), so the whole sweep is
+cheap; streaming replays and the temp-file scan are excluded because
+building their DataFrame runs a stream."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from firewatch_spark.queries import registry
+
+SF = "/root/testdata/sf0.001"
+SKIP = {"streaming_session_parity", "streaming_ep2_parity", "video_scan"}
+
+
+def _plan(spark, name: str) -> str:
+    df = registry()[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {name: _plan(spark, name) for name in registry() if name not in SKIP}
+
+
+def test_no_cartesian_product_anywhere(plans):
+    """No registry query may plan a cartesian/nested-loop product —
+    the property that keeps every dedup/similarity/join operator
+    sub-quadratic at scale."""
+    # two deliberate exceptions, both bounded: ann_topk broadcasts the
+    # tiny query SAMPLE against one corpus scan (corpus × O(queries)),
+    # and ngram_jaccard is the sampled verify stage (1/25 sample × its
+    # own sample; the scale path feeds it LSH candidates instead)
+    allowed_bnlj = {"ann_topk", "ngram_jaccard"}
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or name in allowed_bnlj, name
+
+
+def test_scans_are_column_pruned(plans):
+    """Queries over events must not read the whole row — ReadSchema
+    carries only the needed columns (events has 6: event_id, ts,
+    user_id, event_type, value, props)."""
+    for name in ("session_ids", "surrogate_predictions", "completion_stats"):
+        scans = [l for l in plans[name].split("\n") if "FileScan parquet [" in l]
+        assert scans, name
+        cols = scans[0].split("FileScan parquet [", 1)[1].split("]", 1)[0]
+        read = {c.split("#")[0] for c in cols.split(",")}
+        assert "ts" not in read and "props" not in read, (name, read)
+
+
+def test_window_chains_share_one_exchange(plans):
+    """Sessionization and cadence stack several window functions on the
+    same key — they must reuse ONE shuffle, not re-exchange per window."""
+    for name in ("session_ids", "inference_cadence", "progress_pct"):
+        n_exchanges = plans[name].count("Exchange hashpartitioning")
+        assert n_exchanges == 1, (name, n_exchanges)
+
+
+def test_star_join_broadcasts_dimensions(plans):
+    """revenue_by_nation must broadcast all three dimension tables —
+    the fact table never shuffles for the joins."""
+    plan = plans["revenue_by_nation"]
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_filters_are_pushed_to_scan(plans):
+    """pricing_summary's date filter must reach the parquet reader."""
+    scan = [l for l in plans["pricing_summary"].split("\n") if "PushedFilters" in l]
+    assert scan and "LessThanOrEqual(l_shipdate" in scan[0]
+
+
+def test_media_payload_never_enters_exchange(spark):
+    """The EP2 batch topology prunes frame bytes before the session
+    shuffle: no binary column in any Exchange's output."""
+    from firewatch_spark.sources.frames import synthetic_frames
+    from firewatch_spark.streaming.pipeline import with_predictions
+
+    frames = synthetic_frames(spark)
+    predicted = with_predictions(frames)
+    slim = predicted.select("video_id", "frame_number", "has_fire", "fire_probability")
+    agg = slim.groupBy("video_id").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    lines = plan.split("\n")
+    (ex_idx,) = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    # everything the exchange receives (the partial-agg feeding it and
+    # the projection under that) must already have dropped the payload
+    assert "frame_data" not in lines[ex_idx + 1]
+    assert "frame_data" not in lines[ex_idx + 2]
