@@ -196,3 +196,50 @@ def embedding_near_dup(
     return scored.filter(F.col("cos_sim") >= threshold).select(
         "doc_a", "doc_b", "cos_sim"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-cell scale path.
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    every: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF "training": every `every`-th vector becomes a
+    cell centroid (k ≈ n/every).  A production pipeline would run
+    k-means here; the cell structure, probe math, and join shapes are
+    identical, and the deterministic choice keeps the whole index
+    oracle-replayable."""
+    c = with_scaled_vec(corpus.filter(F.col(id_col) % every == 0), vec_col)
+    return c.select(F.col(id_col).alias("centroid_id"), F.col("iv").alias("civ"))
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by exact L2² in the
+    scaled-integer domain (Σ(x−c)² on int64 — exact, portable).
+
+    Plan: broadcast the centroid table (small by construction) against
+    ONE corpus scan, then a per-vector argmin — corpus × k work with no
+    corpus shuffle.  Ties break on the lower centroid id."""
+    a = with_scaled_vec(corpus, vec_col)
+    joined = a.crossJoin(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with("iv", "civ", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = joined.withColumn("d2", d2)
+    # argmin via min-of-struct: map-side partial agg collapses the k
+    # candidate rows per vector before the shuffle (no full sort)
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("d2"), F.col("centroid_id"))).alias("b")
+    )
+    return best.select(id_col, F.col("b.centroid_id").alias("centroid_id"), F.col("b.d2").alias("d2"))

@@ -985,6 +985,45 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.with_lsh_bucket(emb).select("vec_id", "bucket")
 
 
+_IVF_EVERY = 50
+
+_IVF_SQL = f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, iv AS civ FROM iv WHERE vec_id % {_IVF_EVERY} = 0
+    ),
+    scored AS (
+      SELECT a.vec_id, c.centroid_id,
+             CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                  i -> (list_extract(a.iv, i) - list_extract(c.civ, i))
+                     * (list_extract(a.iv, i) - list_extract(c.civ, i)))) AS BIGINT) AS d2
+      FROM iv a, cents c
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rk
+      FROM scored
+    )
+    SELECT vec_id, centroid_id, d2 FROM ranked WHERE rk = 1
+    """
+
+
+@q("ann_ivf_cells", _IVF_SQL)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment — the inverted-file ANN scale path: broadcast
+    centroids × one corpus scan, exact integer L2² argmin via
+    min-of-struct (map-side combine, no sort).  Deterministic
+    "training" (every 50th vector is a centroid) keeps the index
+    oracle-replayable; swapping in k-means changes no plan shape."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, every=_IVF_EVERY)
+    return similarity.ivf_assign(emb, cents)
+
+
 @q(
     "multimodal_meta",
     """

@@ -28,11 +28,12 @@ def test_no_cartesian_product_anywhere(plans):
     """No registry query may plan a cartesian/nested-loop product —
     the property that keeps every dedup/similarity/join operator
     sub-quadratic at scale."""
-    # two deliberate exceptions, both bounded: ann_topk broadcasts the
-    # tiny query SAMPLE against one corpus scan (corpus × O(queries)),
-    # and ngram_jaccard is the sampled verify stage (1/25 sample × its
-    # own sample; the scale path feeds it LSH candidates instead)
-    allowed_bnlj = {"ann_topk", "ngram_jaccard"}
+    # deliberate exceptions, all bounded: ann_topk broadcasts the tiny
+    # query SAMPLE against one corpus scan (corpus × O(queries)),
+    # ngram_jaccard is the sampled verify stage (1/25 sample × its own
+    # sample; the scale path feeds it LSH candidates instead), and
+    # ann_ivf_cells is corpus × k centroids (the IVF index build)
+    allowed_bnlj = {"ann_topk", "ngram_jaccard", "ann_ivf_cells"}
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan or name in allowed_bnlj, name
