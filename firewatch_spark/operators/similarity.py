@@ -243,3 +243,88 @@ def ivf_assign(
         F.min(F.struct(F.col("d2"), F.col("centroid_id"))).alias("b")
     )
     return best.select(id_col, F.col("b.centroid_id").alias("centroid_id"), F.col("b.d2").alias("d2"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    every: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search: rank centroids per query by exact integer L2²,
+    search only the `nprobe` nearest cells with exact cosine, take
+    top-k.  Work per query is O(nprobe × cell size) instead of O(n);
+    recall trades off with nprobe exactly as in a production IVF index.
+
+    Plan: cell assignment (corpus × broadcast centroids, map-side
+    argmin) → equi-join probed cells to corpus cells on centroid_id →
+    windowed top-k on the query key.  The corpus shuffles once, on
+    centroid_id."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, every, id_col, vec_col)
+
+    def d2_col():
+        return F.aggregate(
+            F.zip_with("iv", "civ", lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    # corpus cell assignment, carrying the scaled vector + norm through
+    c = with_norm2(with_scaled_vec(corpus, vec_col))
+    c_assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2_col())
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("centroid_id"))).alias("b"),
+            F.first("iv").alias("civ2"),
+            F.first("n2").alias("cn2"),
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("b.centroid_id").alias("centroid_id"),
+            F.col("civ2"),
+            F.col("cn2"),
+        )
+    )
+    # query probe list: nprobe nearest centroids each
+    q = with_norm2(with_scaled_vec(queries, vec_col))
+    probe_w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("centroid_id"))
+    q_probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2_col())
+        .withColumn("_rk", F.row_number().over(probe_w))
+        .filter(F.col("_rk") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("centroid_id"),
+            F.col("iv").alias("qiv"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    cand = c_assigned.join(F.broadcast(q_probe), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "_dot",
+        F.aggregate(
+            F.zip_with("qiv", "civ2", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ),
+    ).withColumn(
+        "cos_sim",
+        F.col("_dot").cast("double")
+        / F.sqrt(F.col("qn2").cast("double") * F.col("cn2").cast("double")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -1024,6 +1024,73 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assign(emb, cents)
 
 
+_IVF_QSAMPLE = 37
+_IVF_NPROBE = 2
+
+_IVF_TOPK_SQL = f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2 FROM iv
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, iv AS civ FROM iv WHERE vec_id % {_IVF_EVERY} = 0
+    ),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, centroid_id, iv AS civ2, n2 AS cn2 FROM (
+        SELECT a.vec_id, c.centroid_id, a.iv, a.n2,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, len(a.iv)),
+                   i -> (list_extract(a.iv, i) - list_extract(c.civ, i))
+                      * (list_extract(a.iv, i) - list_extract(c.civ, i)))) ASC,
+                 c.centroid_id ASC) AS rk
+        FROM n a, cents c
+      ) WHERE rk = 1
+    ),
+    q_probe AS (
+      SELECT vec_id AS query_id, centroid_id, iv AS qiv, n2 AS qn2 FROM (
+        SELECT a.vec_id, c.centroid_id, a.iv, a.n2,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, len(a.iv)),
+                   i -> (list_extract(a.iv, i) - list_extract(c.civ, i))
+                      * (list_extract(a.iv, i) - list_extract(c.civ, i)))) ASC,
+                 c.centroid_id ASC) AS rk
+        FROM n a, cents c WHERE a.vec_id % {_IVF_QSAMPLE} = 0
+      ) WHERE rk <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(q.qiv)),
+                  i -> list_extract(q.qiv, i) * list_extract(c.civ2, i))) AS DOUBLE)
+               / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos_sim
+      FROM q_probe q JOIN c_assign c ON q.centroid_id = c.centroid_id
+      WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           cos_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@q("ann_ivf_topk", _IVF_TOPK_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search: each query ranks the centroids, searches only
+    its nprobe nearest cells with exact cosine, takes top-5.  Per-query
+    work is O(nprobe × cell), not O(corpus) — the second ANN scale path
+    beside LSH bucketing."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _IVF_QSAMPLE == 0)
+    return similarity.ivf_topk(
+        emb, queries, k=5, nprobe=_IVF_NPROBE, every=_IVF_EVERY
+    )
+
+
 @q(
     "multimodal_meta",
     """

@@ -32,8 +32,9 @@ def test_no_cartesian_product_anywhere(plans):
     # query SAMPLE against one corpus scan (corpus × O(queries)),
     # ngram_jaccard is the sampled verify stage (1/25 sample × its own
     # sample; the scale path feeds it LSH candidates instead), and
-    # ann_ivf_cells is corpus × k centroids (the IVF index build)
-    allowed_bnlj = {"ann_topk", "ngram_jaccard", "ann_ivf_cells"}
+    # ann_ivf_cells/ann_ivf_topk are corpus × k centroids (IVF index
+    # build + probe ranking)
+    allowed_bnlj = {"ann_topk", "ngram_jaccard", "ann_ivf_cells", "ann_ivf_topk"}
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan or name in allowed_bnlj, name
