@@ -1294,6 +1294,38 @@ def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cube_rollup_counts",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS etype,
+           COALESCE(CAST(user_id % 5 AS VARCHAR), 'ALL') AS ubucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_scaled
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 5 AS VARCHAR))
+    """,
+)
+def cube_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping combinations) — with
+    grouping_sets_counts this completes the grouping-family surface the
+    reference lacks (SURVEY.md §2.4 note)."""
+    ev = _tbl(spark, sf_dir, "events")
+    ev = ev.withColumn("ubucket", (F.col("user_id") % 5).cast("string"))
+    return (
+        ev.cube("event_type", "ubucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 10000.0).cast("long")).alias("sum_scaled"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("ubucket"), F.lit("ALL")).alias("ubucket"),
+            "n",
+            "sum_scaled",
+        )
+    )
+
+
+@q(
     "segment_set_ops",
     """
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
