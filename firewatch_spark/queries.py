@@ -1479,6 +1479,65 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(floor(value * 10000.0) AS BIGINT), 0.5) AS p50,
+           quantile_cont(CAST(floor(value * 10000.0) AS BIGINT), 0.95) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (§2.6 parity-plus; the reference
+    bench reports p50/p95 — scripts/bench.py:41-115): Spark `percentile`
+    and DuckDB `quantile_cont` share the linear-interpolation
+    definition, and over floor-scaled integers the doubles come out
+    bit-identical (verified)."""
+    ev = _tbl(spark, sf_dir, "events")
+    scaled = "CAST(floor(value * 10000.0) AS BIGINT)"
+    return ev.groupBy("event_type").agg(
+        F.expr(f"percentile({scaled}, 0.5)").alias("p50"),
+        F.expr(f"percentile({scaled}, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "scalar_string_fns",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           CAST(contains(lower(p_name), 'red') AS INT) AS has_red,
+           substring(p_name, 1, 5) AS prefix5,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(CAST(p_partkey AS VARCHAR), '_with_heatmaps.mp4') AS mp4_name,
+           md5(concat(lower(p_name), '|', CAST(p_partkey AS VARCHAR))) AS fingerprint
+    FROM part
+    """,
+)
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 scalar string-function row: lower/contains (the P4 matcher
+    core), substring/length, and the reference's filename templating
+    (`f"{video_id}_with_heatmaps.mp4"`, stream.py:182) as
+    format_string."""
+    part = _tbl(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.lower("p_name").contains("red").cast("int").alias("has_red"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.format_string("%s_with_heatmaps.mp4", F.col("p_partkey").cast("string")).alias(
+            "mp4_name"
+        ),
+        F.md5(
+            F.concat_ws("|", F.lower("p_name"), F.col("p_partkey").cast("string"))
+        ).alias("fingerprint"),
+    )
+
+
 @q("approx_distinct_users", None)  # HLL sketches are engine-specific → rows-only
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the sketch the reference
