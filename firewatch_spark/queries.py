@@ -1538,6 +1538,33 @@ def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "iso_timestamps",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT) AS days_to_anchor,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year
+    FROM orders
+    """,
+)
+def iso_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 date-function row: the reference's ISO timestamp formatting
+    (`datetime.utcnow().isoformat()`, producer/video_producer.py:119)
+    as date_format, plus date arithmetic and extraction."""
+    o = _tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.datediff(
+            F.lit("1998-12-01").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("days_to_anchor"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+
+
 @q("approx_distinct_users", None)  # HLL sketches are engine-specific → rows-only
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the sketch the reference
