@@ -674,26 +674,46 @@ def _minhash_sig_sql(num_hashes: int = 12, shingle_n: int = 3) -> str:
     )"""
 
 
-def _minhash_bands_sql(num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_bands_sql(num_hashes: int = 12, bands: int = 4, src: str = "sigs") -> str:
     rows = num_hashes // bands
     selects = []
     for b in range(bands):
         parts = ", ".join(f"m{b * rows + r}" for r in range(rows))
         selects.append(
-            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {parts})) AS band_hash FROM sigs"
+            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {parts})) AS band_hash FROM {src}"
         )
     return "bands AS (" + " UNION ALL ".join(selects) + ")"
 
 
 _MATCH_SUM = " + ".join(f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(12))
 
+# mirrors operators/dedup.py mega-bucket defense: identical signatures
+# collapse to min-id star edges, reps band, buckets cap at MAX_BUCKET
 _MINHASH_SQL = f"""
     WITH {_minhash_sig_sql(12, 3)},
-    {_minhash_bands_sql(12, 4)},
+    rep AS (
+      SELECT *, MIN(doc_id) OVER (
+        PARTITION BY md5(concat_ws('|', {", ".join(f"m{j}" for j in range(12))}))
+      ) AS rep_id
+      FROM sigs
+    ),
+    dup_pairs AS (
+      SELECT rep_id AS doc_a, doc_id AS doc_b FROM rep WHERE doc_id <> rep_id
+    ),
+    reps AS (SELECT * FROM rep WHERE doc_id = rep_id),
+    {_minhash_bands_sql(12, 4, src="reps")},
+    capped AS (
+      SELECT doc_id, band_idx, band_hash,
+             ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS rn
+      FROM bands
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       AND a.rn <= {dedup.MAX_BUCKET} AND b.rn <= {dedup.MAX_BUCKET}
+      UNION
+      SELECT doc_a, doc_b FROM dup_pairs
     )
     SELECT c.doc_a, c.doc_b,
            CAST({_MATCH_SUM} AS BIGINT) AS n_common_minhash,
@@ -707,9 +727,10 @@ _MINHASH_SQL = f"""
 @q("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: shingle → 12 salted-md5
-    minhashes → 4 banded bucket hashes → equi-join.  No cross join
-    anywhere; at 100 TB cost is Σ bucket_size², AQE splits skewed
-    buckets."""
+    minhashes → identical-sig collapse (star edges to the min-id rep)
+    → 4 banded bucket hashes over reps → MAX_BUCKET-capped equi-join.
+    No cross join anywhere; at 100 TB per-task cost is hard-bounded at
+    MAX_BUCKET² whatever the bucket skew (operators/dedup.py)."""
     docs = _tbl(spark, sf_dir, "documents")
     return dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3)
 
@@ -772,18 +793,36 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_simhash(docs).select("doc_id", "simhash")
 
 
+# mirrors operators/dedup.py mega-bucket defense: identical
+# fingerprints collapse to min-id star edges (hamming 0), reps band,
+# segment buckets cap at MAX_BUCKET
 _SIMHASH_PAIRS_SQL = f"""
     WITH sh AS (SELECT * FROM ({_simhash_sql()})),
+    rep AS (
+      SELECT doc_id, simhash,
+             MIN(doc_id) OVER (PARTITION BY simhash) AS rep_id
+      FROM sh
+    ),
+    dup_pairs AS (
+      SELECT rep_id AS doc_a, doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+      FROM rep WHERE doc_id <> rep_id
+    ),
+    reps AS (SELECT doc_id, simhash FROM rep WHERE doc_id = rep_id),
     segs AS (
       SELECT doc_id, simhash, i.i AS seg_idx,
              substring(simhash, i.i * 16 + 1, 16) AS seg
-      FROM sh, (SELECT unnest(range(0, 4)) AS i) i
+      FROM reps, (SELECT unnest(range(0, 4)) AS i) i
+    ),
+    capped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY seg_idx, seg ORDER BY doc_id) AS rn
+      FROM segs
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sh_a, b.simhash AS sh_b
-      FROM segs a JOIN segs b
+      FROM capped a JOIN capped b
         ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+       AND a.rn <= {dedup.MAX_BUCKET} AND b.rn <= {dedup.MAX_BUCKET}
     )
     SELECT doc_a, doc_b,
            CAST(len(list_filter(range(1, 65),
@@ -791,6 +830,8 @@ _SIMHASH_PAIRS_SQL = f"""
     FROM cand
     WHERE len(list_filter(range(1, 65),
           p -> substring(sh_a, CAST(p AS INT), 1) <> substring(sh_b, CAST(p AS INT), 1))) <= 3
+    UNION ALL
+    SELECT doc_a, doc_b, hamming FROM dup_pairs
     """
 
 

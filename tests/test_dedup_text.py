@@ -84,6 +84,84 @@ def test_simhash_near_pairs_bucketed(spark):
     assert found[(1, 2)] == 0
 
 
+def test_mega_bucket_identical_docs_linear(spark):
+    # VERDICT r2 contract: a 10k-member duplicate bucket must complete
+    # with bounded per-task rows.  The naive clique would be ~50M
+    # pairs; the identical-sig collapse emits exactly n-1 star edges
+    # to the min-id representative, est_jaccard 1.0.
+    n = 10_000
+    docs = spark.range(1, n + 1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog today").alias("text"),
+    )
+    out = dedup.lsh_candidate_pairs(docs)
+    assert out.count() == n - 1
+    agg = out.agg(
+        F.min("doc_a"), F.max("doc_a"), F.min("est_jaccard"), F.min("n_common_minhash")
+    ).first()
+    assert tuple(agg) == (1, 1, 1.0, 12)
+
+
+def test_mega_bucket_simhash_identical_docs_linear(spark):
+    n = 10_000
+    docs = spark.range(1, n + 1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog today").alias("text"),
+    )
+    out = dedup.simhash_near_pairs(docs)
+    assert out.count() == n - 1
+    assert out.agg(F.max("hamming"), F.max("doc_a")).first() == (0, 1)
+
+
+def _tailed_corpus(spark, n=50):
+    # long common body (band hashes collide) + unique tail (signatures
+    # diverge for most docs) -> one large bucket of DISTINCT signatures
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+        "omega one two three four five six seven"
+    )
+    return spark.createDataFrame(
+        [(i, f"{base} tail{i}") for i in range(1, n + 1)],
+        "doc_id long, text string",
+    )
+
+
+def test_bucket_cap_bounds_distinct_sig_pairs(spark):
+    docs = _tailed_corpus(spark)
+    capped = rows(dedup.lsh_candidate_pairs(docs, max_bucket=4))
+    uncapped = rows(dedup.lsh_candidate_pairs(docs, max_bucket=10_000))
+    # star edges (identical sigs, est 1.0) are unaffected by the cap
+    stars_c = [r for r in capped if r["est_jaccard"] == 1.0]
+    stars_u = [r for r in uncapped if r["est_jaccard"] == 1.0]
+    assert sorted((r["doc_a"], r["doc_b"]) for r in stars_c) == sorted(
+        (r["doc_a"], r["doc_b"]) for r in stars_u
+    )
+    # the cap engages: distinct-sig pair expansion is hard-bounded by
+    # bands * C(max_bucket, 2), and strictly below the uncapped count
+    n_band_pairs = len(capped) - len(stars_c)
+    assert n_band_pairs <= 4 * 6
+    assert len(capped) < len(uncapped)
+    # capped candidates are a subset of the uncapped ones
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} <= {
+        (r["doc_a"], r["doc_b"]) for r in uncapped
+    }
+
+
+def test_bucket_cap_simhash(spark):
+    docs = _tailed_corpus(spark)
+    capped = rows(dedup.simhash_near_pairs(docs, max_hamming=64, max_bucket=4))
+    uncapped = rows(dedup.simhash_near_pairs(docs, max_hamming=64, max_bucket=10_000))
+    # unlike the minhash corpus (a handful of shared band-hash
+    # buckets), distinct fingerprints scatter over many segment-value
+    # buckets — the bound is per-bucket, so assert the cap ENGAGES
+    # (strictly fewer pairs) and stays a subset of the uncapped result
+    assert len(capped) < len(uncapped)
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} <= {
+        (r["doc_a"], r["doc_b"]) for r in uncapped
+    }
+
+
 def test_token_stats(spark):
     df = spark.createDataFrame([(1, "the cat sat on the mat")], "doc_id long, text string")
     out = rows(text.with_token_stats(df))[0]
