@@ -1026,7 +1026,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.with_lsh_bucket(emb).select("vec_id", "bucket")
 
 
-_IVF_EVERY = 50
+# fixed centroid count — independent of corpus size so the broadcast
+# is O(k) at any scale (see similarity.ivf_centroids)
+_IVF_K = similarity.DEFAULT_IVF_K
 
 _IVF_SQL = f"""
     WITH iv AS (
@@ -1035,7 +1037,8 @@ _IVF_SQL = f"""
       FROM embeddings
     ),
     cents AS (
-      SELECT vec_id AS centroid_id, iv AS civ FROM iv WHERE vec_id % {_IVF_EVERY} = 0
+      SELECT vec_id AS centroid_id, iv AS civ FROM iv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
     ),
     scored AS (
       SELECT a.vec_id, c.centroid_id,
@@ -1055,13 +1058,14 @@ _IVF_SQL = f"""
 
 @q("ann_ivf_cells", _IVF_SQL)
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell assignment — the inverted-file ANN scale path: broadcast
-    centroids × one corpus scan, exact integer L2² argmin via
+    """IVF cell assignment — the inverted-file ANN scale path: a FIXED
+    k=16 centroid table (smallest-md5 sample, O(k) broadcast at any
+    corpus size) × one corpus scan, exact integer L2² argmin via
     min-of-struct (map-side combine, no sort).  Deterministic
-    "training" (every 50th vector is a centroid) keeps the index
-    oracle-replayable; swapping in k-means changes no plan shape."""
+    "training" keeps the index oracle-replayable; swapping in k-means
+    changes no plan shape."""
     emb = _tbl(spark, sf_dir, "embeddings")
-    cents = similarity.ivf_centroids(emb, every=_IVF_EVERY)
+    cents = similarity.ivf_centroids(emb, k=_IVF_K)
     return similarity.ivf_assign(emb, cents)
 
 
@@ -1078,7 +1082,8 @@ _IVF_TOPK_SQL = f"""
       SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2 FROM iv
     ),
     cents AS (
-      SELECT vec_id AS centroid_id, iv AS civ FROM iv WHERE vec_id % {_IVF_EVERY} = 0
+      SELECT vec_id AS centroid_id, iv AS civ FROM iv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
     ),
     c_assign AS (
       SELECT vec_id AS neighbor_id, centroid_id, iv AS civ2, n2 AS cn2 FROM (
@@ -1128,7 +1133,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % _IVF_QSAMPLE == 0)
     return similarity.ivf_topk(
-        emb, queries, k=5, nprobe=_IVF_NPROBE, every=_IVF_EVERY
+        emb, queries, k=5, nprobe=_IVF_NPROBE, k_centroids=_IVF_K
     )
 
 

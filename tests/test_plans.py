@@ -74,6 +74,21 @@ def test_filters_are_pushed_to_scan(plans):
     assert scan and "LessThanOrEqual(l_shipdate" in scan[0]
 
 
+def test_ann_topk_reduces_exchange_with_partial_topk(plans):
+    """Brute-force cosine top-k must fold a map-side partial top-k
+    BEFORE the per-query window shuffle, so the exchange carries at
+    most partitions × queries × k survivor rows, not every scored
+    corpus row."""
+    plan = plans["ann_topk"]
+    lines = plan.split("\n")
+    ex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(query_id" in l]
+    mp = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+    assert ex and mp, "expected a query_id exchange fed by MapInPandas"
+    # the tree prints top-down: the partial top-k sits BELOW (after)
+    # the exchange line, i.e. it executes before the shuffle
+    assert min(mp) > min(ex)
+
+
 def test_media_payload_never_enters_exchange(spark):
     """The EP2 batch topology prunes frame bytes before the session
     shuffle: no binary column in any Exchange's output."""
