@@ -35,51 +35,94 @@ except ImportError:
     HAVE_BOTO3 = False
 
 
+def _encode_line(row) -> str:
+    # STUB for cv2.VideoWriter.write(frame): records frame identity
+    fn = row.frame_number if hasattr(row, "frame_number") else row["frame_number"]
+    hf = row.has_fire if hasattr(row, "has_fire") else row["has_fire"]
+    return f"{fn}\t{int(bool(hf))}\n"
+
+
+def _part_path(output_dir: str, video_id: str) -> str:
+    return os.path.join(output_dir, f"{video_id}_with_heatmaps.manifest.part")
+
+
 def media_manifest_sink(output_dir: str):
-    """S10 analog: per-video ordered frame manifest with
-    finalize-verify.  Real codec integration replaces `_encode_line`;
-    the lifecycle (lazy open on first frame with known dims, ordered
-    appends, last-frame rewrite, post-write verification —
-    video_writer.py:45-167) is preserved."""
+    """S10 analog, append phase: ONE logical writer per video across
+    micro-batches (the reference keeps a single open cv2.VideoWriter
+    for the video's whole lifetime, stream.py:360-396) — each batch
+    appends its ordered frames to the per-video ``.part`` manifest,
+    created lazily by the first append.  Round 2 opened a new
+    collision-suffixed manifest per batch, fragmenting any video that
+    spans batches (ADVICE r2); now finalize/verify/promote is the
+    separate `media_finalize_sink`, driven by completion rows exactly
+    as the reference finalizes on session close (W3,
+    stream.py:210-282).
+
+    Real codec integration replaces `_encode_line`.  Appends happen on
+    executors (groupBy.applyInPandas — one task per video per batch,
+    so no concurrent writers); like the reference's MP4s, the output
+    dir must be a filesystem all writers share."""
 
     os.makedirs(output_dir, exist_ok=True)
 
     manifest_schema = StructType([StructField("path", StringType())])
 
-    def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _append_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("frame_number")
         video_id = pdf["video_id"].iloc[0]
-        path = os.path.join(output_dir, f"{video_id}_with_heatmaps.manifest")
-        # collision-safe suffixing (video_writer.py:52-58)
-        k = 1
-        while os.path.exists(path):
-            path = os.path.join(output_dir, f"{video_id}_with_heatmaps_{k}.manifest")
-            k += 1
-        with open(path, "w") as f:
+        path = _part_path(output_dir, video_id)
+        # lazy open + cross-batch append (video_writer.py:45-89 keeps
+        # the writer open; 'a' re-attaches to the same lifecycle)
+        with open(path, "a") as f:
             for row in pdf.itertuples(index=False):
                 f.write(_encode_line(row))
-            # finalize: re-write the last frame to flush codec buffers
-            # (video_writer.py:112-117)
-            f.write(_encode_line(pdf.iloc[-1]))
             f.flush()
-            os.fsync(f.fileno())
-        # verify step (moov-atom probe analog, video_writer.py:119-167)
-        ok = os.path.getsize(path) > 0
-        return pd.DataFrame({"path": [path if ok else None]})
-
-    def _encode_line(row) -> str:
-        # STUB for cv2.VideoWriter.write(frame): records frame identity
-        fn = row.frame_number if hasattr(row, "frame_number") else row["frame_number"]
-        hf = row.has_fire if hasattr(row, "has_fire") else row["has_fire"]
-        return f"{fn}\t{int(bool(hf))}\n"
+        return pd.DataFrame({"path": [path]})
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.select("video_id", "frame_number", "has_fire")
             .groupBy("video_id")
-            .applyInPandas(_write_group, schema=manifest_schema)
+            .applyInPandas(_append_group, schema=manifest_schema)
             .collect()  # manifest paths only — O(videos), not O(frames)
         )
+
+    return sink
+
+
+def media_finalize_sink(output_dir: str):
+    """S10 analog, finalize phase (W3): for each completed video —
+    rows on the completion stream carry `video_id` — re-write the last
+    frame to flush codec buffers (video_writer.py:112-117), fsync,
+    verify (moov-atom probe analog, :119-167), then promote the
+    ``.part`` manifest to its final name with collision-safe
+    suffixing per completed session (:52-58).  A later session of the
+    same video starts a fresh ``.part``."""
+
+    def finalize_one(video_id: str) -> str | None:
+        part = _part_path(output_dir, video_id)
+        if not os.path.exists(part):
+            return None  # unknown-id safety (stream.py:428-447)
+        with open(part, "r+") as f:
+            lines = f.readlines()
+            if lines:
+                f.write(lines[-1])  # last-frame rewrite
+            f.flush()
+            os.fsync(f.fileno())
+        if os.path.getsize(part) == 0:  # verify
+            return None
+        final = os.path.join(output_dir, f"{video_id}_with_heatmaps.manifest")
+        k = 1
+        while os.path.exists(final):
+            final = os.path.join(output_dir, f"{video_id}_with_heatmaps_{k}.manifest")
+            k += 1
+        os.replace(part, final)
+        return final
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # O(completed videos) per batch — completion rows only
+        for row in batch_df.select("video_id").distinct().collect():
+            finalize_one(row["video_id"])
 
     return sink
 

@@ -65,13 +65,24 @@ def test_completion_stream_and_manifest_sink(spark, tmp_path):
     )
     q.awaitTermination(120)
     files = sorted(os.listdir(media_dir))
-    assert any(f.startswith("dense_with_heatmaps") for f in files)
-    # finalize rewrites the last frame -> dense manifest has 400+1 lines
+    # ONE part manifest per video even though the video spans both
+    # micro-batches — no per-batch fragmentation (ADVICE r2)
     dense = [f for f in files if f.startswith("dense_with_heatmaps")]
-    total = sum(
-        sum(1 for _ in open(os.path.join(media_dir, f))) for f in dense
-    )
-    assert total == 400 + len(dense)  # one extra finalize line per batch file
+    assert dense == ["dense_with_heatmaps.manifest.part"]
+    part = os.path.join(media_dir, dense[0])
+    assert sum(1 for _ in open(part)) == 400
+
+    # W3 finalize on a completion row: last-frame rewrite + promote
+    fin = sinks.media_finalize_sink(media_dir)
+    fin(spark.createDataFrame([("dense",)], "video_id string"), 0)
+    final = os.path.join(media_dir, "dense_with_heatmaps.manifest")
+    assert os.path.exists(final) and not os.path.exists(part)
+    lines = open(final).readlines()
+    assert len(lines) == 401 and lines[-1] == lines[-2]
+    # a second session of the same video promotes collision-safe
+    open(os.path.join(media_dir, "dense_with_heatmaps.manifest.part"), "w").write("1\t0\n")
+    fin(spark.createDataFrame([("dense",)], "video_id string"), 1)
+    assert os.path.exists(os.path.join(media_dir, "dense_with_heatmaps_1.manifest"))
 
 
 def test_completion_events_json_shape(spark, tmp_path):
