@@ -22,10 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# every batch query in the registry gets a datapoint; excluded only:
-# the streaming replays (stateful operator perf is covered by the
-# micro-batch parity gate) and the temp-file video scan
-BENCH_EXCLUDE = {"streaming_session_parity", "streaming_ep2_parity", "video_scan"}
+# Queries whose WORK happens while building the DataFrame (the
+# streaming replays run a whole availableNow query inside the callable;
+# video_scan materializes its temp input files) — for these the clock
+# wraps build + sink, for plain batch queries it wraps the sink only
+# (plan construction is sub-ms noise).  Every registered query gets a
+# datapoint either way.
+BUILD_TIMED = {"streaming_session_parity", "streaming_ep2_parity", "video_scan"}
 
 
 def main() -> None:
@@ -36,6 +39,11 @@ def main() -> None:
     reg = registry()
 
     def run(name: str) -> float:
+        if name in BUILD_TIMED:
+            t0 = time.perf_counter()
+            df = reg[name].fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
         df = reg[name].fn(spark, SF_DIR)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
@@ -48,8 +56,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in sorted(reg):
-        if name not in BENCH_EXCLUDE:
-            times[name] = round(run(name), 4)
+        times[name] = round(run(name), 4)
 
     # Batched-inference demonstration — the reference's explicitly
     # deferred win (docs/PERFORMANCE.md:148-150): same surrogate model
@@ -109,6 +116,13 @@ def main() -> None:
     total = round(sum(times.values()), 4)
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     flagship_rps = round(n_events / flagship_runs[len(flagship_runs) // 2], 1)
+    # streaming throughput headline: the full stateful session operator
+    # (W1-W4) replayed as a real micro-batched query end-to-end —
+    # comparable to the reference's 20-30 fps/processor figure
+    # (docs/PERFORMANCE.md:7-9): events sessionized per wall-second
+    # including replay authoring, micro-batch scheduling and state-store
+    # commits.
+    stream_rps = round(n_events / times["streaming_session_parity"], 1)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -121,6 +135,7 @@ def main() -> None:
                 "rows_per_sec_flagship": flagship_rps,
                 "flagship_p50_sec": pct(0.5),
                 "flagship_p95_sec": pct(0.95),
+                "sessionized_rows_per_sec_stream": stream_rps,
                 "batched_inference": inference,
             }
         )

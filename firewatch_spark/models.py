@@ -181,12 +181,223 @@ def _torch_stub(kind: str) -> Callable[[pd.DataFrame], pd.DataFrame]:
 
 
 # Stubs for the torch-backed contracts (M2/M4) — same registry shape.
+# The REAL semantics live in make_densenet_backend / make_yolo_backend
+# below, behind an injectable engine seam; these placeholder entries
+# keep config-driven lookup working when no engine is supplied.
 register_backend(ModelBackend(name="densenet", predict_batch=_torch_stub("DenseNet121")))
 register_backend(ModelBackend(name="yolov8", predict_batch=_torch_stub("YOLOv8")))
 
 
 # ---------------------------------------------------------------------------
+# Real-model backends (M2 DenseNet, M4 YOLOv8) behind injectable engine
+# seams.  torch/ultralytics are not in this container, so the engine —
+# the ONLY non-deterministic, weight-dependent piece — is a constructor
+# argument; everything the reference implements AROUND the forward pass
+# (device pick, transform size, autocast gate, threshold/zeroing/bbox
+# semantics, class filtering, error path) is real code here, proven by
+# fake-engine seam tests that run without torch/cv2 installed.
+
+MODEL_INPUT_SIZE = 224  # P11 transform dims (fire_detect_nn.py:108-110)
+DEVICE_PREFERENCE = ("cuda", "mps", "cpu")  # fire_detect_nn.py:40-52
+# The reference measured fp16 autocast 22% SLOWER at batch 1 and gated
+# it off (fire_detect_nn.py:119-128); the win appears at batch ≥ 16
+# (docs/PERFORMANCE.md:98-106) — which Arrow batching reaches routinely.
+AUTOCAST_MIN_BATCH = 16
+YOLO_NMS_IOU = 0.45  # yolov8.py:115-162
+YOLO_IMGSZ = 640
+
+
+def pick_device(available: set[str]) -> str:
+    """CUDA → MPS → CPU preference (fire_detect_nn.py:40-52)."""
+    return next(d for d in DEVICE_PREFERENCE if d in available or d == "cpu")
+
+
+def is_fire_class_py(name: str) -> bool:
+    """Python twin of surrogate.is_fire_class (P4, yolov8.py:17-23)."""
+    lowered = name.lower()
+    return any(k in lowered for k in surrogate.FIRE_KEYWORDS) and not any(
+        k in lowered for k in surrogate.EXCLUDED_KEYWORDS
+    )
+
+
+def _safe_no_fire(n: int, model_type: str) -> pd.DataFrame:
+    """Error path: a failed forward returns a safe no-fire record per
+    frame instead of raising (fire_detect_nn.py:177-189)."""
+    return pd.DataFrame(
+        {
+            "has_fire": [False] * n,
+            "fire_probability": [0.0] * n,
+            "no_fire_probability": [1.0] * n,
+            "model_type": [model_type] * n,
+            "detections": [[] for _ in range(n)],
+        }
+    )
+
+
+def make_densenet_backend(
+    engine,
+    threshold: float = surrogate.DEFAULT_THRESHOLD,
+    autocast_min_batch: int = AUTOCAST_MIN_BATCH,
+) -> ModelBackend:
+    """M2 — FireDetectNN (DenseNet121 binary classifier) with the
+    forward pass injected.
+
+    `engine` contract (what a real torch adapter implements):
+      * ``available_devices() -> set[str]``
+      * ``forward(frames, *, size, device, autocast) -> sequence[float]``
+        — post-sigmoid fire probabilities, one per input frame.
+
+    This function owns the reference's surrounding semantics:
+    device pick CUDA→MPS→CPU (fire_detect_nn.py:40-52), 224×224
+    transform request (:108-110), fp16 autocast enabled only on CUDA
+    at batch ≥ `autocast_min_batch` (:119-128 + PERFORMANCE.md:98-106),
+    `>=` threshold (:132), probability zeroing (:169), complement
+    (:173), full-frame bbox synthesis (:155-165), and the safe no-fire
+    error record (:177-189)."""
+    import numpy as np
+
+    device = pick_device(set(engine.available_devices()))
+
+    def predict_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        autocast = device == "cuda" and n >= autocast_min_batch
+        try:
+            raw = np.asarray(
+                engine.forward(
+                    pdf["frame_data"],
+                    size=MODEL_INPUT_SIZE,
+                    device=device,
+                    autocast=autocast,
+                ),
+                dtype="float64",
+            )
+        except Exception:
+            return _safe_no_fire(n, "fire-detect-nn")
+        has_fire = raw >= threshold
+        width = pdf["width"].to_numpy(dtype="int64")
+        height = pdf["height"].to_numpy(dtype="int64")
+        dets = [
+            [{"bbox": [0, 0, int(w), int(h)], "confidence": float(r),
+              "class": "fire", "class_id": 1}]
+            if hf else []
+            for r, hf, w, h in zip(raw, has_fire, width, height)
+        ]
+        return pd.DataFrame(
+            {
+                "has_fire": has_fire,
+                "fire_probability": np.where(has_fire, raw, 0.0),
+                "no_fire_probability": 1.0 - raw,
+                "model_type": "fire-detect-nn",
+                "detections": dets,
+            }
+        )
+
+    return ModelBackend(
+        name="fire-detect-nn-real",
+        predict_batch=predict_batch,
+        input_cols=("frame_data", "width", "height"),
+    )
+
+
+def make_yolo_backend(
+    engine, threshold: float = surrogate.DEFAULT_THRESHOLD
+) -> ModelBackend:
+    """M4 — YOLOv8 detector with the detect pass injected.
+
+    `engine` contract: ``detect(frames, *, conf, iou, imgsz) ->
+    list[list[dict]]`` — per frame, raw boxes as dicts with ``bbox``
+    (4 ints), ``confidence``, ``name``, ``class_id``.
+
+    This function owns: probe confidence ``min(0.1, threshold)`` so
+    near-threshold boxes are visible before OUR filter decides
+    (yolov8.py:120-129), NMS IoU 0.45 and imgsz 640 (:115-162), the
+    P4 class-name include/exclude filter (:17-23), the P5 strict-`>`
+    per-box confidence filter (:145 — note the asymmetry with P3's
+    `>=`), and ``fire_probability = max(confidence)`` over kept boxes
+    (:146-147)."""
+
+    probe_conf = min(0.1, threshold)
+
+    def predict_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        try:
+            per_frame = engine.detect(
+                pdf["frame_data"], conf=probe_conf, iou=YOLO_NMS_IOU, imgsz=YOLO_IMGSZ
+            )
+        except Exception:
+            return _safe_no_fire(n, "yolov8")
+        out = {"has_fire": [], "fire_probability": [], "no_fire_probability": [],
+               "model_type": ["yolov8"] * n, "detections": []}
+        for boxes in per_frame:
+            kept = [
+                b for b in boxes
+                if is_fire_class_py(b["name"]) and b["confidence"] > threshold
+            ]
+            fire_p = max((b["confidence"] for b in kept), default=0.0)
+            out["has_fire"].append(bool(kept))
+            out["fire_probability"].append(float(fire_p))
+            out["no_fire_probability"].append(1.0 - float(fire_p))
+            out["detections"].append(
+                [{"bbox": [int(x) for x in b["bbox"]],
+                  "confidence": float(b["confidence"]),
+                  "class": b["name"], "class_id": int(b["class_id"])}
+                 for b in kept]
+            )
+        return pd.DataFrame(out)
+
+    return ModelBackend(
+        name="yolov8-real",
+        predict_batch=predict_batch,
+        input_cols=("frame_data", "width", "height"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Applying a backend to a DataFrame.
+
+
+def with_frame_prediction(
+    df: DataFrame,
+    backend: ModelBackend,
+    frame_col: str = "frame_data",
+    width_col: str = "width",
+    height_col: str = "height",
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Arrow-batched UDF path for FRAME-input backends (M2-real / M4):
+    only the payload bytes + dims cross the Arrow boundary; the engine
+    (torch/ultralytics or a seam-test fake) runs once per Arrow batch
+    inside the Python worker.  Batch size follows
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — with the default
+    (10k) the autocast-at-batch≥16 gate in make_densenet_backend is ON
+    for every full batch, which IS the reference's deferred batched-
+    inference win (docs/PERFORMANCE.md:148-150)."""
+    predict_batch = backend.predict_batch
+
+    def _predict(frame_s, width_s, height_s):
+        return predict_batch(
+            pd.DataFrame(
+                {"frame_data": frame_s, "width": width_s, "height": height_s}
+            )
+        )
+
+    _predict.__annotations__ = {
+        "frame_s": pd.Series,
+        "width_s": pd.Series,
+        "height_s": pd.Series,
+        "return": pd.DataFrame,
+    }
+    from pyspark.sql.functions import pandas_udf
+
+    udf = pandas_udf(_predict, returnType=PREDICTION_SCHEMA)
+    return df.withColumn(
+        out_col,
+        udf(
+            F.col(frame_col),
+            F.col(width_col).cast("long"),
+            F.col(height_col).cast("long"),
+        ),
+    )
 
 
 def with_prediction(

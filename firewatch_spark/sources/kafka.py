@@ -85,6 +85,18 @@ def completions_source(
     )
 
 
+def kafka_key_value(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """The exact record shape every keyed sink sends: utf-8 key (the
+    video_id — per-video ordering within a partition, reference
+    producer/video_producer.py:126-133) + string value.  Split out so
+    broker-less e2e tests drive the identical projection into a memory
+    sink (the sandbox has no Kafka broker)."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+
+
 def keyed_kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -102,10 +114,7 @@ def keyed_kafka_sink(
     sends + fire-only callbacks (stream.py:528-545) need no analog.
     Checkpointing replaces the offset-commit cadence (W6).
     """
-    out = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.col(value_col).cast("string").alias("value"),
-    )
+    out = kafka_key_value(df, key_col, value_col)
     writer = (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
