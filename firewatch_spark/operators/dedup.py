@@ -268,6 +268,54 @@ def ngram_jaccard(
     )
 
 
+def verify_candidates(
+    cand: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """THE production dedup composition: exact shingle-Jaccard
+    verification of LSH candidate pairs (cand carries doc_a/doc_b).
+
+    Plan: two equi-joins attach the pair's texts (each a shuffle/
+    broadcast hash join on the id — candidates are tiny next to the
+    corpus), then the same exact-Jaccard algebra as `ngram_jaccard`.
+    Work is O(candidates), never O(n²) — this is the function the
+    docstrings mean by "at scale the verify stage's input is the LSH
+    output"."""
+    a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_text_a"))
+    b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_text_b"))
+    joined = (
+        cand.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            tokens(F.col("_text_a")).alias("_ta"),
+            tokens(F.col("_text_b")).alias("_tb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.array_distinct(word_shingles("_ta", shingle_n)).alias("_sa"),
+            F.array_distinct(word_shingles("_tb", shingle_n)).alias("_sb"),
+        )
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    joined = joined.withColumn("n_inter", inter).withColumn(
+        "n_union", (F.size("_sa") + F.size("_sb")).cast("long") - inter
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_union",
+        (F.col("n_inter") / F.col("n_union").cast("double")).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

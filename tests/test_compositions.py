@@ -1,0 +1,138 @@
+"""End-to-end compositions of the LLM-pipeline operators — the shapes a
+real 100 TB dedup/ANN pipeline actually runs, cross-checked against
+DuckDB on the driver's sf0.01 tables (not just unit corpora).
+
+1. MinHash-LSH candidates → exact n-gram-Jaccard verification
+   (`verify_candidates`) — proving the "verify stage input is the LSH
+   output" claim as running code with a value-level oracle.
+2. ANN recall: the LSH-bucket and IVF-probe scale paths measured
+   against the exact brute-force top-k ground truth.
+"""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from firewatch_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_lsh_candidates_then_exact_verify(spark, docs):
+    cand = dedup.lsh_candidate_pairs(docs)
+    verified = dedup.verify_candidates(cand, docs)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"], r["jaccard"])
+        for r in verified.collect()
+    }
+    assert got, "LSH produced no candidates on sf0.01"
+
+    # no cartesian anywhere in the composed plan
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    # DuckDB replays the exact-Jaccard arithmetic for the same pairs
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    con.execute(
+        "CREATE TABLE cand (doc_a BIGINT, doc_b BIGINT)"
+    )
+    con.executemany("INSERT INTO cand VALUES (?, ?)", list(got))
+    rows = con.execute(
+        """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                           i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                                || ' ' || list_extract(toks, i + 2)))
+                      ELSE [concat_ws(' ', toks)] END AS sh
+          FROM t
+        )
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(a.sh, b.sh)) AS n_inter,
+               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+        FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+        """
+    ).fetchall()
+    assert len(rows) == len(got)
+    for doc_a, doc_b, n_inter, n_union in rows:
+        gi, gu, gj = got[(doc_a, doc_b)]
+        assert (gi, gu) == (n_inter, n_union)
+        assert gj == n_inter / n_union
+
+    # identical-signature star edges ESTIMATE identity (12/12 matching
+    # minhashes), they don't prove it — but verification must confirm
+    # them as strong near-dups, which is exactly why the verify stage
+    # exists downstream of LSH
+    stars = [r for r in cand.collect() if r["est_jaccard"] == 1.0]
+    assert stars, "sf0.01 contains at least one identical-sig cluster"
+    for s in stars:
+        assert got[(s["doc_a"], s["doc_b"])][2] >= 0.8
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(truth, approx):
+    per_q = [len(approx.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    return sum(per_q) / len(per_q)
+
+
+def test_ann_scale_paths_recall_on_clustered_vectors(spark):
+    """On CLUSTERED embeddings (the regime ANN indexes exist for —
+    real text/image embeddings cluster), both scale paths must recover
+    nearly all true neighbors: cluster-mates share hyperplane signs
+    (tiny angles) and IVF cells (tiny L2)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 64))
+    rows = []
+    for c_idx in range(20):
+        for m in range(25):
+            v = centers[c_idx] + 0.05 * rng.normal(size=64)
+            rows.append((c_idx * 25 + m, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)  # one per cluster
+
+    truth = _topk_sets(similarity.cosine_topk(emb, queries, k=5))
+    lsh = _topk_sets(similarity.lsh_topk(emb, queries, k=5))
+    ivf = _topk_sets(similarity.ivf_topk(emb, queries, k=5, nprobe=2))
+    assert _recall(truth, lsh) >= 0.8
+    assert _recall(truth, ivf) >= 0.8
+    # neighbors never include the query itself
+    for q, ns in {**lsh, **ivf}.items():
+        assert q not in ns
+
+
+def test_ann_ivf_recall_on_driver_testdata(spark, emb):
+    """sf0.01 embeddings are near-random (top-1 cosine ≈ 0.4), the
+    WORST case for ANN.  IVF with nprobe=2 of 16 cells must still beat
+    the 2/16 = 0.125 random-probe baseline because exact-L2 cell
+    assignment co-locates whatever structure exists.  (Single-table
+    8-plane LSH recalls ~0 here by design — the planes/recall tradeoff
+    documented in similarity.py; its recall is asserted on clustered
+    vectors above.)"""
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = _topk_sets(similarity.cosine_topk(emb, queries, k=5))
+    ivf = _topk_sets(similarity.ivf_topk(emb, queries, k=5, nprobe=2))
+    assert _recall(truth, ivf) >= 2 * (2 / 16)
