@@ -133,14 +133,20 @@ def with_lsh_bucket(
     vec_col: str = "embedding",
     num_planes: int = 8,
     out_col: str = "bucket",
+    table: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit string of `num_planes`
     integer hyperplane projections of the scaled vector.  Cosine-similar
-    vectors collide with probability (1 - θ/π)^planes."""
+    vectors collide with probability (1 - θ/π)^planes.
+
+    `table` selects an independent plane set (table t uses planes
+    [t·P, (t+1)·P)) — the multi-table recall knob: a true neighbor is
+    found iff it collides in ANY table, so recall is
+    1 - (1 - (1-θ/π)^P)^T."""
     df = with_scaled_vec(df, vec_col)
     bits = []
     for p in range(num_planes):
-        w = hyperplane_weight_expr(p, "i")
+        w = hyperplane_weight_expr(table * num_planes + p, "i")
         proj = (
             f"aggregate(zip_with({'iv'}, sequence(1, size(iv)), (x, i) -> x * {w}), "
             f"CAST(0 AS BIGINT), (acc, t) -> acc + t)"
@@ -156,26 +162,43 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    num_tables: int = 1,
 ) -> DataFrame:
     """ANN via LSH buckets: equi-join query buckets to corpus buckets,
     exact cosine within the bucket only.  The scale path — cost is
-    bucket occupancy, not corpus size."""
-    c = with_lsh_bucket(corpus, vec_col, num_planes)
-    c = with_norm2(with_scaled_vec(c, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("bucket"),
-        F.col("iv").alias("civ"),
-        F.col("n2").alias("cn2"),
-    )
-    q = with_lsh_bucket(queries, vec_col, num_planes)
-    q = with_norm2(with_scaled_vec(q, vec_col)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("bucket"),
-        F.col("iv").alias("qiv"),
-        F.col("n2").alias("qn2"),
-    )
-    joined = c.join(F.broadcast(q), ["bucket"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
+    bucket occupancy × tables, not corpus size.
+
+    `num_tables` > 1 unions independent bucketings (the standard
+    multi-table recall lever): each vector gets one bucket per table,
+    the join key is (table, bucket), and duplicate (query, neighbor)
+    candidates from different tables collapse before scoring.  Recall
+    1-(1-p^P)^T vs cost ∝ T — tune per corpus geometry."""
+
+    def _bucketed(df, id_alias, iv_alias, n2_alias):
+        b = df
+        for t in range(num_tables):
+            b = with_lsh_bucket(b, vec_col, num_planes, out_col=f"_b{t}", table=t)
+        b = with_norm2(with_scaled_vec(b, vec_col))
+        buckets = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket"))
+                for t in range(num_tables)
+            ]
+        )
+        return b.select(
+            F.col(id_col).alias(id_alias),
+            F.col("iv").alias(iv_alias),
+            F.col("n2").alias(n2_alias),
+            F.explode(buckets).alias("tb"),
+        ).select(id_alias, iv_alias, n2_alias, "tb.tbl", "tb.bucket")
+
+    c = _bucketed(corpus, "neighbor_id", "civ", "cn2")
+    q = _bucketed(queries, "query_id", "qiv", "qn2")
+    joined = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair colliding in several tables scores once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = joined.withColumn("_dot", _dot("qiv", "civ")).withColumn(
         "cos_sim",

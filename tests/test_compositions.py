@@ -124,6 +124,33 @@ def test_ann_scale_paths_recall_on_clustered_vectors(spark):
         assert q not in ns
 
 
+def test_multi_table_lsh_raises_recall(spark):
+    """The standard LSH recall lever: with T independent tables a true
+    neighbor is found iff it collides in ANY table — recall
+    1-(1-p^P)^T grows monotonically in T.  On noisy clusters (where
+    one table recalls ~0.4) the measured curve must climb."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 64))
+    rows = []
+    for c_idx in range(20):
+        for m in range(25):
+            v = centers[c_idx] + 0.45 * rng.normal(size=64)
+            rows.append((c_idx * 25 + m, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    truth = _topk_sets(similarity.cosine_topk(emb, queries, k=5))
+    r = {
+        t: _recall(truth, _topk_sets(similarity.lsh_topk(emb, queries, k=5, num_tables=t)))
+        for t in (1, 2, 4)
+    }
+    assert r[1] >= 0.3  # deterministic: seeded data + md5 planes
+    assert r[2] > r[1]
+    assert r[4] > r[2]
+
+
 def test_ann_ivf_recall_on_driver_testdata(spark, emb):
     """sf0.01 embeddings are near-random (top-1 cosine ≈ 0.4), the
     WORST case for ANN.  IVF with nprobe=2 of 16 cells must still beat

@@ -120,6 +120,48 @@ def test_progress_file_sink_monotone(spark, tmp_path):
     assert state2["videos"][0]["stream_progress"] == 100
 
 
+def test_streaming_query_listener_progress(spark, tmp_path):
+    """S13 idiomatic channel: engine metrics → progress file via
+    StreamingQueryListener; rows_seen must reach the input row count
+    and the entry must flip inactive on termination."""
+    import time
+
+    from firewatch_spark.streaming.progress import ProgressFileListener
+
+    path = str(tmp_path / "progress.json")
+    listener = ProgressFileListener(path)
+    spark.streams.addListener(listener)
+    try:
+        stream = _frame_stream(spark, tmp_path)
+        q = (
+            stream.select("video_id", "frame_number")
+            .writeStream.format("memory")
+            .queryName("listener_probe")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_listener"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_frames = frames_src.synthetic_frames(spark).count()
+        # listener callbacks are async on the driver — poll with deadline
+        deadline = time.monotonic() + 60
+        entry = None
+        while time.monotonic() < deadline:
+            if os.path.exists(path):
+                state = json.load(open(path))
+                matches = [e for e in state["queries"] if e["name"] == "listener_probe"]
+                if matches and matches[0]["rows_seen"] >= n_frames and not matches[0]["active"]:
+                    entry = matches[0]
+                    break
+            time.sleep(0.5)
+        assert entry is not None, "listener never reported full progress"
+        assert entry["rows_seen"] == n_frames
+        assert entry["batches"] >= 2  # maxFilesPerTrigger=1, 2 files
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_s3_key_layout():
     assert sinks.s3_key("abc") == "videos/abc_with_heatmaps.mp4"
 
