@@ -316,6 +316,63 @@ def verify_candidates(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup edges: every doc gets
+    ``cluster_id`` = the smallest doc id reachable through the pair
+    graph — the step that turns pair lists (LSH/SimHash/verified) into
+    the dedup deliverable (keep one doc per cluster: ``doc_id ==
+    cluster_id``).
+
+    Algorithm: min-label propagation.  Each round every node takes the
+    min of its own label and its neighbors' labels; labels only ever
+    decrease, so the per-round ``sum(label)`` strictly decreases until
+    the fixpoint — one cheap agg action per round detects convergence.
+    Rounds needed = graph diameter, which for near-dup graphs (stars
+    from the identical-sig collapse + short chains) is small; max_iter
+    bounds pathological chains.
+
+    Scale: each round is one equi-join edges⋈labels + one groupBy —
+    both shuffle on ids, never materialize components in one task.
+    ``localCheckpoint`` truncates the growing lineage per round (the
+    classic iterative-algorithm necessity; without it round k replays
+    rounds 1..k-1).  Iterative ⇒ not single-query SQL-expressible;
+    correctness is pinned against a Python union-find in tests."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+
+    labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -85,6 +85,45 @@ def test_lsh_candidates_then_exact_verify(spark, docs):
         assert got[(s["doc_a"], s["doc_b"])][2] >= 0.8
 
 
+def test_near_dup_clusters_match_union_find(spark, docs):
+    """The full dedup deliverable: LSH candidates → clusters → one
+    canonical doc per cluster, checked against a Python union-find on
+    the same edges."""
+    cand = dedup.lsh_candidate_pairs(docs)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(cand, docs).collect()
+    }
+
+    edges = [(r["doc_a"], r["doc_b"]) for r in cand.select("doc_a", "doc_b").collect()]
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id of the component
+    comp_min: dict = {}
+    for i in ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {i: comp_min[find(i)] for i in ids}
+
+    assert labels == expected
+    # keep-list: exactly one doc per cluster survives
+    keep = {i for i, c in labels.items() if i == c}
+    assert len(keep) == len(set(labels.values()))
+    # chains collapse: every clustered doc reaches the component min
+    assert all(labels[b] == labels[a] for a, b in edges)
+
+
 def _topk_sets(df):
     out = {}
     for r in df.collect():
