@@ -1,0 +1,65 @@
+"""Skew-handling utilities — the "hot key" patterns SCALE.md promises.
+
+AQE's skew-join splitting covers joins automatically (enabled in
+session.py); what AQE cannot fix is a skewed HIGH-CARDINALITY aggregate
+— ``countDistinct`` per key buffers every distinct value of a hot key
+in one task.  `distinct_count_per_key` is the classic two-phase
+rewrite: phase 1 dedups on (key, value), spreading a hot key's values
+across the cluster because the shuffle key includes the value; phase 2
+counts the deduped rows per key — a plain count whose partial
+aggregation is map-side.  No single task ever holds a hot key's whole
+value set.
+
+`salted_agg` generalizes: a salt column splits each hot group into
+`salt_buckets` sub-groups aggregated independently, then a final merge
+combines the partials.  For purely algebraic aggs (count/sum/min/max)
+Spark's map-side partial aggregation already achieves this; the
+explicit salt pays off when per-group STATE is large (collect-like
+buffers, large approx sketches) — the pattern is kept on the shelf
+here, equality-tested so it can't drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_count_per_key(
+    df: DataFrame, key: str, value: str, out_col: str = "n_distinct"
+) -> DataFrame:
+    """Exact per-key distinct count that survives hot keys: dedup on
+    (key, value) first — the shuffle spreads a hot key by value hash —
+    then count per key (map-side partial).  Equivalent to
+    ``groupBy(key).agg(countDistinct(value))`` for non-null values,
+    minus the single-task value-set buffering."""
+    deduped = df.select(key, value).where(F.col(value).isNotNull()).distinct()
+    return deduped.groupBy(key).agg(F.count(F.lit(1)).alias(out_col))
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[Column, Callable[[Column], Column]]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over (key, salt) then key.
+
+    `aggs` maps output name → (partial aggregate Column, merge
+    function): e.g. ``{"n": (F.count(F.lit(1)), F.sum), "mx":
+    (F.max("v"), F.max)}`` — the merge must be the partial's combiner
+    (count/sum merge by sum; min/max by themselves).  The salt is a
+    deterministic hash of the row's VALUE columns, so re-runs are
+    stable and a hot key splits evenly."""
+    salted = df.withColumn(
+        "_salt",
+        (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salt_buckets).cast("int"),
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        *[c.alias(f"_p_{name}") for name, (c, _) in aggs.items()]
+    )
+    return partial.groupBy(key).agg(
+        *[merge(F.col(f"_p_{name}")).alias(name) for name, (_, merge) in aggs.items()]
+    )

@@ -1,0 +1,94 @@
+"""Scale-utility contracts: bucketed co-located joins (no Exchange)
+and skew-safe aggregation (equality with the naive form)."""
+
+from pyspark.sql import functions as F
+
+from firewatch_spark.operators import skew
+from firewatch_spark.sources.bucketed import write_bucketed
+from tests.conftest import rows
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    ev = spark.range(0, 2000).selectExpr(
+        "id % 50 AS user_id", "id AS event_id", "id * 1.5 AS value"
+    )
+    us = spark.range(0, 50).selectExpr("id AS user_id", "id * 2 AS score")
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(ev, "ev_bucketed", "user_id", 8,
+                       sort_cols=["user_id"], path=str(tmp_path / "ev"))
+        write_bucketed(us, "us_bucketed", "user_id", 8,
+                       sort_cols=["user_id"], path=str(tmp_path / "us"))
+        joined = spark.table("ev_bucketed").join(spark.table("us_bucketed"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the whole point: bucket-aligned scan feeds the join directly
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        # and it computes the same thing as the unbucketed join
+        expect = ev.join(us, "user_id").count()
+        assert joined.count() == expect == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS us_bucketed")
+
+
+def test_distinct_count_per_key_matches_count_distinct(spark):
+    # hot key: user 0 owns 80% of rows with many distinct values
+    df = spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 5 < 4 THEN 0 ELSE id % 7 END AS user_id",
+        "CAST(id % 311 AS STRING) AS value",
+    )
+    two_phase = {
+        r["user_id"]: r["n_distinct"]
+        for r in rows(skew.distinct_count_per_key(df, "user_id", "value"))
+    }
+    naive = {
+        r["user_id"]: r["n"]
+        for r in rows(
+            df.groupBy("user_id").agg(F.countDistinct("value").alias("n"))
+        )
+    }
+    assert two_phase == naive
+    # plan property: the first shuffle spreads by (key, value), so the
+    # hot key's values never converge on one task before dedup
+    plan = (
+        skew.distinct_count_per_key(df, "user_id", "value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    first_exchange = [l for l in plan.split("\n") if "Exchange hashpartitioning" in l][-1]
+    assert "value" in first_exchange  # bottom-most exchange carries the value
+
+
+def test_salted_agg_matches_direct(spark):
+    df = spark.range(0, 3000).selectExpr(
+        "id % 3 AS user_id", "id AS v"
+    )
+    out = {
+        r["user_id"]: (r["n"], r["mx"], r["sm"])
+        for r in rows(
+            skew.salted_agg(
+                df,
+                "user_id",
+                {
+                    "n": (F.count(F.lit(1)), F.sum),
+                    "mx": (F.max("v"), F.max),
+                    "sm": (F.sum("v"), F.sum),
+                },
+            )
+        )
+    }
+    direct = {
+        r["user_id"]: (r["n"], r["mx"], r["sm"])
+        for r in rows(
+            df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("v").alias("mx"),
+                F.sum("v").alias("sm"),
+            )
+        )
+    }
+    assert out == direct
