@@ -125,7 +125,54 @@ def test_duplicate_frames_counted_at_least_once(spark, tmp_path):
     assert dup and dup[0]["total_frames"] == 4  # frames 0,1,1,2
 
 
-def test_kafka_builder_options_mirror_reference():
+def test_watermark_windowed_agg_drops_late_and_finalizes(spark, tmp_path):
+    """Streaming tumbling window + watermark (the parity-plus W5/§2.5
+    machinery run as a REAL stream, not the batch analog): in append
+    mode a window emits exactly when the watermark passes its end, and
+    an event older than the watermark is DROPPED — the late row must
+    not inflate its already-final window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path / "wm_in"
+    tmp.mkdir()
+    H = 3600
+    batches = [
+        [600, 1200, 1 * H + 600],      # W0 gets 2, W1 gets 1
+        [3 * H + 1800],                # max 03:30 -> wm becomes 03:00
+        [5 * H + 1800, 9 * H],         # W5 +1; max 09:00 -> wm 08:30
+        [1800],                        # 00:30 LATE (W0 end < wm) -> dropped
+    ]
+    for i, secs in enumerate(batches):
+        pq.write_table(
+            pa.table({"sec": pa.array(secs, type=pa.int64())}),
+            f"{tmp}/chunk_{i:03d}.parquet",
+        )
+
+    stream = (
+        spark.readStream.schema("sec long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp))
+        .withColumn("ts", F.timestamp_seconds("sec"))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.unix_timestamp("w.start").alias("start"), "n")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_windows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["start"]: r["n"] for r in rows(spark.sql("SELECT * FROM wm_windows"))}
+    # late 00:30 dropped -> W0 stays 2 (and is never re-emitted);
+    # W0/W1/W3/W5 all finalize once the watermark (08:30 at the final
+    # availableNow flush) passes their ends; W9 (end 10:00) never does
+    assert got == {0: 2, 1 * H: 1, 3 * H: 1, 5 * H: 1}
     # S6/S8/S9 producer knobs (producer/video_producer.py:57-67)
     assert kafka_src.PRODUCER_OPTIONS["kafka.acks"] == "1"
     assert kafka_src.PRODUCER_OPTIONS["kafka.compression.type"] == "gzip"
