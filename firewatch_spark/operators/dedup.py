@@ -16,13 +16,16 @@ Scale design (100 TB):
 * MinHash-LSH is strictly bucketed: candidate pairs come from an
   equi-join on (band_idx, band_hash), which Spark executes as a plain
   shuffle join on a compact key.  **No all-pairs product ever happens**;
-  cost is O(sum of bucket_size²) and skewed mega-buckets (boilerplate
-  docs) are handled by AQE skew-join splitting.
+  cost is O(sum of bucket_size²) with bucket_size hard-bounded by the
+  two-tier mega-bucket defense (identical-signature star collapse +
+  MAX_BUCKET cap — see below).
 * SimHash bucketing splits the 64-bit fingerprint into 4×16-bit bands
   (pigeonhole: hamming distance ≤3 ⇒ at least one band equal), same
-  equi-join shape.
+  equi-join shape and same mega-bucket defense.
 * n-gram Jaccard is the *verification* stage applied to candidate pairs
-  only — at scale its input is the LSH output, never a cross join.
+  only — at scale its input is the LSH output (`verify_candidates`),
+  never a cross join; `near_dup_clusters` then turns verified pairs
+  into one canonical doc per cluster.
 """
 
 from __future__ import annotations
