@@ -53,6 +53,13 @@ def main() -> None:
     reg["completion_stats"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # streaming warmup at the smallest SF: state-store provider, Arrow
+    # python workers and the streaming engine cold-start cost ~3x the
+    # steady-state replay time on a fresh JVM — pay it off-clock so the
+    # timed streaming rows measure the operator, not process init
+    reg["streaming_session_parity"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in sorted(reg):

@@ -124,6 +124,48 @@ def test_near_dup_clusters_match_union_find(spark, docs):
     assert all(labels[b] == labels[a] for a, b in edges)
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [3, 11, 42])
+def test_near_dup_clusters_random_graphs(spark, seed):
+    """Label propagation vs union-find on random graphs — chains,
+    cycles, isolated nodes, multi-component topologies the sf0.01
+    fixture can't guarantee."""
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    ids = list(range(n))
+    edges = sorted(
+        {tuple(sorted(rng.sample(ids, 2))) for _ in range(25)}
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(pairs, docs).collect()
+    }
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for i in ids:
+        comp_min.setdefault(find(i), i)  # ids ascending -> first is min
+    expected = {i: comp_min[find(i)] for i in ids}
+    assert labels == expected
+
+
 def _topk_sets(df):
     out = {}
     for r in df.collect():
