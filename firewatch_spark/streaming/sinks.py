@@ -67,19 +67,31 @@ def media_manifest_sink(output_dir: str):
 
     manifest_schema = StructType([StructField("path", StringType())])
 
-    def _append_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("frame_number")
-        video_id = pdf["video_id"].iloc[0]
-        path = _part_path(output_dir, video_id)
-        # lazy open + cross-batch append (video_writer.py:45-89 keeps
-        # the writer open; 'a' re-attaches to the same lifecycle)
-        with open(path, "a") as f:
-            for row in pdf.itertuples(index=False):
-                f.write(_encode_line(row))
-            f.flush()
-        return pd.DataFrame({"path": [path]})
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        def _append_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("frame_number")
+            video_id = pdf["video_id"].iloc[0]
+            path = _part_path(output_dir, video_id)
+            # idempotent under micro-batch RETRY: a per-video sidecar
+            # records the last applied batch id; foreachBatch re-runs
+            # the same batch_id after failures, and re-appending would
+            # duplicate frames (Spark's documented idempotency-by-
+            # batch-id pattern; one task per video per batch, no race)
+            bid_path = path + ".bid"
+            if os.path.exists(bid_path):
+                with open(bid_path) as bf:
+                    if int(bf.read().strip() or -1) >= batch_id:
+                        return pd.DataFrame({"path": [path]})
+            # lazy open + cross-batch append (video_writer.py:45-89
+            # keeps the writer open; 'a' re-attaches to the lifecycle)
+            with open(path, "a") as f:
+                for row in pdf.itertuples(index=False):
+                    f.write(_encode_line(row))
+                f.flush()
+            with open(bid_path, "w") as bf:
+                bf.write(str(batch_id))
+            return pd.DataFrame({"path": [path]})
+
         (
             batch_df.select("video_id", "frame_number", "has_fire")
             .groupBy("video_id")
@@ -117,6 +129,8 @@ def media_finalize_sink(output_dir: str):
             final = os.path.join(output_dir, f"{video_id}_with_heatmaps_{k}.manifest")
             k += 1
         os.replace(part, final)
+        if os.path.exists(part + ".bid"):
+            os.remove(part + ".bid")  # next session starts a fresh lifecycle
         return final
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -163,14 +177,19 @@ def progress_file_sink(progress_path: str, total_frames: dict[str, int]):
     per micro-batch.  Single-writer (the driver), so no lock needed."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        counts = {
-            r["video_id"]: r["n"]
-            for r in batch_df.groupBy("video_id").agg(F.count("*").alias("n")).collect()
-        }
         state = {"videos": []}
         if os.path.exists(progress_path):
             with open(progress_path) as f:
                 state = json.load(f)
+        # idempotent under micro-batch retry: frames_done would
+        # double-count on a re-delivered batch_id
+        if state.get("last_batch_id", -1) >= batch_id:
+            return
+        counts = {
+            r["video_id"]: r["n"]
+            for r in batch_df.groupBy("video_id").agg(F.count("*").alias("n")).collect()
+        }
+        state["last_batch_id"] = batch_id
         by_id = {v["video_id"]: v for v in state["videos"]}
         for vid, n in counts.items():
             entry = by_id.setdefault(

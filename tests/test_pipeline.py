@@ -66,8 +66,12 @@ def test_completion_stream_and_manifest_sink(spark, tmp_path):
     q.awaitTermination(120)
     files = sorted(os.listdir(media_dir))
     # ONE part manifest per video even though the video spans both
-    # micro-batches — no per-batch fragmentation (ADVICE r2)
-    dense = [f for f in files if f.startswith("dense_with_heatmaps")]
+    # micro-batches — no per-batch fragmentation (ADVICE r2); the .bid
+    # sidecar is the retry-idempotency watermark
+    dense = [
+        f for f in files
+        if f.startswith("dense_with_heatmaps") and not f.endswith(".bid")
+    ]
     assert dense == ["dense_with_heatmaps.manifest.part"]
     part = os.path.join(media_dir, dense[0])
     assert sum(1 for _ in open(part)) == 400
@@ -118,6 +122,43 @@ def test_progress_file_sink_monotone(spark, tmp_path):
     sink(b2, 1)
     state2 = json.load(open(path))
     assert state2["videos"][0]["stream_progress"] == 100
+
+
+def test_sinks_idempotent_under_batch_retry(spark, tmp_path):
+    """foreachBatch re-delivers the SAME batch_id after a failure;
+    both file sinks must apply each batch exactly once (the documented
+    idempotency-by-batch-id pattern exactly-once relies on)."""
+    media_dir = str(tmp_path / "media_retry")
+    msink = sinks.media_manifest_sink(media_dir)
+    b0 = spark.createDataFrame(
+        [("v", i, False) for i in range(5)],
+        "video_id string, frame_number long, has_fire boolean",
+    )
+    msink(b0, 0)
+    msink(b0, 0)  # retry of the same micro-batch
+    b1 = spark.createDataFrame(
+        [("v", i, False) for i in range(5, 8)],
+        "video_id string, frame_number long, has_fire boolean",
+    )
+    msink(b1, 1)
+    part = os.path.join(media_dir, "v_with_heatmaps.manifest.part")
+    assert sum(1 for _ in open(part)) == 8  # 5 + 3, retry not re-applied
+    # finalize clears the batch-id sidecar for the next lifecycle
+    sinks.media_finalize_sink(media_dir)(
+        spark.createDataFrame([("v",)], "video_id string"), 2
+    )
+    assert not os.path.exists(part + ".bid")
+
+    ppath = str(tmp_path / "progress_retry.json")
+    psink = sinks.progress_file_sink(ppath, {"v": 10})
+    pb = spark.createDataFrame(
+        [("v", i) for i in range(5)], "video_id string, frame_number long"
+    )
+    psink(pb, 0)
+    psink(pb, 0)  # retry
+    state = json.load(open(ppath))
+    assert state["videos"][0]["frames_done"] == 5
+    assert state["videos"][0]["stream_progress"] == 50
 
 
 def test_streaming_query_listener_progress(spark, tmp_path):
