@@ -343,8 +343,12 @@ def near_dup_clusters(
     both shuffle on ids, never materialize components in one task.
     ``localCheckpoint`` truncates the growing lineage per round (the
     classic iterative-algorithm necessity; without it round k replays
-    rounds 1..k-1).  Iterative ⇒ not single-query SQL-expressible;
-    correctness is pinned against a Python union-find in tests."""
+    rounds 1..k-1).  On a real cluster prefer reliable checkpointing
+    (``sc.setCheckpointDir`` + ``df.checkpoint()``) — localCheckpoint
+    blocks die with their executor, which a 1000-node run WILL see;
+    the swap changes no logic.  Iterative ⇒ not single-query
+    SQL-expressible; correctness is pinned against a Python union-find
+    in tests (sf0.01 edges + seeded random graphs)."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
