@@ -54,6 +54,48 @@ def decode_frame_stream(kafka_df: DataFrame, transport: str = "msgpack") -> Data
     )
 
 
+def decode_frame_stream_dead_letter(
+    kafka_df: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """§1.3 schema-system upgrade: malformed frame envelopes are ROUTED
+    to a dead-letter stream instead of swallowed.
+
+    The reference wraps each frame in try/except and drops failures on
+    the floor (reference streams/stream.py:421-423); plain ``from_json``
+    would do the same silently (null struct).  PERMISSIVE parsing with
+    ``columnNameOfCorruptRecord`` keeps the raw payload of every bad
+    record: unparseable JSON and envelopes missing the required
+    ``video_id`` both land in the dead-letter output with a reason —
+    re-playable, countable, alertable.  Returns ``(good, dead)``."""
+    env_schema = (
+        "video_id string, frame_number long, timestamp string, fps double,"
+        " frame_data string, width int, height int, _corrupt_record string"
+    )
+    parsed = kafka_df.select(
+        F.col("value").cast("string").alias("_raw"),
+        F.from_json(
+            F.col("value").cast("string"),
+            env_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("m"),
+    )
+    is_corrupt = F.col("m._corrupt_record").isNotNull() | F.col("m").isNull()
+    missing_key = F.col("m.video_id").isNull()
+    good = (
+        parsed.filter(~is_corrupt & ~missing_key)
+        .select("m.*")
+        .drop("_corrupt_record")
+        .withColumn("frame_data", decode_transport(F.col("frame_data"), "base64-json"))
+    )
+    dead = parsed.filter(is_corrupt | missing_key).select(
+        F.col("_raw").alias("raw_value"),
+        F.when(is_corrupt, F.lit("malformed_json"))
+        .otherwise(F.lit("missing_video_id"))
+        .alias("reason"),
+    )
+    return good, dead
+
+
 def with_late_policy(
     frames: DataFrame,
     event_time_col: "str | None" = None,

@@ -207,6 +207,30 @@ def test_s3_key_layout():
     assert sinks.s3_key("abc") == "videos/abc_with_heatmaps.mp4"
 
 
+def test_dead_letter_routing(spark):
+    """§1.3 upgrade: malformed envelopes are routed with a reason, not
+    swallowed (reference drops them, stream.py:421-423)."""
+    import base64
+
+    good_payload = base64.b64encode(b"JPEG!").decode()
+    good = json.dumps(
+        {"video_id": "v", "frame_number": 1, "timestamp": "t", "fps": 30.0,
+         "frame_data": good_payload, "width": 2, "height": 2}
+    )
+    no_key = json.dumps({"frame_number": 2, "frame_data": good_payload})
+    garbage = "{not json at all"
+    kafka_like = spark.createDataFrame(
+        [("v", good), ("v", no_key), ("v", garbage)], "key string, value string"
+    )
+    ok, dead = pipeline.decode_frame_stream_dead_letter(kafka_like)
+    ok_rows = rows(ok)
+    assert len(ok_rows) == 1 and bytes(ok_rows[0]["frame_data"]) == b"JPEG!"
+    dead_rows = {r["reason"]: r["raw_value"] for r in rows(dead)}
+    assert dead_rows == {"malformed_json": garbage, "missing_video_id": no_key}
+    # nothing is lost: good + dead partitions the input
+    assert len(ok_rows) + len(dead_rows) == 3
+
+
 def test_base64_transport_roundtrip(spark):
     import base64
 
