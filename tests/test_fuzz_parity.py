@@ -61,6 +61,75 @@ def _py_gradcam(flags: list[bool], n: int) -> list[bool]:
     return out
 
 
+def _py_lsh_pairs(docs, num_hashes=12, bands=4, shingle_n=3, max_bucket=64):
+    """Independent Python re-implementation of the FULL capped LSH
+    pipeline (operators/dedup.py lsh_candidate_pairs): salted-md5
+    minhash signatures → identical-sig star collapse → banding over
+    reps → per-bucket lowest-id cap → pair expansion."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    def shingles(text):
+        toks = text.split(" ")
+        if len(toks) >= shingle_n:
+            return [
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            ]
+        return [" ".join(toks)]
+
+    sigs = {
+        i: [min(md5(f"{j}|{s}") for s in shingles(t)) for j in range(num_hashes)]
+        for i, t in docs.items()
+    }
+    by_sig: dict = {}
+    for i in sorted(docs):
+        by_sig.setdefault(tuple(sigs[i]), []).append(i)
+    pairs = {}
+    reps = []
+    for members in by_sig.values():
+        r = min(members)
+        reps.append(r)
+        for m in members:
+            if m != r:
+                pairs[(r, m)] = num_hashes  # star edge: all hashes equal
+    rows_per = num_hashes // bands
+    buckets: dict = {}
+    for b in range(bands):
+        for r in reps:
+            bh = md5("|".join(sigs[r][b * rows_per : (b + 1) * rows_per]))
+            buckets.setdefault((b, bh), []).append(r)
+    for members in buckets.values():
+        capped = sorted(members)[:max_bucket]
+        for x in range(len(capped)):
+            for y in range(x + 1, len(capped)):
+                a, c = capped[x], capped[y]
+                n = sum(1 for j in range(num_hashes) if sigs[a][j] == sigs[c][j])
+                pairs[(a, c)] = n
+    return pairs
+
+
+def test_capped_lsh_pairs_match_python_reference(spark):
+    from firewatch_spark.operators import dedup
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    docs: dict[int, str] = {}
+    for i in range(60):
+        if docs and rng.random() < 0.25:  # exact duplicate clusters
+            docs[i] = docs[rng.choice(list(docs))]
+        else:
+            docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 10)))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    for cap in (3, 64):  # cap engaged / cap dormant
+        got = {
+            (r["doc_a"], r["doc_b"]): r["n_common_minhash"]
+            for r in rows(dedup.lsh_candidate_pairs(df, max_bucket=cap))
+        }
+        assert got == _py_lsh_pairs(docs, max_bucket=cap), f"cap={cap}"
+
+
 def test_session_ids_match_python_reference(spark):
     data = _gen_sequences(seed=7)
     df = spark.createDataFrame(data, "k string, seq long")
