@@ -52,6 +52,24 @@ HEX = "0123456789abcdef"
 MAX_BUCKET = 64
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan out under-partitioned input before an expression-heavy
+    per-row stage (the md5 minhash/simhash folds are pure CPU).
+
+    A scan of one small parquet file yields ONE partition, serializing
+    the whole fold on one core; repartitioning to the session's default
+    parallelism costs one narrow-ish shuffle of the raw docs and buys
+    full-cluster fan-out.  At 100 TB the scan already yields far more
+    partitions than cores (`maxPartitionBytes`), so this is a no-op —
+    the guard exists precisely so we never pay a gratuitous full-corpus
+    shuffle at scale."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (the testdata is single-space separated)."""
     return F.split(text, " ")
@@ -107,7 +125,7 @@ def with_minhash_signature(
     """MinHash signature: for salt j, m_j = min over shingles of
     md5(j ‖ '|' ‖ shingle) as a hex string.  min-of-uniform-hash is the
     classic MinHash estimator; string min keeps it oracle-portable."""
-    df = docs.withColumn("__T__", tokens(F.col(text_col)))
+    df = ensure_parallelism(docs).withColumn("__T__", tokens(F.col(text_col)))
     df = df.withColumn("_sh", word_shingles("__T__", shingle_n))
     mins = [
         F.array_min(
@@ -431,7 +449,7 @@ def with_simhash(
         cnt = f"(shiftright(element_at(_sh_packs, {i + 1}), {16 * w}) % 65536)"
         bit_cases.append(f"CASE WHEN 2 * {cnt} > _sh_n THEN '1' ELSE '0' END")
     return (
-        docs.withColumn("_sh_packs", F.expr(counts))
+        ensure_parallelism(docs).withColumn("_sh_packs", F.expr(counts))
         .withColumn("_sh_n", F.expr(f"size(split({text_col}, ' '))"))
         .withColumn(out_col, F.expr("concat(" + ", ".join(bit_cases) + ")"))
         .drop("_sh_packs", "_sh_n")
