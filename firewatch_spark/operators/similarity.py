@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import ensure_parallelism
+
 HEX = "0123456789abcdef"
 SCALE = 1_000_000  # floor(x * 1e6) — exact int64 components
 
@@ -81,7 +83,7 @@ def cosine_topk(
     from pyspark.sql import Window
     from pyspark.sql.types import StructType
 
-    c = with_norm2(with_scaled_vec(corpus, vec_col)).select(
+    c = with_norm2(with_scaled_vec(ensure_parallelism(corpus), vec_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col("iv").alias("civ"), F.col("n2").alias("cn2")
     )
     q = with_norm2(with_scaled_vec(queries, vec_col)).select(
@@ -175,7 +177,9 @@ def lsh_topk(
     1-(1-p^P)^T vs cost ∝ T — tune per corpus geometry."""
 
     def _bucketed(df, id_alias, iv_alias, n2_alias):
-        b = df
+        # corpus side is the heavy projection fan-out target; the query
+        # side is small by construction and broadcast anyway
+        b = ensure_parallelism(df) if id_alias == "neighbor_id" else df
         for t in range(num_tables):
             b = with_lsh_bucket(b, vec_col, num_planes, out_col=f"_b{t}", table=t)
         b = with_norm2(with_scaled_vec(b, vec_col))
@@ -232,7 +236,11 @@ def embedding_near_dup(
     probability (1-θ/π)^planes).  Each vector has exactly one bucket,
     so no pair is emitted twice.
     """
-    b = with_norm2(with_scaled_vec(with_lsh_bucket(corpus, vec_col, num_planes), vec_col))
+    b = with_norm2(
+        with_scaled_vec(
+            with_lsh_bucket(ensure_parallelism(corpus), vec_col, num_planes), vec_col
+        )
+    )
     a = b.select(
         F.col(id_col).alias("doc_a"), "bucket",
         F.col("iv").alias("aiv"), F.col("n2").alias("an2"),
@@ -298,7 +306,7 @@ def ivf_assign(
     Plan: broadcast the centroid table (small by construction) against
     ONE corpus scan, then a per-vector argmin — corpus × k work with no
     corpus shuffle.  Ties break on the lower centroid id."""
-    a = with_scaled_vec(corpus, vec_col)
+    a = with_scaled_vec(ensure_parallelism(corpus), vec_col)
     joined = a.crossJoin(F.broadcast(centroids))
     d2 = F.aggregate(
         F.zip_with("iv", "civ", lambda x, c: (x - c) * (x - c)),
@@ -345,7 +353,7 @@ def ivf_topk(
         )
 
     # corpus cell assignment, carrying the scaled vector + norm through
-    c = with_norm2(with_scaled_vec(corpus, vec_col))
+    c = with_norm2(with_scaled_vec(ensure_parallelism(corpus), vec_col))
     c_assigned = (
         c.crossJoin(F.broadcast(cents))
         .withColumn("d2", d2_col())
