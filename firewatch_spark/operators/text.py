@@ -106,6 +106,101 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", shingle_n: int = 4) 
 # behave identically under Java regex (Spark) and RE2 (DuckDB): runs of
 # letters, single digits (BPE splits digit runs), and single
 # non-alphanumeric non-space marks.
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", ngram_n: int = 2
+) -> DataFrame:
+    """Gopher/C4-style within-document repetition signals — the
+    filters large-scale text cleaning actually gates on (beyond the
+    cross-document dedup family):
+
+    * ``dup_token_frac`` — fraction of tokens that are repeats of an
+      earlier token (1 − distinct/total);
+    * ``top_ngram_frac`` — fraction of all n-grams claimed by the
+      single most frequent n-gram (boilerplate/spam marker);
+    * ``max_run_len`` — longest run of the SAME token repeated
+      consecutively (keyword-stuffing marker).
+
+    Pure Column algebra (aggregate/transform folds — no UDF, no
+    shuffle), same 100 TB posture as the rest of this module."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    grams = word_shingles("__T__", ngram_n)
+    # most-frequent-gram count: fold over distinct grams, counting each
+    # gram's occurrences with a filter scan — O(distinct × total) per
+    # doc, bounded by doc length; stays in codegen
+    top_count = F.expr(
+        "aggregate(transform(array_distinct(_grams), g -> "
+        "size(filter(_grams, x -> x = g))), 0, (m, c) -> greatest(m, c))"
+    )
+    # longest consecutive-equal-token run via a (run, best) pair fold
+    run_expr = F.expr(
+        "aggregate(slice(__T__, 2, size(__T__)), "
+        "named_struct('prev', element_at(__T__, 1), 'run', 1, 'best', 1), "
+        "(s, t) -> named_struct("
+        "  'prev', t, "
+        "  'run', CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END, "
+        "  'best', greatest(s.best, CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END)), "
+        "s -> s.best)"
+    )
+    return (
+        df.withColumn("__T__", toks)
+        .withColumn("_grams", grams)
+        .select(
+            *df.columns,
+            (
+                F.lit(1.0) - n_distinct / n_tokens.cast("double")
+            ).alias("dup_token_frac"),
+            (top_count / F.size("_grams").cast("double")).alias("top_ngram_frac"),
+            run_expr.cast("long").alias("max_run_len"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget document chunking — the step that turns cleaned
+    documents into trainable ≤ `max_tokens` pieces, with optional
+    token `overlap` between consecutive chunks.
+
+    Plan: per-row ``sequence`` of chunk starts → ``posexplode`` →
+    ``slice`` of the token array — one narrow stage, no UDF, no
+    shuffle; output rows carry (doc_id, chunk_idx, n_tokens, chunk).
+    A 100 TB corpus chunks in a single embarrassingly-parallel scan."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.expr(
+        f"sequence(1, greatest(size(__T__), 1), {step})"
+    )
+    out = (
+        df.withColumn("__T__", toks)
+        .withColumn("_starts", starts)
+        .select(
+            *[c for c in df.columns if c != text_col],
+            F.posexplode("_starts").alias("chunk_idx", "_start"),
+            F.col("__T__"),
+        )
+        .withColumn("_piece", F.slice(F.col("__T__"), F.col("_start"), max_tokens))
+        # a trailing start that only re-covers overlap tokens adds no
+        # new content — drop chunks fully contained in the previous one
+        .filter((F.col("chunk_idx") == 0) | (F.size("_piece") > overlap))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_piece").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "_piece").alias("chunk"),
+        )
+    )
+    return out
+
+
 BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 

@@ -1,6 +1,8 @@
 """Dedup (exact / MinHash-LSH / SimHash / Jaccard) and text-analysis
 operator contracts on hand-built corpora."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from firewatch_spark.operators import dedup, text
@@ -160,6 +162,80 @@ def test_bucket_cap_simhash(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in capped} <= {
         (r["doc_a"], r["doc_b"]) for r in uncapped
     }
+
+
+def test_repetition_stats_match_python(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rows(text.with_repetition_stats(docs))}
+    # "a a a b": 4 tokens, 2 distinct -> dup 0.5; 2-grams [a a, a a, a b]
+    # -> top 2/3; run of 'a' = 3
+    assert out[1]["dup_token_frac"] == 0.5
+    assert out[1]["top_ngram_frac"] == 2 / 3
+    assert out[1]["max_run_len"] == 3
+    # all-distinct doc: no repetition signals
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_ngram_frac"] == 0.5  # [x y, y z] -> 1/2
+    assert out[2]["max_run_len"] == 1
+    # single-token doc: degenerate but defined
+    assert out[3]["dup_token_frac"] == 0.0
+    assert out[3]["top_ngram_frac"] == 1.0
+    assert out[3]["max_run_len"] == 1
+
+
+def test_repetition_stats_fuzz_python_reference(spark):
+    import random
+
+    rng = random.Random(5)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in rows(text.with_repetition_stats(df))}
+    for i, t in docs:
+        toks = t.split(" ")
+        grams = (
+            [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+            if len(toks) >= 2
+            else [" ".join(toks)]
+        )
+        top = max(grams.count(g) for g in set(grams))
+        best = run = 1
+        for a, b in zip(toks, toks[1:]):
+            run = run + 1 if b == a else 1
+            best = max(best, run)
+        assert got[i]["dup_token_frac"] == 1.0 - len(set(toks)) / len(toks)
+        assert got[i]["top_ngram_frac"] == top / len(grams)
+        assert got[i]["max_run_len"] == best, (i, t)
+
+
+def test_chunk_documents_budget_and_overlap(spark):
+    doc = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    plain = rows(text.chunk_documents(df, max_tokens=4), "chunk_idx")
+    assert [r["n_tokens"] for r in plain] == [4, 4, 2]
+    # chunks reassemble the document exactly (overlap 0)
+    assert " ".join(r["chunk"] for r in plain) == doc
+    assert all(r["n_tokens"] <= 4 for r in plain)
+
+    lap = rows(text.chunk_documents(df, max_tokens=4, overlap=1), "chunk_idx")
+    # starts 1,4,7,10 -> the trailing 1-token chunk re-covers only
+    # overlap and is dropped
+    assert [r["chunk"].split(" ")[0] for r in lap] == ["t0", "t3", "t6"]
+    assert [r["n_tokens"] for r in lap] == [4, 4, 4]
+    # consecutive chunks share exactly `overlap` boundary tokens
+    for a, b in zip(lap, lap[1:]):
+        assert a["chunk"].split(" ")[-1] == b["chunk"].split(" ")[0]
+    # every source token appears in at least one chunk
+    covered = {t for r in lap for t in r["chunk"].split(" ")}
+    assert covered == set(doc.split(" "))
+
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, max_tokens=4, overlap=4)
 
 
 def test_token_stats(spark):
