@@ -201,6 +201,54 @@ def chunk_documents(
     return out
 
 
+def pack_chunks_per_doc(
+    chunks: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequential packing of a document's chunks into
+    ≤ `budget`-token training samples: walk chunks in order, start a
+    new pack when adding the next chunk would overflow.  (Exact greedy
+    needs a running-sum-with-reset, which plain window cumsum cannot
+    express — so the chunk sizes of ONE doc are folded in an array
+    aggregate and exploded back.  The array is bounded by
+    doc_len/chunk_size: tiny.  Cross-document packing is a different,
+    approximation-tolerant problem — done per-partition at scale.)
+
+    Output: one row per chunk with its ``pack_id`` (0-based per doc);
+    grouping by (doc, pack_id) yields the training samples."""
+    w_sorted = F.array_sort(
+        F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col(n_col).alias("n")))
+    )
+    fold = F.expr(
+        f"""aggregate(
+              _chunks,
+              named_struct('acc', CAST(0 AS BIGINT), 'pid', CAST(0 AS BIGINT),
+                           'out', CAST(array() AS ARRAY<BIGINT>)),
+              (s, c) -> CASE
+                WHEN s.acc + c.n > {budget} AND s.acc > 0 THEN named_struct(
+                  'acc', c.n, 'pid', s.pid + 1, 'out', concat(s.out, array(s.pid + 1)))
+                ELSE named_struct(
+                  'acc', s.acc + c.n, 'pid', s.pid, 'out', concat(s.out, array(s.pid)))
+              END,
+              s -> s.out)"""
+    )
+    per_doc = (
+        chunks.groupBy(id_col)
+        .agg(w_sorted.alias("_chunks"))
+        .withColumn("_packs", fold)
+    )
+    return per_doc.select(
+        id_col,
+        F.expr(
+            "explode(zip_with(_chunks, _packs, (c, p) -> named_struct("
+            "'chunk_idx', c.i, 'n_tokens', c.n, 'pack_id', p)))"
+        ).alias("z"),
+    ).select(id_col, "z.chunk_idx", "z.n_tokens", "z.pack_id")
+
+
 BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 

@@ -238,6 +238,41 @@ def test_chunk_documents_budget_and_overlap(spark):
         text.chunk_documents(df, max_tokens=4, overlap=4)
 
 
+def test_pack_chunks_greedy_matches_python(spark):
+    import random
+
+    rng = random.Random(9)
+    rows_in = []
+    for d in range(12):
+        for i in range(rng.randint(1, 9)):
+            rows_in.append((d, i, rng.randint(1, 7)))
+    df = spark.createDataFrame(rows_in, "doc_id long, chunk_idx long, n_tokens long")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["pack_id"]
+        for r in rows(text.pack_chunks_per_doc(df, budget=10))
+    }
+    by_doc: dict = {}
+    for d, i, n in rows_in:
+        by_doc.setdefault(d, []).append((i, n))
+    for d, cs in by_doc.items():
+        acc, pid = 0, 0
+        for i, n in sorted(cs):
+            if acc + n > 10 and acc > 0:
+                pid, acc = pid + 1, n
+            else:
+                acc += n
+            assert got[(d, i)] == pid, (d, i)
+    # every pack respects the budget unless a single chunk exceeds it
+    sums: dict = {}
+    singles: dict = {}
+    for (d, i), p in got.items():
+        n = next(n for dd, ii, n in rows_in if (dd, ii) == (d, i))
+        sums[(d, p)] = sums.get((d, p), 0) + n
+        singles[(d, p)] = max(singles.get((d, p), 0), n)
+    for k, s in sums.items():
+        assert s <= 10 or singles[k] == s
+
+
 def test_token_stats(spark):
     df = spark.createDataFrame([(1, "the cat sat on the mat")], "doc_id long, text string")
     out = rows(text.with_token_stats(df))[0]
