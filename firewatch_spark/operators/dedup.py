@@ -335,9 +335,11 @@ def near_dup_clusters(
     cluster_id``).
 
     Algorithm: min-label propagation.  Each round every node takes the
-    min of its own label and its neighbors' labels; labels only ever
-    decrease, so the per-round ``sum(label)`` strictly decreases until
-    the fixpoint — one cheap agg action per round detects convergence.
+    min of its own label and its neighbors' labels; a per-row change
+    flag is carried through the round and ``sum(flag) == 0`` detects
+    the fixpoint — one cheap agg action per round, and (unlike a
+    ``sum(label)`` probe) it is type-agnostic: string ids compare fine
+    and there is no int64-sum overflow exposure (ADVICE r3).
     Rounds needed = graph diameter, which for near-dup graphs (stars
     from the identical-sig collapse + short chains) is small; max_iter
     bounds pathological chains.
@@ -359,7 +361,6 @@ def near_dup_clusters(
     edges = edges.localCheckpoint()
 
     labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -373,13 +374,18 @@ def near_dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                # labels only decrease, so "my neighbour min beats my
+                # current label" IS the change flag for this round
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("_chg"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        n_changed = labels.agg(F.sum("_chg")).first()[0]
+        labels = labels.drop("_chg")
+        if not n_changed:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -69,12 +69,18 @@ def with_int8_quantized(
     df: DataFrame, vec_col: str = "unit", out_col: str = "q8", scale: int = 127
 ) -> DataFrame:
     """Symmetric int8 quantization of a unit-normalized vector
-    (x → round(x·127), clamped): 4× smaller storage, and int8 dot
-    products approximate the cosine.  Dequantize with `x / 127.0`."""
+    (x → ⌊x·127 + 0.5⌋, clamped): 4× smaller storage, and int8 dot
+    products approximate the cosine.  Dequantize with `x / 127.0`.
+
+    Rounding is floor(x·s + 0.5) — "half toward +∞" — rather than
+    engine round(): floor of an identical double is identical in every
+    engine, while round() tie/representation behavior differs between
+    Spark (BigDecimal HALF_UP) and other engines, which would break the
+    DuckDB oracle's bit-parity."""
     return df.withColumn(
         out_col,
         F.expr(
-            f"transform({vec_col}, x -> CAST(greatest(-{scale}, "
-            f"least({scale}, round(CAST(x AS DOUBLE) * {scale}))) AS TINYINT))"
+            f"transform({vec_col}, x -> CAST(greatest(-{scale}.0, "
+            f"least({scale}.0, floor(CAST(x AS DOUBLE) * {scale} + 0.5d))) AS TINYINT))"
         ),
     )

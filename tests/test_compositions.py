@@ -166,6 +166,22 @@ def test_near_dup_clusters_random_graphs(spark, seed):
     assert labels == expected
 
 
+def test_near_dup_clusters_string_ids_deep_chain(spark):
+    """ADVICE r3 regression: with STRING doc ids the old sum(label)
+    convergence probe returned NULL every round, so the loop exited
+    after one propagation and any graph of diameter > 1 got wrong
+    clusters.  A 6-hop chain of string ids must fully collapse."""
+    ids = [f"doc{i:02d}" for i in range(8)]
+    chain = [(ids[i], ids[i + 1]) for i in range(6)]  # doc06 needs 6 hops
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(pairs, docs).collect()
+    }
+    assert labels == {i: ("doc00" if i != "doc07" else "doc07") for i in ids}
+
+
 def _topk_sets(df):
     out = {}
     for r in df.collect():

@@ -15,6 +15,11 @@ TABLES = (
 
 SAMPLE = ["session_stats", "inference_cadence", "dedup_exact", "asof_join"]
 
+# the round-4 LLM-pack attestation queries: cheap enough to gate in
+# pytest too, so a registry edit can't silently break them before the
+# driver sees them
+SAMPLE += ["repetition_stats", "doc_chunks", "chunk_packing", "dataset_split"]
+
 
 def test_contract_shape():
     qs = entrypoint.queries()
@@ -38,6 +43,38 @@ def test_query_matches_oracle(spark, sf_dir, name):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     odf = con.execute(osql[name]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    key = sorted(sdf.columns)
+    a = sdf.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
+    b = odf.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
+    b = b.astype(a.dtypes.to_dict())
+    assert a.equals(b)
+
+
+def _tail_names():
+    from firewatch_spark import queries as Q
+
+    return Q._TAIL
+
+
+@pytest.mark.parametrize("name", _tail_names())
+def test_tail_queries_keep_oracle_coverage(spark, sf_dir, name):
+    """_TAIL entries sit outside the external driver's 50-query window
+    (queries.py _ordered) — this replay keeps them continuously gated
+    (ADVICE r3): oracle-backed entries must still hash-match DuckDB;
+    rows-only entries must still run."""
+    from firewatch_spark import queries as Q
+
+    spec = Q.registry()[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        assert len(sdf) >= 0  # rows-only by design: runnable is the contract
+        return
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    odf = con.execute(spec.oracle).df()
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
     key = sorted(sdf.columns)
