@@ -24,11 +24,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Queries whose WORK happens while building the DataFrame (the
 # streaming replays run a whole availableNow query inside the callable;
-# video_scan materializes its temp input files) — for these the clock
-# wraps build + sink, for plain batch queries it wraps the sink only
-# (plan construction is sub-ms noise).  Every registered query gets a
-# datapoint either way.
-BUILD_TIMED = {"streaming_session_parity", "streaming_ep2_parity", "video_scan"}
+# video_scan materializes its temp input files; near_dup_clusters runs
+# its label-propagation actions in the build loop) — for these the
+# clock wraps build + sink, for plain batch queries it wraps the sink
+# only (plan construction is sub-ms noise).  Every registered query
+# gets a datapoint either way.
+BUILD_TIMED = {
+    "streaming_session_parity",
+    "streaming_ep2_parity",
+    "video_scan",
+    "near_dup_clusters",
+}
 
 
 def main() -> None:
