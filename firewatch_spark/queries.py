@@ -54,13 +54,25 @@ INTERVAL = 5
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS): Spark errors on it unless
-    # nanosAsLong is set (runtime-settable; the driver's session is
-    # vanilla, so set it here, not in our own session builder).  The
+    # events.ts is parquet TIMESTAMP(NANOS): pyspark ≤4.0 errors on it
+    # unless nanosAsLong is set (runtime-settable; the driver's session
+    # is vanilla, so set it here, not in our own session builder) and
+    # then reads int64 nanos; 4.1+ ignores the legacy conf and reads a
+    # real TIMESTAMP_NTZ truncated to micros.  Consumers of `ts` go
+    # through `_event_time`, which absorbs both shapes.  The
     # ms-precision columns (l_shipdate, o_orderdate) are unaffected and
     # read natively as TIMESTAMP_NTZ, matching DuckDB wall-clock.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_time(ev: DataFrame):
+    """`events.ts` as a micro-precision timestamp Column, whatever the
+    runtime's parquet-nanos behavior (int64 nanos on ≤4.0 with
+    nanosAsLong, TIMESTAMP_NTZ on 4.1+)."""
+    if dict(ev.dtypes).get("ts") == "bigint":
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts")
 
 
 def _with_surrogate(ev: DataFrame) -> DataFrame:
@@ -1892,10 +1904,11 @@ def topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling time window via F.window — declared parity-plus
     (SURVEY.md §2.5 note: the reference has no time windows at all).
-    events.ts arrives as int64 nanos (nanosAsLong); converted to a real
-    timestamp for the window, reported as epoch seconds (portable)."""
+    events.ts is normalized by `_event_time` (nanos-long or native
+    TIMESTAMP_NTZ depending on the pyspark version), reported as epoch
+    seconds (portable)."""
     ev = _tbl(spark, sf_dir, "events")
-    ev = ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.withColumn("ts_t", _event_time(ev))
     return (
         ev.groupBy(F.window("ts_t", "1 hour").alias("w"))
         .agg(
@@ -2047,9 +2060,7 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    from .streaming.replay import write_replay_chunks
     from .streaming.session_state import sessionize_stream
 
     # stateful stage cost scales with state-store instances (= shuffle
@@ -2065,26 +2076,18 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("has_fire_b").alias("has_fire"),
             F.col("fire_probability"),
         )
-        pdf = ev.toPandas().sort_values("frame_number")
+        # the gap-close sentinel: one frame per key past max_seq + gap,
+        # built BY SPARK (groupBy max) — no driver materialization
         sentinels = (
-            pdf.groupby("video_id", as_index=False)["frame_number"]
-            .max()
-            .assign(
-                frame_number=lambda d: d["frame_number"] + SESSION_GAP + 1,
-                has_fire=False,
-                fire_probability=0.0,
-            )
+            ev.groupBy("video_id")
+            .agg((F.max("frame_number") + SESSION_GAP + 1).alias("frame_number"))
+            .withColumn("has_fire", F.lit(False))
+            .withColumn("fire_probability", F.lit(0.0))
         )
         tmp = tempfile.mkdtemp(prefix="fw_stream_")
-        n_files = 3
-        per = (len(pdf) + n_files - 1) // n_files
-        for i in range(n_files):
-            chunk = pdf.iloc[i * per : (i + 1) * per]
-            if not chunk.empty:
-                pq.write_table(
-                    pa.Table.from_pandas(chunk), f"{tmp}/chunk_{i:03d}.parquet"
-                )
-        pq.write_table(pa.Table.from_pandas(sentinels), f"{tmp}/chunk_999.parquet")
+        # Spark-written range chunks (VERDICT r4 #1): driver sees only
+        # the 2 percentile boundaries, never the rows
+        write_replay_chunks(ev, tmp, n_chunks=3, sentinel=sentinels)
 
         stream = (
             spark.readStream.schema(
@@ -2173,7 +2176,7 @@ def sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     event lands in two windows; the oracle replays the assignment as a
     union of the containing hour bucket and its predecessor."""
     ev = _tbl(spark, sf_dir, "events")
-    ev = ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = ev.withColumn("ts_t", _event_time(ev))
     return (
         ev.groupBy(F.window("ts_t", "2 hours", "1 hour").alias("w"))
         .agg(
@@ -2231,9 +2234,7 @@ def streaming_ep2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf-scale rather than only in unit tests."""
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    from .streaming.replay import write_replay_chunks
     from .streaming.stateful_pipeline import fire_detection_stream
 
     # see streaming_session_parity: bound state-store instance count,
@@ -2245,16 +2246,10 @@ def streaming_ep2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("video_id"),
             F.col("event_id").alias("frame_number"),
         )
-        pdf = ev.toPandas().sort_values("frame_number")
         tmp = tempfile.mkdtemp(prefix="fw_ep2_")
-        n_files = 3
-        per = (len(pdf) + n_files - 1) // n_files
-        for i in range(n_files):
-            chunk = pdf.iloc[i * per : (i + 1) * per]
-            if not chunk.empty:
-                pq.write_table(
-                    pa.Table.from_pandas(chunk), f"{tmp}/chunk_{i:03d}.parquet"
-                )
+        # Spark-written range chunks (VERDICT r4 #1) — per-key frame
+        # order is non-decreasing across batches by construction
+        write_replay_chunks(ev, tmp, n_chunks=3)
 
         stream = (
             spark.readStream.schema("video_id string, frame_number long")

@@ -21,6 +21,34 @@ SAMPLE = ["session_stats", "inference_cadence", "dedup_exact", "asof_join"]
 SAMPLE += ["repetition_stats", "doc_chunks", "chunk_packing", "dataset_split"]
 
 
+def replay_against_oracle(spark, sf_dir, name):
+    """The ONE oracle-replay body both gates share (ADVICE r4): run the
+    registered Spark query and its DuckDB oracle side-by-side and
+    assert row-count + column-set + value equality.  Rows-only entries
+    (oracle is None) assert the weaker runnable-with-a-real-schema
+    contract — that IS the whole driver-side check for them."""
+    from firewatch_spark import queries as Q
+
+    spec = Q.registry()[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        # rows-only by design: the contract is "runs and yields a
+        # non-degenerate schema" (the driver records rows+schema only)
+        assert len(sdf.columns) > 0
+        return
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    odf = con.execute(spec.oracle).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    key = sorted(sdf.columns)
+    a = sdf.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
+    b = odf.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
+    b = b.astype(a.dtypes.to_dict())
+    assert a.equals(b)
+
+
 def test_contract_shape():
     qs = entrypoint.queries()
     osql = entrypoint.oracle_sql()
@@ -37,19 +65,7 @@ def test_entry_returns_rows(spark):
 
 @pytest.mark.parametrize("name", SAMPLE)
 def test_query_matches_oracle(spark, sf_dir, name):
-    qs, osql = entrypoint.queries(), entrypoint.oracle_sql()
-    sdf = qs[name](spark, sf_dir).toPandas()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    odf = con.execute(osql[name]).df()
-    assert len(sdf) == len(odf)
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    key = sorted(sdf.columns)
-    a = sdf.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
-    b = odf.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
-    b = b.astype(a.dtypes.to_dict())
-    assert a.equals(b)
+    replay_against_oracle(spark, sf_dir, name)
 
 
 def _tail_names():
@@ -62,23 +78,5 @@ def _tail_names():
 def test_tail_queries_keep_oracle_coverage(spark, sf_dir, name):
     """_TAIL entries sit outside the external driver's 50-query window
     (queries.py _ordered) — this replay keeps them continuously gated
-    (ADVICE r3): oracle-backed entries must still hash-match DuckDB;
-    rows-only entries must still run."""
-    from firewatch_spark import queries as Q
-
-    spec = Q.registry()[name]
-    sdf = spec.fn(spark, sf_dir).toPandas()
-    if spec.oracle is None:
-        assert len(sdf) >= 0  # rows-only by design: runnable is the contract
-        return
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    odf = con.execute(spec.oracle).df()
-    assert len(sdf) == len(odf)
-    assert sorted(sdf.columns) == sorted(odf.columns)
-    key = sorted(sdf.columns)
-    a = sdf.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
-    b = odf.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
-    b = b.astype(a.dtypes.to_dict())
-    assert a.equals(b)
+    (ADVICE r3), via the same body as the SAMPLE gate."""
+    replay_against_oracle(spark, sf_dir, name)
