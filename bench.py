@@ -44,13 +44,13 @@ def main() -> None:
     spark = get_spark("firewatch-bench")
     reg = registry()
 
-    def run(name: str) -> float:
+    def run(name: str, sf_dir: str = SF_DIR) -> float:
         if name in BUILD_TIMED:
             t0 = time.perf_counter()
-            df = reg[name].fn(spark, SF_DIR)
+            df = reg[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
-        df = reg[name].fn(spark, SF_DIR)
+        df = reg[name].fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
@@ -66,6 +66,13 @@ def main() -> None:
     reg["streaming_session_parity"].fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # flagship latency percentiles (reference scripts/bench.py reports
+    # p50/p95/p99 per frame; the batch analog is repeated query runs).
+    # Run BEFORE the main loop: round 4 ran these last, right after
+    # near_dup_clusters' ~40 label-propagation actions, and the session
+    # residue inflated p50 0.33→0.41 s (VERDICT r4 "Next round" #8)
+    flagship_runs = sorted(run("session_stats") for _ in range(5))
 
     times: dict[str, float] = {}
     for name in sorted(reg):
@@ -121,9 +128,41 @@ def main() -> None:
         inference["row_udf_sec"] / inference["column_expr_sec"], 2
     )
 
-    # flagship latency percentiles (reference scripts/bench.py reports
-    # p50/p95/p99 per frame; the batch analog is repeated query runs)
-    flagship_runs = sorted(run("session_stats") for _ in range(5))
+    # Scaling slope (VERDICT r4 #3): the capped/bucketed operators,
+    # re-timed on a 5x replication of SF_DIR's documents+embeddings
+    # (word-salted so near-dup structure scales linearly, see
+    # tools/scale_data.py).  slope_vs_linear = (t_5x / t_1x) / 5:
+    # 1.0 = perfectly linear, < 1 sublinear (fixed overhead amortizing
+    # out), > 1 superlinear (a pair explosion or an uncapped join).
+    from tools.scale_data import build_scaled_dir
+
+    SCALE_FACTOR = 5
+    SCALE_QUERIES = [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "simhash_pairs",
+        "ngram_jaccard",
+        "near_dup_clusters",
+        "repetition_stats",
+        "ann_lsh_buckets",
+        "ann_ivf_topk",
+    ]
+    scale_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_scale",
+        f"x{SCALE_FACTOR}",
+    )
+    if not os.path.exists(os.path.join(scale_dir, "documents.parquet", "_SUCCESS")):
+        build_scaled_dir(spark, SF_DIR, scale_dir, SCALE_FACTOR)
+    scaling = {}
+    for name in SCALE_QUERIES:
+        t_scaled = run(name, scale_dir)
+        scaling[name] = {
+            "t_1x_sec": times[name],
+            f"t_{SCALE_FACTOR}x_sec": round(t_scaled, 4),
+            "slope_vs_linear": round(t_scaled / times[name] / SCALE_FACTOR, 3),
+        }
+
     pct = lambda p: round(flagship_runs[min(int(p * len(flagship_runs)), len(flagship_runs) - 1)], 4)
 
     total = round(sum(times.values()), 4)
@@ -150,6 +189,7 @@ def main() -> None:
                 "flagship_p95_sec": pct(0.95),
                 "sessionized_rows_per_sec_stream": stream_rps,
                 "batched_inference": inference,
+                "scaling": {"factor": SCALE_FACTOR, "queries": scaling},
             }
         )
     )

@@ -27,6 +27,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salt_column(df: DataFrame, salt_buckets: int, random_salt: bool) -> Column:
+    """The salt expression `salted_agg` uses, exposed for testing.
+    Deterministic: ``pmod`` of the all-columns hash (uniform in
+    [0, buckets), no ``abs`` Long.MIN_VALUE trap).  Random: partition
+    id + a uniform draw, for hot keys made of identical rows."""
+    if random_salt:
+        return F.pmod(
+            F.spark_partition_id()
+            + F.floor(F.rand() * salt_buckets).cast("int"),
+            F.lit(salt_buckets),
+        )
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+    )
+
+
 def distinct_count_per_key(
     df: DataFrame, key: str, value: str, out_col: str = "n_distinct"
 ) -> DataFrame:
@@ -44,18 +60,28 @@ def salted_agg(
     key: str,
     aggs: dict[str, tuple[Column, Callable[[Column], Column]]],
     salt_buckets: int = 16,
+    random_salt: bool = False,
 ) -> DataFrame:
     """Two-phase aggregation over (key, salt) then key.
 
     `aggs` maps output name → (partial aggregate Column, merge
     function): e.g. ``{"n": (F.count(F.lit(1)), F.sum), "mx":
     (F.max("v"), F.max)}`` — the merge must be the partial's combiner
-    (count/sum merge by sum; min/max by themselves).  The salt is a
-    deterministic hash of the row's VALUE columns, so re-runs are
-    stable and a hot key splits evenly."""
+    (count/sum merge by sum; min/max by themselves).
+
+    The default salt is a deterministic ``pmod`` of the row-value hash
+    (``pmod``, not ``abs %``: ``abs(Long.MIN_VALUE)`` overflows and
+    ``abs`` would halve the usable hash range — ADVICE r3): re-runs are
+    stable and a hot key whose rows DIFFER splits evenly.  But the
+    common skew shape is a hot key made of IDENTICAL duplicate rows —
+    every copy hashes alike, lands in one salt bucket, and the split
+    does nothing.  For that data pass ``random_salt=True``: the salt
+    becomes ``(spark_partition_id, rand)``-derived, spreading exact
+    duplicates at the cost of a nondeterministic (but
+    merge-invariant — the final groupBy(key) re-combines whatever the
+    split was) partial phase."""
     salted = df.withColumn(
-        "_salt",
-        (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salt_buckets).cast("int"),
+        "_salt", salt_column(df, salt_buckets, random_salt).cast("int")
     )
     partial = salted.groupBy(key, "_salt").agg(
         *[c.alias(f"_p_{name}") for name, (c, _) in aggs.items()]

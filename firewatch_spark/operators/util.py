@@ -3,17 +3,34 @@
 from __future__ import annotations
 
 import os
-from urllib.parse import urlparse
+import re
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
 _MB = 1024 * 1024
 
+# Spark byte-string suffixes (JavaUtils.byteStringAs): 1k = 1024
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024,
+    "m": _MB, "mb": _MB,
+    "g": 1024 ** 3, "gb": 1024 ** 3,
+    "t": 1024 ** 4, "tb": 1024 ** 4,
+    "p": 1024 ** 5, "pb": 1024 ** 5,
+}
+
 
 def _max_partition_bytes(df: DataFrame) -> int:
+    # parse Spark byte-string units ('128m', '1g', plain bytes) — the
+    # round-4 digits-only parse read '128m' as 128 BYTES, silently
+    # disabling the fan-out guard whenever the conf used suffix
+    # notation (ADVICE r4)
     raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", str(128 * _MB))
-    digits = "".join(ch for ch in str(raw) if ch.isdigit())
-    return int(digits) if digits else 128 * _MB
+    m = re.fullmatch(r"\s*(\d+)\s*([a-z]*)\s*", str(raw).lower())
+    if not m or m.group(2) not in _BYTE_SUFFIX:
+        return 128 * _MB
+    return int(m.group(1)) * _BYTE_SUFFIX[m.group(2)]
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -57,7 +74,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         if parsed.scheme not in ("file", ""):
             return df
         try:
-            total += os.path.getsize(parsed.path)
+            # inputFiles() returns percent-encoded URIs: unquote before
+            # stat'ing or a path with spaces raises and skips the
+            # fan-out exactly when it's wanted (ADVICE r4)
+            total += os.path.getsize(unquote(parsed.path))
         except OSError:
             return df
     if total >= _max_partition_bytes(df) * max(2, target // 2):

@@ -182,6 +182,26 @@ def test_near_dup_clusters_string_ids_deep_chain(spark):
     assert labels == {i: ("doc00" if i != "doc07" else "doc07") for i in ids}
 
 
+def test_near_dup_clusters_raises_when_not_converged(spark):
+    """ADVICE r4: exhausting max_iter with labels still moving must be
+    a loud error, not a silently under-merged result that only the
+    driver's transitive-closure oracle would catch."""
+    import pytest
+
+    ids = [f"d{i:02d}" for i in range(10)]
+    chain = [(ids[i], ids[i + 1]) for i in range(9)]  # diameter 9
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_clusters(pairs, docs, max_iter=2)
+    # and a sufficient budget still converges cleanly
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(pairs, docs, max_iter=12).collect()
+    }
+    assert set(labels.values()) == {"d00"}
+
+
 def _topk_sets(df):
     out = {}
     for r in df.collect():
