@@ -2076,6 +2076,10 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("has_fire_b").alias("has_fire"),
             F.col("fire_probability"),
         )
+        # materialize the (bounded) fixture input once on the executors:
+        # the sentinel agg, the chunk-boundary percentiles and the 3
+        # chunk writes would otherwise each recompute the surrogate scan
+        ev = ev.localCheckpoint()
         # the gap-close sentinel: one frame per key past max_seq + gap,
         # built BY SPARK (groupBy max) — no driver materialization
         sentinels = (
@@ -2248,8 +2252,9 @@ def streaming_ep2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tmp = tempfile.mkdtemp(prefix="fw_ep2_")
         # Spark-written range chunks (VERDICT r4 #1) — per-key frame
-        # order is non-decreasing across batches by construction
-        write_replay_chunks(ev, tmp, n_chunks=3)
+        # order is non-decreasing across batches by construction; one
+        # executor-side materialization feeds boundary agg + 3 writes
+        write_replay_chunks(ev.localCheckpoint(), tmp, n_chunks=3)
 
         stream = (
             spark.readStream.schema("video_id string, frame_number long")

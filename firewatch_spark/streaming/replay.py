@@ -68,12 +68,24 @@ def write_replay_chunks(
             pieces.append(df.where(cond))
     if sentinel is not None:
         pieces.append(sentinel)
-    for i, piece in enumerate(pieces):
-        name = "chunk_999.parquet" if (sentinel is not None and i == len(pieces) - 1) \
-            else f"chunk_{i:03d}.parquet"
-        path = _write_single_file(piece, tmp, name)
-        if path:
-            paths.append(path)
+    names = [
+        "chunk_999.parquet" if (sentinel is not None and i == len(pieces) - 1)
+        else f"chunk_{i:03d}.parquet"
+        for i in range(len(pieces))
+    ]
+    # the chunk writes are independent single-task jobs — submit them
+    # concurrently (Spark schedules parallel jobs fine) so replay
+    # authoring costs one job latency, not n_chunks of them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(pieces)) as pool:
+        written = list(
+            pool.map(
+                lambda args: _write_single_file(args[0], tmp, args[1]),
+                zip(pieces, names),
+            )
+        )
+    paths = [p for p in written if p]
     # strictly increasing mtimes pin the FileStreamSource replay order
     base = int(os.path.getmtime(paths[0])) if paths else 0
     for i, p in enumerate(paths):
