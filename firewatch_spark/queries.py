@@ -671,7 +671,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs)
 
 
-def _minhash_sig_sql(num_hashes: int = 12, shingle_n: int = 3) -> str:
+def _minhash_sig_sql(
+    num_hashes: int = 12, shingle_n: int = 3, doc_src: str = "documents"
+) -> str:
     idx = " || ' ' || ".join(
         f"list_extract(toks, i + {k})" for k in range(shingle_n)
     )
@@ -680,7 +682,7 @@ def _minhash_sig_sql(num_hashes: int = 12, shingle_n: int = 3) -> str:
         for j in range(num_hashes)
     )
     return f"""
-    toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {doc_src}),
     sh AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= {shingle_n}
@@ -710,9 +712,11 @@ _MATCH_SUM = " + ".join(f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j i
 
 # mirrors operators/dedup.py mega-bucket defense: identical signatures
 # collapse to min-id star edges, reps band, buckets cap at MAX_BUCKET.
-# The candidate-generation CTE chain is shared by dedup_minhash_lsh and
-# the near_dup_clusters oracle (which runs connected components on it).
-_MINHASH_CAND_CTES = f"""{_minhash_sig_sql(12, 3)},
+# The candidate-generation CTE chain is shared by dedup_minhash_lsh,
+# the near_dup_clusters oracle (which runs connected components on it)
+# and the llm_pipeline oracle (same chain over the cleaned subset).
+def _minhash_cand_ctes(doc_src: str = "documents") -> str:
+    return f"""{_minhash_sig_sql(12, 3, doc_src)},
     rep AS (
       SELECT *, MIN(doc_id) OVER (
         PARTITION BY md5(concat_ws('|', {", ".join(f"m{j}" for j in range(12))}))
@@ -737,6 +741,9 @@ _MINHASH_CAND_CTES = f"""{_minhash_sig_sql(12, 3)},
       UNION
       SELECT doc_a, doc_b FROM dup_pairs
     )"""
+
+
+_MINHASH_CAND_CTES = _minhash_cand_ctes()
 
 _MINHASH_SQL = f"""
     WITH {_MINHASH_CAND_CTES}
@@ -1103,12 +1110,12 @@ def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_FRACTIONS = {"train": 0.8, "validation": 0.1, "test": 0.1}
 
 
-def _split_sql(fractions: dict[str, float], salt: str = "split") -> str:
-    """DuckDB twin of sampling.split_by_hash: decode the first 8 md5
-    nibbles to an exact integer, one double division, and boundary
-    literals accumulated with the SAME Python float additions (repr
-    round-trips exactly, so `u < 0.9000000000000001` matches Spark's
-    boundary bit-for-bit)."""
+def _split_val_and_case(fractions: dict[str, float]) -> tuple[str, str]:
+    """The two SQL pieces of the split assignment: the 8-nibble md5
+    decode expression (over a column named `h`) and the boundary CASE
+    (over a column named `u`).  Boundary literals are accumulated with
+    the SAME Python float additions Spark uses (repr round-trips
+    exactly, so `u < 0.9000000000000001` matches bit-for-bit)."""
     val = " + ".join(
         f"(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
         for i in range(8)
@@ -1118,12 +1125,21 @@ def _split_sql(fractions: dict[str, float], salt: str = "split") -> str:
     for name in names[:-1]:
         acc += fractions[name]
         cases.append(f"WHEN u < {acc!r} THEN '{name}'")
+    case_expr = f"CASE {' '.join(cases)} ELSE '{names[-1]}' END"
+    return val, case_expr
+
+
+def _split_sql(
+    fractions: dict[str, float], salt: str = "split", doc_src: str = "documents"
+) -> str:
+    """DuckDB twin of sampling.split_by_hash (see _split_val_and_case)."""
+    val, case_expr = _split_val_and_case(fractions)
     return f"""
     WITH h AS (
-      SELECT doc_id, md5('{salt}|' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+      SELECT doc_id, md5('{salt}|' || CAST(doc_id AS VARCHAR)) AS h FROM {doc_src}
     ),
     u AS (SELECT doc_id, ({val}) / 4294967296.0 AS u FROM h)
-    SELECT doc_id, CASE {" ".join(cases)} ELSE '{names[-1]}' END AS split FROM u
+    SELECT doc_id, {case_expr} AS split FROM u
     """
 
 
@@ -1202,6 +1218,244 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3)
     return dedup.near_dup_clusters(pairs, docs)
+
+
+# ---------------------------------------------------------------------------
+# The full LLM-data-pipeline walkthrough (VERDICT r4 "Next round" #5):
+# quality filter → repetition filter → exact dedup → near-dup cluster
+# keep-list → deterministic split → chunk → pack → embedding quantize,
+# composed as ONE Spark lineage and checked against ONE DuckDB oracle
+# that replays every stage (each stage's SQL is the already-green
+# per-operator oracle re-sourced to the previous stage's CTE).
+
+_PIPE_QUALITY_MIN = 0.5
+_PIPE_DUP_MAX = 0.65
+_PIPE_TOPGRAM_MAX = 0.06
+_PIPE_RUN_MAX = 4
+
+
+def _llm_pipeline_sql() -> str:
+    stop = text._in_list(text.STOPWORDS)
+    val, case_expr = _split_val_and_case(_SPLIT_FRACTIONS)
+    return f"""
+    WITH RECURSIVE
+    p_t0 AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    p_quality AS (
+      SELECT doc_id, text,
+             LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) *
+               (1.0 - len(list_filter(toks, t -> t IN {stop})) / CAST(len(toks) AS DOUBLE)) AS q
+      FROM p_t0
+    ),
+    p_qkeep AS (SELECT doc_id, text FROM p_quality WHERE q >= {_PIPE_QUALITY_MIN}),
+    p_t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM p_qkeep),
+    p_g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                       i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))
+                  ELSE [concat_ws(' ', toks)] END AS grams
+      FROM p_t
+    ),
+    p_tok_rows AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx FROM p_t
+    ),
+    p_runs AS (
+      SELECT doc_id, tok,
+             idx - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY idx) AS grp
+      FROM p_tok_rows
+    ),
+    p_runlen AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS rl FROM p_runs GROUP BY doc_id, tok, grp
+    ),
+    p_maxrun AS (SELECT doc_id, max(rl) AS max_run_len FROM p_runlen GROUP BY doc_id),
+    p_rep AS (
+      SELECT g.doc_id,
+             1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+             list_max(list_transform(list_distinct(grams),
+                      x -> len(list_filter(grams, y -> y = x))))
+               / CAST(len(grams) AS DOUBLE) AS top_ngram_frac,
+             m.max_run_len
+      FROM p_g g JOIN p_maxrun m ON g.doc_id = m.doc_id
+    ),
+    p_clean AS (
+      SELECT t.doc_id, t.text
+      FROM p_t t JOIN p_rep r ON t.doc_id = r.doc_id
+      WHERE r.dup_token_frac <= {_PIPE_DUP_MAX}
+        AND r.top_ngram_frac <= {_PIPE_TOPGRAM_MAX}
+        AND r.max_run_len <= {_PIPE_RUN_MAX}
+    ),
+    p_exact AS (SELECT MIN(doc_id) AS doc_id FROM p_clean GROUP BY md5(text)),
+    p_clean2 AS (SELECT c.doc_id, c.text FROM p_clean c JOIN p_exact e USING (doc_id)),
+    {_minhash_cand_ctes("p_clean2")},
+    p_edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    p_reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM p_clean2
+      UNION
+      SELECT p_reach.id, e.dst FROM p_reach JOIN p_edges e ON p_reach.r = e.src
+    ),
+    p_clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM p_reach GROUP BY id),
+    p_surv AS (
+      SELECT c.doc_id, c.text
+      FROM p_clean2 c JOIN p_clusters k
+        ON c.doc_id = k.doc_id AND c.doc_id = k.cluster_id
+    ),
+    p_h AS (
+      SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS h FROM p_surv
+    ),
+    p_u AS (SELECT doc_id, ({val}) / 4294967296.0 AS u FROM p_h),
+    p_split AS (SELECT doc_id, {case_expr} AS split FROM p_u),
+    p_ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM p_surv),
+    p_starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), {PACK_CHUNK})) AS st,
+             CAST(generate_subscripts(generate_series(1, greatest(len(toks), 1), {PACK_CHUNK}), 1) - 1 AS INTEGER) AS chunk_idx
+      FROM p_ct
+    ),
+    p_chunks AS (
+      SELECT doc_id, chunk_idx,
+             CAST(len(list_slice(toks, st, st + {PACK_CHUNK - 1})) AS BIGINT) AS n_tokens
+      FROM p_starts
+    ),
+    p_packs AS (
+      SELECT doc_id, chunk_idx, n_tokens, CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+      FROM p_chunks WHERE chunk_idx = 0
+      UNION ALL
+      SELECT c.doc_id, c.chunk_idx, c.n_tokens,
+             CASE WHEN p.acc + c.n_tokens > {PACK_BUDGET} THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.acc + c.n_tokens > {PACK_BUDGET} THEN c.n_tokens ELSE p.acc + c.n_tokens END
+      FROM p_chunks c JOIN p_packs p ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1
+    ),
+    p_cs AS (
+      SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(c.n_tokens) AS BIGINT) AS sum_chunk_tokens
+      FROM p_chunks c JOIN p_split s USING (doc_id) GROUP BY s.split
+    ),
+    p_ps AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_packs
+      FROM (SELECT DISTINCT s.split, p.doc_id, p.pack_id
+            FROM p_packs p JOIN p_split s USING (doc_id))
+      GROUP BY split
+    ),
+    p_en AS (
+      SELECT vec_id,
+             list_reduce(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (a, b) -> a + b) AS n2,
+             embedding
+      FROM embeddings
+    ),
+    p_er AS (SELECT vec_id, n2, unnest(embedding) AS x FROM p_en),
+    p_eq AS (
+      SELECT vec_id,
+             CAST(SUM(abs(CAST(greatest(-127.0, least(127.0,
+               floor((CASE WHEN n2 = 0.0 THEN 0.0 ELSE CAST(x AS DOUBLE) / sqrt(n2) END) * 127 + 0.5)))
+               AS BIGINT))) AS BIGINT) AS l1
+      FROM p_er GROUP BY vec_id
+    ),
+    p_vs AS (
+      SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(e.l1) AS BIGINT) AS q8_l1
+      FROM p_eq e JOIN p_split s ON e.vec_id = s.doc_id GROUP BY s.split
+    ),
+    p_nd AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM p_split GROUP BY split)
+    SELECT d.split, d.n_docs,
+           CAST(COALESCE(c.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(c.sum_chunk_tokens, 0) AS BIGINT) AS sum_chunk_tokens,
+           CAST(COALESCE(pp.n_packs, 0) AS BIGINT) AS n_packs,
+           CAST(COALESCE(v.n_vecs, 0) AS BIGINT) AS n_vecs,
+           CAST(COALESCE(v.q8_l1, 0) AS BIGINT) AS q8_l1
+    FROM p_nd d
+    LEFT JOIN p_cs c USING (split)
+    LEFT JOIN p_ps pp USING (split)
+    LEFT JOIN p_vs v USING (split)
+    """
+
+
+@q("llm_pipeline", _llm_pipeline_sql())
+def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM-data-pipeline walkthrough as ONE lineage:
+    documents → token/quality stats (filter quality ≥ 0.5) →
+    repetition stats (filter dup-token/top-bigram/run-length) → exact
+    dedup keep-list → MinHash-LSH near-dup clusters keep-list →
+    deterministic split → token chunking → greedy packing, plus the
+    surviving docs' embeddings unit-normed and int8-quantized.  Output:
+    per-split doc/chunk/pack/vector counts and the quantized-l1 sum —
+    every number DuckDB-replayed by the composed oracle."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = text.with_token_stats(docs)
+    qkeep = stats.filter(
+        F.col("quality_score") >= _PIPE_QUALITY_MIN
+    ).select("doc_id", "text")
+    rep = text.with_repetition_stats(qkeep, ngram_n=2)
+    clean = rep.filter(
+        (F.col("dup_token_frac") <= _PIPE_DUP_MAX)
+        & (F.col("top_ngram_frac") <= _PIPE_TOPGRAM_MAX)
+        & (F.col("max_run_len") <= _PIPE_RUN_MAX)
+    ).select("doc_id", "text")
+    keep_exact = dedup.exact_dedup(clean).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    clean2 = clean.join(keep_exact, "doc_id")
+    pairs = dedup.lsh_candidate_pairs(clean2, num_hashes=12, bands=4, shingle_n=3)
+    clusters = dedup.near_dup_clusters(pairs, clean2.select("doc_id"))
+    keep_near = clusters.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    survivors = clean2.join(keep_near, "doc_id")
+    split_docs = sampling.split_by_hash(survivors, _SPLIT_FRACTIONS)
+
+    chunks = text.chunk_documents(
+        split_docs.select("doc_id", "text"), max_tokens=PACK_CHUNK, overlap=0
+    )
+    packs = text.pack_chunks_per_doc(chunks, budget=PACK_BUDGET)
+    splits = split_docs.select("doc_id", "split")
+    chunk_agg = chunks.join(splits, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("sum_chunk_tokens"),
+    )
+    pack_agg = (
+        packs.join(splits, "doc_id")
+        .select("split", "doc_id", "pack_id")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_packs"))
+    )
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q8 = sampling.with_int8_quantized(sampling.with_unit_norm(emb))
+    vec_agg = (
+        q8.join(splits.select(F.col("doc_id").alias("vec_id"), "split"), "vec_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.expr(
+                    "aggregate(q8, CAST(0 AS BIGINT), (a, x) -> a + abs(CAST(x AS BIGINT)))"
+                )
+            ).alias("q8_l1"),
+        )
+    )
+    out = (
+        splits.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(chunk_agg, "split", "left")
+        .join(pack_agg, "split", "left")
+        .join(vec_agg, "split", "left")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "split",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_chunks").cast("long"), zero).alias("n_chunks"),
+        F.coalesce(F.col("sum_chunk_tokens").cast("long"), zero).alias(
+            "sum_chunk_tokens"
+        ),
+        F.coalesce(F.col("n_packs").cast("long"), zero).alias("n_packs"),
+        F.coalesce(F.col("n_vecs").cast("long"), zero).alias("n_vecs"),
+        F.coalesce(F.col("q8_l1").cast("long"), zero).alias("q8_l1"),
+    )
 
 
 _ANN_SAMPLE = 50
@@ -2309,10 +2563,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # stays continuously gated by tests/test_registry.py's oracle replay
 # (ADVICE r3), just not by the external driver.
 _HEAD = [
+    # round-5 addition: the end-to-end pipeline composition — never
+    # driver-attested yet (VERDICT r4 "Next round" #5)
+    "llm_pipeline",
     # round-4 additions: the LLM-pack components that were test-only in
-    # round 3 (VERDICT r3 "Next round" #1) — never driver-attested yet
+    # round 3 (VERDICT r3 "Next round" #1), first attested in r4
     "repetition_stats",
-    "doc_chunks",
     "chunk_packing",
     "dataset_split",
     "embedding_quantize",
@@ -2333,6 +2589,9 @@ _TAIL = [
     "frames_written",  # per-video counter subset of completion_stats/global_counters
     "topk_events_per_user",  # same windowed top-k shape as top_orders_per_customer
     "class_filter",  # class-name filter re-executed inside predict_udf path
+    # round-5 demotion (driver-attested green in r04): the chunking
+    # stage is re-executed inside the windowed llm_pipeline composition
+    "doc_chunks",
 ]
 
 

@@ -280,3 +280,37 @@ def test_ann_ivf_recall_on_driver_testdata(spark, emb):
     truth = _topk_sets(similarity.cosine_topk(emb, queries, k=5))
     ivf = _topk_sets(similarity.ivf_topk(emb, queries, k=5, nprobe=2))
     assert _recall(truth, ivf) >= 2 * (2 / 16)
+
+
+def test_llm_pipeline_single_lineage_invariants(spark, sf_dir):
+    """VERDICT r4 #5: the full scan → quality filter → repetition
+    filter → exact+near dedup → split → chunk → pack → quantize
+    composition runs as ONE lineage and its per-split counts obey the
+    arithmetic the stages promise.  (Value-level parity vs the composed
+    DuckDB oracle is the registry gate — test_registry SAMPLE.)"""
+    import math
+
+    from firewatch_spark.queries import PACK_BUDGET, registry
+
+    out = {
+        r["split"]: r.asDict()
+        for r in registry()["llm_pipeline"].fn(spark, sf_dir).collect()
+    }
+    assert out  # at least one split survives the filters
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_surv = sum(v["n_docs"] for v in out.values())
+    assert 0 < n_surv <= total_docs  # filters and dedup only drop docs
+    for v in out.values():
+        # zero-overlap chunking partitions each doc's tokens exactly:
+        # at least one chunk per doc, every chunk non-empty
+        assert v["n_chunks"] >= v["n_docs"]
+        assert v["sum_chunk_tokens"] >= v["n_chunks"]
+        # greedy packing bounds: cannot beat the token budget (sum of
+        # per-doc ceils >= ceil of the sum), cannot exceed chunk count
+        assert (
+            math.ceil(v["sum_chunk_tokens"] / PACK_BUDGET)
+            <= v["n_packs"]
+            <= v["n_chunks"]
+        )
+        # quantize leg joins on surviving docs only
+        assert v["n_vecs"] <= v["n_docs"]

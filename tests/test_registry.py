@@ -15,10 +15,11 @@ TABLES = (
 
 SAMPLE = ["session_stats", "inference_cadence", "dedup_exact", "asof_join"]
 
-# the round-4 LLM-pack attestation queries: cheap enough to gate in
-# pytest too, so a registry edit can't silently break them before the
-# driver sees them
-SAMPLE += ["repetition_stats", "doc_chunks", "chunk_packing", "dataset_split"]
+# the LLM-pack attestation queries: cheap enough to gate in pytest
+# too, so a registry edit can't silently break them before the driver
+# sees them (doc_chunks moved to _TAIL in round 5 — covered by the
+# tail replay below); llm_pipeline is the round-5 composition
+SAMPLE += ["repetition_stats", "chunk_packing", "dataset_split", "llm_pipeline"]
 
 
 def replay_against_oracle(spark, sf_dir, name):
