@@ -4,18 +4,17 @@ harnesses.
 The round-2/3/4 harnesses built their file-source replay chunks by
 ``toPandas()``-ing the whole input on the driver and slicing it — the
 last full-input driver materialization in the repo (VERDICT r4 "What's
-wrong" #1).  Here the chunks are written BY SPARK: boundaries come from
-one tiny aggregate (``percentile_approx`` over the ordering column —
-n_chunks-1 numbers to the driver, never rows), and each chunk is a
-filtered executor-side parquet write.  Driver memory is O(n_chunks),
-whatever the input size.
+wrong" #1).  Here the chunks are written BY SPARK in one
+``repartitionByRange`` job; the driver only renames the part files.
+Driver memory is O(n_chunks), whatever the input size.
 
 Chunking is by *value range* of the ordering column, not by row index
 as before.  The stateful operators only require that each key's frames
 arrive in non-decreasing order ACROSS micro-batches (within a batch
 they sort, session_state.py:115); non-overlapping increasing ranges
 guarantee that, so the replay output — and the driver's parity hash —
-is invariant to where the boundaries fall.
+is invariant to where the boundaries fall (RangePartitioner's sampled
+boundaries need not be deterministic for parity to hold).
 
 File order is what the FileStreamSource replays: it picks files by
 modification time, so mtimes are forced strictly increasing in chunk
@@ -39,53 +38,35 @@ def write_replay_chunks(
     n_chunks: int = 3,
     sentinel: DataFrame | None = None,
 ) -> list[str]:
-    """Write `df` as `n_chunks` single-file parquet chunks under `tmp`
-    (``chunk_000.parquet`` …), partitioned into non-overlapping
+    """Write `df` as up to `n_chunks` single-file parquet chunks under
+    `tmp` (``chunk_000.parquet`` …), partitioned into non-overlapping
     increasing ranges of `order_col`; an optional `sentinel` DataFrame
     (same schema) becomes the final ``chunk_999.parquet`` batch.
-    Returns the written paths in replay order."""
-    os.makedirs(tmp, exist_ok=True)
-    if n_chunks > 1:
-        fracs = F.array(*[F.lit(i / n_chunks) for i in range(1, n_chunks)])
-        bounds = df.select(
-            F.percentile_approx(order_col, fracs, F.lit(100_000)).alias("b")
-        ).first()["b"]
-    else:
-        bounds = []
-    if bounds is None:  # empty input: no rows to chunk
-        bounds = []
-    paths: list[str] = []
-    pieces = [df]
-    if bounds:
-        col = F.col(order_col)
-        pieces = []
-        for i in range(n_chunks):
-            cond = F.lit(True)
-            if i > 0:
-                cond = cond & (col > F.lit(bounds[i - 1]))
-            if i < len(bounds):
-                cond = cond & (col <= F.lit(bounds[i]))
-            pieces.append(df.where(cond))
-    if sentinel is not None:
-        pieces.append(sentinel)
-    names = [
-        "chunk_999.parquet" if (sentinel is not None and i == len(pieces) - 1)
-        else f"chunk_{i:03d}.parquet"
-        for i in range(len(pieces))
-    ]
-    # the chunk writes are independent single-task jobs — submit them
-    # concurrently (Spark schedules parallel jobs fine) so replay
-    # authoring costs one job latency, not n_chunks of them
-    from concurrent.futures import ThreadPoolExecutor
+    Returns the written paths in replay order.
 
-    with ThreadPoolExecutor(max_workers=len(pieces)) as pool:
-        written = list(
-            pool.map(
-                lambda args: _write_single_file(args[0], tmp, args[1]),
-                zip(pieces, names),
-            )
-        )
-    paths = [p for p in written if p]
+    ONE Spark job writes every chunk: ``repartitionByRange(n_chunks,
+    order_col)`` range-partitions the rows (RangePartitioner samples
+    the boundaries internally — the replay result is invariant to
+    where they fall, see module docstring) and output file
+    ``part-0000i`` IS range partition i, so renaming the part files in
+    name order yields the chunks in range order.  Empty ranges write
+    no part file and are skipped."""
+    os.makedirs(tmp, exist_ok=True)
+    staging = os.path.join(tmp, "_stage_chunks")
+    df.repartitionByRange(n_chunks, F.col(order_col)).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    parts = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    paths: list[str] = []
+    for i, part in enumerate(parts):
+        out = os.path.join(tmp, f"chunk_{i:03d}.parquet")
+        os.replace(part, out)
+        paths.append(out)
+    shutil.rmtree(staging, ignore_errors=True)
+    if sentinel is not None:
+        p = _write_single_file(sentinel, tmp, "chunk_999.parquet")
+        if p:
+            paths.append(p)
     # strictly increasing mtimes pin the FileStreamSource replay order
     base = int(os.path.getmtime(paths[0])) if paths else 0
     for i, p in enumerate(paths):
