@@ -34,6 +34,7 @@ BUILD_TIMED = {
     "streaming_ep2_parity",
     "video_scan",
     "near_dup_clusters",
+    "llm_pipeline",  # runs near_dup_clusters' propagation actions in-build
 }
 
 

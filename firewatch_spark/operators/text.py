@@ -214,8 +214,8 @@ def pack_chunks_per_doc(
     needs a running-sum-with-reset, which plain window cumsum cannot
     express — so the chunk sizes of ONE doc are folded in an array
     aggregate and exploded back.  The array is bounded by
-    doc_len/chunk_size: tiny.  Cross-document packing is a different,
-    approximation-tolerant problem — done per-partition at scale.)
+    doc_len/chunk_size: tiny.  Cross-document packing is
+    :func:`pack_chunks_cross_doc`.)
 
     Output: one row per chunk with its ``pack_id`` (0-based per doc);
     grouping by (doc, pack_id) yields the training samples."""
@@ -247,6 +247,85 @@ def pack_chunks_per_doc(
             "'chunk_idx', c.i, 'n_tokens', c.n, 'pack_id', p)))"
         ).alias("z"),
     ).select(id_col, "z.chunk_idx", "z.n_tokens", "z.pack_id")
+
+
+def pack_chunks_cross_doc(
+    chunks: DataFrame,
+    budget: int,
+    num_buckets: int | None = None,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy packing ACROSS documents — small documents share a
+    training sample instead of each wasting a mostly-empty pack (the
+    cross-doc problem :func:`pack_chunks_per_doc` deliberately leaves
+    out).
+
+    Exact global greedy is inherently sequential, so the scalable form
+    buckets documents with an md5-uniform hash of the doc id (the SAME
+    portable hash recipe as `sampling.split_by_hash`, so a DuckDB
+    oracle can replay the assignment), and runs the per-doc
+    running-sum-with-reset walk over each bucket's chunks in
+    (doc, idx) order.  ``pack_id = bucket * 2**40 + per-bucket
+    counter`` — globally unique with zero coordination.
+
+    Scale shape: one shuffle on the bucket, then each bucket walks
+    sequentially inside a mapInPandas task with O(buckets-per-task)
+    state — Arrow-batched, never a driver loop.  Cost of bucketing vs
+    true global greedy: at most one under-filled pack per bucket.  The
+    output is DETERMINISTIC for a fixed `num_buckets`, whatever the
+    physical partitioning — the walk keys on the bucket value, not on
+    spark_partition_id."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark_parallelism = chunks.sparkSession.sparkContext.defaultParallelism
+    n_buckets = num_buckets or max(2, spark_parallelism)
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("pack"), F.col(id_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    sel = chunks.select(id_col, idx_col, n_col).withColumn("_bkt", bkt)
+    arranged = sel.repartition(n_buckets, "_bkt").sortWithinPartitions(
+        "_bkt", id_col, idx_col
+    )
+    out_schema = StructType(
+        [f for f in sel.schema.fields if f.name != "_bkt"]
+        + [StructField("pack_id", LongType())]
+    )
+
+    def walk(batches):
+        # running (acc, pack-counter) per bucket — rows arrive sorted
+        # by (_bkt, doc, idx), so each bucket's walk is the exact
+        # sequential greedy; state survives Arrow batch boundaries
+        state: dict[int, tuple[int, int]] = {}
+        for pdf in batches:
+            pack_ids = []
+            for b, n in zip(pdf["_bkt"], pdf[n_col]):
+                b, n = int(b), int(n)
+                acc, cnt = state.get(b, (0, 0))
+                if acc > 0 and acc + n > budget:
+                    cnt, acc = cnt + 1, 0
+                acc += n
+                state[b] = (acc, cnt)
+                pack_ids.append((b << 40) + cnt)
+            out = pdf[[id_col, idx_col, n_col]].copy()
+            out["pack_id"] = pack_ids
+            yield out
+
+    return arranged.mapInPandas(walk, schema=out_schema)
 
 
 BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"

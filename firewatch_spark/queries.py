@@ -1107,6 +1107,64 @@ def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_chunks_per_doc(chunks, budget=PACK_BUDGET)
 
 
+_XPACK_BUCKETS = 8
+
+_CROSS_PACK_SQL = f"""
+    WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), {PACK_CHUNK})) AS st,
+             CAST(generate_subscripts(generate_series(1, greatest(len(toks), 1), {PACK_CHUNK}), 1) - 1 AS INTEGER) AS chunk_idx
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             CAST(len(list_slice(toks, st, st + {PACK_CHUNK - 1})) AS BIGINT) AS n_tokens
+      FROM starts
+    ),
+    bh AS (
+      SELECT *, md5('pack|' || CAST(doc_id AS VARCHAR)) AS h FROM chunks
+    ),
+    bkts AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             ({" + ".join(f"(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8))}) % {_XPACK_BUCKETS} AS bkt
+      FROM bh
+    ),
+    ord AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY doc_id, chunk_idx) AS BIGINT) AS rn
+      FROM bkts
+    ),
+    walk AS (
+      SELECT bkt, rn, doc_id, chunk_idx, n_tokens,
+             CAST(0 AS BIGINT) AS cnt, n_tokens AS acc
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.bkt, o.rn, o.doc_id, o.chunk_idx, o.n_tokens,
+             CASE WHEN w.acc + o.n_tokens > {PACK_BUDGET} AND w.acc > 0 THEN w.cnt + 1 ELSE w.cnt END,
+             CASE WHEN w.acc + o.n_tokens > {PACK_BUDGET} AND w.acc > 0 THEN o.n_tokens ELSE w.acc + o.n_tokens END
+      FROM ord o JOIN walk w ON o.bkt = w.bkt AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(bkt * {1 << 40} + cnt AS BIGINT) AS pack_id
+    FROM walk
+    """
+
+
+@q("cross_doc_packing", _CROSS_PACK_SQL)
+def cross_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy packing ACROSS documents (operators/text.py
+    pack_chunks_cross_doc): md5-bucketed docs, each bucket's chunks
+    walked in (doc, idx) order with the running-sum-with-reset rule,
+    pack_id = bucket·2⁴⁰ + counter.  The oracle replays the walk with
+    a per-bucket recursive CTE over the identical bucket assignment —
+    deterministic whatever the physical partitioning."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = text.chunk_documents(docs, max_tokens=PACK_CHUNK, overlap=0)
+    return text.pack_chunks_cross_doc(
+        chunks, budget=PACK_BUDGET, num_buckets=_XPACK_BUCKETS
+    )
+
+
 _SPLIT_FRACTIONS = {"train": 0.8, "validation": 0.1, "test": 0.1}
 
 
@@ -2563,9 +2621,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # stays continuously gated by tests/test_registry.py's oracle replay
 # (ADVICE r3), just not by the external driver.
 _HEAD = [
-    # round-5 addition: the end-to-end pipeline composition — never
-    # driver-attested yet (VERDICT r4 "Next round" #5)
+    # round-5 additions: the end-to-end pipeline composition (VERDICT
+    # r4 "Next round" #5) and cross-document packing — never
+    # driver-attested yet
     "llm_pipeline",
+    "cross_doc_packing",
     # round-4 additions: the LLM-pack components that were test-only in
     # round 3 (VERDICT r3 "Next round" #1), first attested in r4
     "repetition_stats",
@@ -2589,9 +2649,12 @@ _TAIL = [
     "frames_written",  # per-video counter subset of completion_stats/global_counters
     "topk_events_per_user",  # same windowed top-k shape as top_orders_per_customer
     "class_filter",  # class-name filter re-executed inside predict_udf path
-    # round-5 demotion (driver-attested green in r04): the chunking
-    # stage is re-executed inside the windowed llm_pipeline composition
+    # round-5 demotions (both driver-attested green in r04): the
+    # chunking stage is re-executed inside the windowed llm_pipeline
+    # composition; multimodal_meta's binary-payload plumbing is
+    # re-executed (sha256 + dims) inside multimodal_decode
     "doc_chunks",
+    "multimodal_meta",
 ]
 
 

@@ -356,3 +356,74 @@ def test_lsh_bucket_cap_recall_cost(spark):
     # and cap=16 keeps only ~3% — the cap/recall dial made concrete
     assert 0.45 <= recalls[64] <= 0.55, recalls
     assert recalls[16] <= 0.10, recalls
+
+
+def test_cross_doc_packing_single_bucket_is_global_greedy(spark):
+    """With ONE bucket the operator IS the sequential global greedy
+    over (doc, idx) order — checked against a Python walk."""
+    import random
+
+    rng = random.Random(5)
+    rows_in = []
+    for d in range(15):
+        for i in range(rng.randint(1, 4)):
+            rows_in.append((d, i, rng.randint(1, 7)))
+    df = spark.createDataFrame(
+        rows_in, "doc_id long, chunk_idx long, n_tokens long"
+    ).repartition(6)  # physical layout must not matter
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["pack_id"]
+        for r in rows(text.pack_chunks_cross_doc(df, budget=10, num_buckets=1))
+    }
+    acc, cnt = 0, 0
+    for d, i, n in sorted(rows_in):
+        if acc > 0 and acc + n > 10:
+            cnt, acc = cnt + 1, 0
+        acc += n
+        assert got[(d, i)] == cnt, (d, i)
+
+
+def test_cross_doc_packing_bucketed_invariants(spark):
+    """Multi-bucket mode: all of a doc's chunks share a bucket, packs
+    never mix buckets, every pack respects the budget (single oversize
+    chunks excepted), small docs DO share packs (the operator's reason
+    to exist), and the assignment is deterministic under arbitrary
+    input partitioning."""
+    import random
+
+    rng = random.Random(11)
+    rows_in = [
+        (d, i, rng.randint(1, 6))
+        for d in range(40)
+        for i in range(rng.randint(1, 3))
+    ]
+    df = spark.createDataFrame(
+        rows_in, "doc_id long, chunk_idx long, n_tokens long"
+    )
+    budget, buckets = 12, 4
+
+    def assign(src):
+        return {
+            (r["doc_id"], r["chunk_idx"]): r["pack_id"]
+            for r in rows(
+                text.pack_chunks_cross_doc(src, budget=budget, num_buckets=buckets)
+            )
+        }
+
+    got = assign(df)
+    assert got == assign(df.repartition(13))  # partitioning-invariant
+
+    n_of = {(d, i): n for d, i, n in rows_in}
+    doc_buckets: dict = {}
+    pack_sums: dict = {}
+    pack_docs: dict = {}
+    for (d, i), p in got.items():
+        doc_buckets.setdefault(d, set()).add(p >> 40)
+        pack_sums[p] = pack_sums.get(p, 0) + n_of[(d, i)]
+        pack_docs.setdefault(p, set()).add(d)
+    assert all(len(b) == 1 for b in doc_buckets.values())
+    oversize = {p for p, s in pack_sums.items() if len(
+        [1 for (d, i), pp in got.items() if pp == p]) == 1 and s > budget}
+    assert all(s <= budget for p, s in pack_sums.items() if p not in oversize)
+    # cross-doc sharing actually happens
+    assert any(len(ds) > 1 for ds in pack_docs.values())
