@@ -150,6 +150,7 @@ def main() -> None:
         "repetition_stats",
         "ann_lsh_buckets",
         "ann_ivf_topk",
+        "cross_doc_packing",
     ]
     # the registry's ngram_jaccard is the ORACLE form — a deterministic
     # sample self-joined all-pairs so DuckDB can replay it — and its

@@ -40,6 +40,7 @@ from .operators import (
     similarity,
     text,
 )
+from .operators.util import ensure_parallelism
 
 # Deterministic surrogate probability of an event row (FIXTURES.md §2),
 # in both dialects.  event_id is the sequence key of the events table.
@@ -1441,18 +1442,43 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic split → token chunking → greedy packing, plus the
     surviving docs' embeddings unit-normed and int8-quantized.  Output:
     per-split doc/chunk/pack/vector counts and the quantized-l1 sum —
-    every number DuckDB-replayed by the composed oracle."""
-    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    every number DuckDB-replayed by the composed oracle.
+
+    One composition with two explicit stage-materialization points
+    (the per-doc repetition metrics and the split assignment — both
+    O(docs) narrow tables, not the corpus), exactly where a production
+    pipeline would write intermediate datasets; see the inline comments
+    for the measured pushdown/codegen trap they avoid."""
+    # fan the (test-scale single-file) scan out before the expression-
+    # heavy token/repetition/minhash folds — a no-op at real scale
+    docs = ensure_parallelism(
+        _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     stats = text.with_token_stats(docs)
     qkeep = stats.filter(
         F.col("quality_score") >= _PIPE_QUALITY_MIN
     ).select("doc_id", "text")
-    rep = text.with_repetition_stats(qkeep, ngram_n=2)
-    clean = rep.filter(
+    # Filtering directly on the repetition columns is a trap:
+    # PushDownPredicates substitutes each O(doc_len²) fold into the
+    # Filter and the scan DataFilters, and the resulting expressions
+    # are too large for whole-stage codegen — the stage runs
+    # interpreted, measured 77 s vs 4 s at sf0.1.  So the per-doc
+    # metric columns (tiny: id + three numbers) are materialized ONCE
+    # and the filter tests plain attributes; the surviving ids join
+    # back to the text.  At production scale this checkpoint is the
+    # natural stage boundary a real pipeline writes to storage anyway.
+    rep_metrics = text.with_repetition_stats(qkeep, ngram_n=2).select(
+        "doc_id", "dup_token_frac", "top_ngram_frac", "max_run_len"
+    ).localCheckpoint()
+    keep_rep = rep_metrics.filter(
         (F.col("dup_token_frac") <= _PIPE_DUP_MAX)
         & (F.col("top_ngram_frac") <= _PIPE_TOPGRAM_MAX)
         & (F.col("max_run_len") <= _PIPE_RUN_MAX)
-    ).select("doc_id", "text")
+    ).select("doc_id")
+    # the cleaned corpus is referenced by the exact-dedup grouping, the
+    # minhash signatures, the cluster-label seed and the survivor join —
+    # materialize it once (the "cleaned dataset" stage write)
+    clean = qkeep.join(keep_rep, "doc_id").localCheckpoint()
     keep_exact = dedup.exact_dedup(clean).select(
         F.col("keep_doc_id").alias("doc_id")
     )
@@ -1463,7 +1489,10 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") == F.col("cluster_id")
     ).select("doc_id")
     survivors = clean2.join(keep_near, "doc_id")
-    split_docs = sampling.split_by_hash(survivors, _SPLIT_FRACTIONS)
+    # second stage boundary: the split assignment feeds FOUR downstream
+    # aggregates (docs/chunks/packs/vectors) — materialize it once
+    # instead of re-running the clean→dedup lineage per reference
+    split_docs = sampling.split_by_hash(survivors, _SPLIT_FRACTIONS).localCheckpoint()
 
     chunks = text.chunk_documents(
         split_docs.select("doc_id", "text"), max_tokens=PACK_CHUNK, overlap=0
