@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles
+from .util import ensure_parallelism
 
 # Tiny per-language profile word lists.  Real systems use char-n-gram
 # models; the *operator shape* (profile scoring + argmax) is identical.
@@ -121,7 +122,11 @@ def with_repetition_stats(
       consecutively (keyword-stuffing marker).
 
     Pure Column algebra (aggregate/transform folds — no UDF, no
-    shuffle), same 100 TB posture as the rest of this module."""
+    shuffle), same 100 TB posture as the rest of this module.  The
+    top-ngram fold is the most expensive per-row expression in the
+    text pack (O(distinct × total) per doc), so the scan is fanned out
+    first (`ensure_parallelism` — a no-op at real scale)."""
+    df = ensure_parallelism(df)
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
