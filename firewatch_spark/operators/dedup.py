@@ -254,20 +254,29 @@ def ngram_jaccard(
     |A∪B| is computed as |A|+|B|−|A∩B| (list_union is not portable).
     At scale `join_cond` must be an LSH candidate equi-join — this
     function does not constrain it so tests can use small samples.
+
+    The shingle sets are computed per DOC on each join side before the
+    join, not per pair row after it: a doc appearing in k candidate
+    pairs shingles once instead of k times (the join then carries the
+    shingle arrays — ~shingle_n× the text bytes, the standard
+    precompute-vs-recompute trade, and the right one whenever
+    candidate multiplicity exceeds 1).
     """
-    la = left.alias("a")
-    rb = right.alias("b")
+    def _shingled(side: DataFrame, tag: str, text_col: str) -> DataFrame:
+        return side.withColumn(
+            f"__T_{tag}__", tokens(F.col(text_col.split(".")[-1]))
+        ).withColumn(
+            f"_s{tag}",
+            F.array_distinct(word_shingles(f"__T_{tag}__", shingle_n)),
+        ).drop(f"__T_{tag}__")
+
+    la = _shingled(left, "a", text_a).alias("a")
+    rb = _shingled(right, "b", text_b).alias("b")
     joined = la.join(rb, join_cond).select(
         F.col(id_a).alias("doc_a"),
         F.col(id_b).alias("doc_b"),
-        tokens(F.col(text_a)).alias("_ta"),
-        tokens(F.col(text_b)).alias("_tb"),
-    )
-    joined = joined.select(
-        "doc_a",
-        "doc_b",
-        F.array_distinct(word_shingles("_ta", shingle_n)).alias("_sa"),
-        F.array_distinct(word_shingles("_tb", shingle_n)).alias("_sb"),
+        F.col("a._sa").alias("_sa"),
+        F.col("b._sb").alias("_sb"),
     )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
     joined = joined.withColumn("n_inter", inter).withColumn(
@@ -292,31 +301,35 @@ def verify_candidates(
     """THE production dedup composition: exact shingle-Jaccard
     verification of LSH candidate pairs (cand carries doc_a/doc_b).
 
-    Plan: two equi-joins attach the pair's texts (each a shuffle/
-    broadcast hash join on the id — candidates are tiny next to the
-    corpus), then the same exact-Jaccard algebra as `ngram_jaccard`.
-    Work is O(candidates), never O(n²) — this is the function the
-    docstrings mean by "at scale the verify stage's input is the LSH
-    output"."""
-    a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_text_a"))
-    b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_text_b"))
-    joined = (
-        cand.select("doc_a", "doc_b")
-        .join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            tokens(F.col("_text_a")).alias("_ta"),
-            tokens(F.col("_text_b")).alias("_tb"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.array_distinct(word_shingles("_ta", shingle_n)).alias("_sa"),
-            F.array_distinct(word_shingles("_tb", shingle_n)).alias("_sb"),
-        )
+    Plan: two equi-joins attach the pair's SHINGLE SETS (each a
+    shuffle/broadcast hash join on the id — candidates are tiny next
+    to the corpus), then the same exact-Jaccard algebra as
+    `ngram_jaccard`.  Shingles are computed once per CANDIDATE doc —
+    a semi-join keeps only docs that appear in some pair first (most
+    of the corpus has no candidates and must not pay the fold), and a
+    doc in k pairs still shingles once.  Work is
+    O(candidate docs + candidates), never O(n²) — this is the function
+    the docstrings mean by "at scale the verify stage's input is the
+    LSH output"."""
+    # cand is referenced three times (both id projections + the final
+    # join); materialize the small capped pair set once instead of
+    # re-running its LSH lineage per reference (same pattern as
+    # near_dup_clusters' edge checkpoint)
+    cand = cand.select("doc_a", "doc_b").localCheckpoint()
+    ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
+    sh = docs.join(ids, id_col, "semi").withColumn(
+        "__T__", tokens(F.col(text_col))
+    ).select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(word_shingles("__T__", shingle_n)).alias("_sh"),
+    )
+    a = sh.select(F.col("_sid").alias("doc_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("_sid").alias("doc_b"), F.col("_sh").alias("_sb"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
     joined = joined.withColumn("n_inter", inter).withColumn(
         "n_union", (F.size("_sa") + F.size("_sb")).cast("long") - inter
