@@ -151,21 +151,12 @@ def main() -> None:
         "ann_lsh_buckets",
         "ann_ivf_topk",
         "cross_doc_packing",
+        # the production O(candidates) verify composition; the sampled
+        # all-pairs ngram_jaccard is deliberately NOT a slope target —
+        # its pair count is quadratic in the sample BY DESIGN (measured
+        # 1.46× linear at 5x; C(200,2)→C(1000,2) rows)
+        "lsh_verify",
     ]
-    # the registry's ngram_jaccard is the ORACLE form — a deterministic
-    # sample self-joined all-pairs so DuckDB can replay it — and its
-    # pair count is quadratic in the sample BY DESIGN (measured 1.46×
-    # linear at 5x; C(200,2)→C(1000,2) rows).  The production verify
-    # path is O(LSH candidates); that composition is the slope target:
-    from firewatch_spark.operators import dedup as _dedup
-
-    def _lsh_verify_pipeline(spark_, d):
-        docs = spark_.read.parquet(f"{d}/documents.parquet")
-        return _dedup.verify_candidates(
-            _dedup.lsh_candidate_pairs(docs), docs
-        )
-
-    SCALE_EXTRA = {"lsh_verify_pipeline": _lsh_verify_pipeline}
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope
     # with scan parallelism (measured: two queries ran FASTER at 5x
@@ -179,21 +170,10 @@ def main() -> None:
         if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
             build_scaled_dir(spark, SF_DIR, d, factor)
         dirs[factor] = d
-    def run_fn(fn, sf_dir: str) -> float:
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-
     scaling = {}
-    points = [(n, reg[n].fn) for n in SCALE_QUERIES] + list(SCALE_EXTRA.items())
-    for name, fn in points:
-        t_base = run_fn(fn, dirs[1]) if name in SCALE_EXTRA else run(name, dirs[1])
-        t_scaled = (
-            run_fn(fn, dirs[SCALE_FACTOR])
-            if name in SCALE_EXTRA
-            else run(name, dirs[SCALE_FACTOR])
-        )
+    for name in SCALE_QUERIES:
+        t_base = run(name, dirs[1])
+        t_scaled = run(name, dirs[SCALE_FACTOR])
         scaling[name] = {
             "t_1x_sec": round(t_base, 4),
             f"t_{SCALE_FACTOR}x_sec": round(t_scaled, 4),

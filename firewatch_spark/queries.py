@@ -768,6 +768,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3)
 
 
+_LSH_VERIFY_SQL = f"""
+    WITH {_MINHASH_CAND_CTES},
+    vsh AS (SELECT doc_id, list_distinct(sh) AS vs FROM sh)
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.vs, b.vs)) AS BIGINT) AS n_inter,
+           CAST(len(a.vs) + len(b.vs) - len(list_intersect(a.vs, b.vs)) AS BIGINT) AS n_union,
+           len(list_intersect(a.vs, b.vs)) /
+             CAST(len(a.vs) + len(b.vs) - len(list_intersect(a.vs, b.vs)) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN vsh a ON a.doc_id = c.doc_a
+    JOIN vsh b ON b.doc_id = c.doc_b
+    """
+
+
+@q("lsh_verify", _LSH_VERIFY_SQL)
+def lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production dedup verify composition, driver-gated: exact
+    3-gram Jaccard over the MinHash-LSH candidate pairs
+    (operators/dedup.py verify_candidates — semi-join to candidate
+    docs, shingle once per doc, O(candidate docs + candidates)).  The
+    oracle reuses the shared candidate CTE chain and distincts the
+    same shingle construction."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.verify_candidates(
+        dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3),
+        docs,
+    )
+
+
 _JACCARD_SAMPLE = 25
 
 _NGRAM_JACCARD_SQL = f"""
@@ -2655,6 +2684,7 @@ _HEAD = [
     # driver-attested yet
     "llm_pipeline",
     "cross_doc_packing",
+    "lsh_verify",
     # round-4 additions: the LLM-pack components that were test-only in
     # round 3 (VERDICT r3 "Next round" #1), first attested in r4
     "repetition_stats",
@@ -2684,6 +2714,10 @@ _TAIL = [
     # re-executed (sha256 + dims) inside multimodal_decode
     "doc_chunks",
     "multimodal_meta",
+    # the sampled all-pairs Jaccard form: the windowed lsh_verify now
+    # gates the same exact-Jaccard arithmetic over the production
+    # (LSH-candidate) input shape
+    "ngram_jaccard",
 ]
 
 
