@@ -2435,10 +2435,12 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stateful stage cost scales with state-store instances (= shuffle
     # partitions); a vanilla session's 200 is pure overhead at sf
-    # scale.  Save/restore the prior value so the setting cannot leak
-    # into later registry queries in the same session (ADVICE r2).
+    # scale, and for the fixture's ~150 keys 16 instances measure ~25%
+    # faster than 32 (fewer store commits per micro-batch).  Save/
+    # restore the prior value so the setting cannot leak into later
+    # registry queries in the same session (ADVICE r2).
     prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         ev = _with_surrogate(_tbl(spark, sf_dir, "events")).select(
             F.col("user_id").cast("string").alias("video_id"),
@@ -2611,10 +2613,11 @@ def streaming_ep2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.replay import write_replay_chunks
     from .streaming.stateful_pipeline import fire_detection_stream
 
-    # see streaming_session_parity: bound state-store instance count,
-    # and restore the prior value so nothing leaks (ADVICE r2)
+    # see streaming_session_parity: bound state-store instance count
+    # (16 for ~150 keys), and restore the prior value so nothing leaks
+    # (ADVICE r2)
     prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         ev = _tbl(spark, sf_dir, "events").select(
             F.col("user_id").cast("string").alias("video_id"),
