@@ -10,16 +10,28 @@ from tests.conftest import rows
 
 
 def _run(spark, tmp_path, pdf, every_n, n_files):
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     data_dir = tmp_path / "in"
     data_dir.mkdir()
     per = (len(pdf) + n_files - 1) // n_files
+    written = []
     for i in range(n_files):
         chunk = pdf.iloc[i * per : (i + 1) * per]
         if not chunk.empty:
-            pq.write_table(pa.Table.from_pandas(chunk), str(data_dir / f"c_{i:03d}.parquet"))
+            path = str(data_dir / f"c_{i:03d}.parquet")
+            pq.write_table(pa.Table.from_pandas(chunk), path)
+            written.append(path)
+    # the FileStreamSource replays in modification-time order and the
+    # chunks are written within one clock tick — force strictly
+    # increasing mtimes or a tie can reorder micro-batches (observed
+    # as a rare cadence flake under full-suite CPU load)
+    base = int(os.path.getmtime(written[0]))
+    for i, p in enumerate(written):
+        os.utime(p, (base + i, base + i))
     stream = (
         spark.readStream.schema("video_id string, frame_number long")
         .option("maxFilesPerTrigger", 1)
@@ -36,7 +48,7 @@ def _run(spark, tmp_path, pdf, every_n, n_files):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "bounded replay did not drain in 120s"
     return spark.sql(f"SELECT * FROM {name}")
 
 
