@@ -305,6 +305,72 @@ def ivf_centroids(
     )
 
 
+def ivf_train(
+    corpus: DataFrame,
+    k: int = DEFAULT_IVF_K,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the md5-sample seed centroids —
+    the "production pipeline would run k-means here" step the
+    `ivf_centroids` docstring defers, as a real distributed iteration.
+
+    Per iteration: (1) assign every vector to its nearest centroid —
+    the same broadcast-argmin plan as `ivf_assign` (corpus × k work,
+    no corpus shuffle); (2) recompute each cell's mean per dimension —
+    posexplode to (cell, dim, value), one groupBy(cell, dim) whose
+    partial sums combine map-side, reassembled into an array.  The
+    shuffle carries (cell, dim, int64) triples: corpus×dim rows of
+    ints, linear in corpus size, never vectors-per-cell in one task.
+    Empty cells keep their previous centroid.  All arithmetic stays in
+    the scaled-int64 domain with floor division, so training is
+    deterministic and engine-portable like everything else here.
+    Iterative ⇒ pinned against a Python Lloyd reference in tests
+    (like near_dup_clusters' union-find), not a SQL oracle."""
+    cents = ivf_centroids(corpus, k, id_col, vec_col).localCheckpoint()
+    a = (
+        with_scaled_vec(ensure_parallelism(corpus), vec_col)
+        .select(id_col, "iv")
+        .localCheckpoint()  # scaled vectors reused every iteration
+    )
+    d2 = F.aggregate(
+        F.zip_with("iv", "civ", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    for _ in range(iters):
+        assigned = (
+            a.crossJoin(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("d2"), F.col("centroid_id"))).alias("b"),
+                F.first("iv").alias("iv"),
+            )
+            .select(F.col("b.centroid_id").alias("centroid_id"), "iv")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("iv").alias("dim", "v"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("m", F.expr("s div n"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("z"))
+            .select(
+                "centroid_id", F.expr("transform(z, t -> t.m)").alias("new_civ")
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("new_civ", "civ").alias("civ")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -341,6 +407,7 @@ def ivf_topk(
     k_centroids: int = DEFAULT_IVF_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe search: rank centroids per query by exact integer L2²,
     search only the `nprobe` nearest cells with exact cosine, take
@@ -351,10 +418,18 @@ def ivf_topk(
     Plan: cell assignment (corpus × broadcast of the FIXED-k centroid
     table, map-side argmin) → equi-join probed cells to corpus cells
     on centroid_id → windowed top-k on the query key.  The corpus
-    shuffles once, on centroid_id."""
+    shuffles once, on centroid_id.
+
+    `centroids` overrides the md5-sample seed table — pass
+    `ivf_train(...)`'s output to search a Lloyd-refined index; the
+    probe math and join shapes are identical."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(corpus, k_centroids, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, k_centroids, id_col, vec_col)
+    )
 
     def d2_col():
         return F.aggregate(

@@ -314,3 +314,93 @@ def test_llm_pipeline_single_lineage_invariants(spark, sf_dir):
         )
         # quantize leg joins on surviving docs only
         assert v["n_vecs"] <= v["n_docs"]
+
+
+def _python_lloyd(vecs, k, iters):
+    """Reference Lloyd in the exact integer domain ivf_train uses:
+    floor(x*1e6) scaling, md5-smallest seeds, argmin with lower-id tie
+    break, truncating (toward-zero, matching Spark `div`) mean."""
+    import hashlib
+
+    iv = {
+        i: [int(__import__("math").floor(x * 1_000_000.0)) for x in v]
+        for i, v in vecs.items()
+    }
+    seeds = sorted(iv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:k]
+    cents = {cid: list(iv[cid]) for cid in seeds}
+    for _ in range(iters):
+        members: dict = {}
+        for i, v in iv.items():
+            best = min(
+                cents,
+                key=lambda cid: (
+                    sum((a - b) ** 2 for a, b in zip(v, cents[cid])),
+                    cid,
+                ),
+            )
+            members.setdefault(best, []).append(v)
+        for cid, vs in members.items():
+            n = len(vs)
+            new = []
+            for d in range(len(cents[cid])):
+                s = sum(v[d] for v in vs)
+                q, r = divmod(s, n)
+                new.append(q if r == 0 or s >= 0 else q + 1)  # trunc, not floor
+            cents[cid] = new
+    return cents
+
+
+def test_ivf_train_matches_python_lloyd(spark):
+    import random
+
+    rng = random.Random(3)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    # the reference must see the same float32-rounded values Spark does
+    f32 = {
+        i: [float(r["embedding"][d]) for d in range(8)]
+        for i, v in vecs.items()
+        for r in [emb.filter(F.col("vec_id") == i).first()]
+    }
+    got = {
+        r["centroid_id"]: list(r["civ"])
+        for r in similarity.ivf_train(emb, k=4, iters=3).collect()
+    }
+    assert got == _python_lloyd(f32, k=4, iters=3)
+
+
+def test_ivf_train_raises_recall_on_clustered_vectors(spark):
+    """The point of training: on clustered data with noisy spread, the
+    Lloyd-refined centroids separate the clusters better than the raw
+    md5 sample, so probe search recovers at least as many true
+    neighbors at the same nprobe."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 64))
+    rows = []
+    for c_idx in range(20):
+        for m in range(25):
+            v = centers[c_idx] + 0.45 * rng.normal(size=64)
+            rows.append((c_idx * 25 + m, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    truth = _topk_sets(similarity.cosine_topk(emb, queries, k=5))
+    fixed = _recall(truth, _topk_sets(similarity.ivf_topk(emb, queries, k=5, nprobe=2)))
+    trained_cents = similarity.ivf_train(emb, k=16, iters=2)
+    trained = _recall(
+        truth,
+        _topk_sets(
+            similarity.ivf_topk(emb, queries, k=5, nprobe=2, centroids=trained_cents)
+        ),
+    )
+    print(f"ivf recall fixed={fixed:.3f} trained={trained:.3f}")
+    # deterministic corpus + deterministic training: measured
+    # fixed=0.92, trained=1.00 — training must never lose to the seed
+    # sample and must hold its near-perfect recall here
+    assert trained >= max(fixed, 0.95)
