@@ -333,6 +333,70 @@ def pack_chunks_cross_doc(
     return arranged.mapInPandas(walk, schema=out_schema)
 
 
+def flag_contaminated(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — flag corpus docs sharing any n-word
+    shingle with the benchmark/eval set (the standard train/test
+    overlap check run before training).
+
+    Scale shape: the benchmark gram set is SMALL by construction (eval
+    suites are thousands of docs) — distinct md5 gram keys built once
+    and broadcast to an equi-join against the corpus's exploded grams;
+    the corpus side is one scan + explode, the join key a 32-char
+    hash, no shuffle of document text.  Docs shorter than n words are
+    out of scope on both sides (they cannot n-gram-collide).
+
+    Output: one row per corpus doc ≥ n words —
+    (id, n_matched_grams, contaminated int)."""
+    sep = " || ' ' || "
+    gram_expr = sep.join(f"element_at(__T__, i + {k})" for k in range(n))
+    # the size guard lives INSIDE the expression, not only in a filter:
+    # ANSI sequence(1, size-n+1) goes DESCENDING for short docs and
+    # element_at then throws, and Catalyst may evaluate a projection
+    # alongside the filter that was meant to exclude those rows
+    grams = F.expr(
+        f"CASE WHEN size(__T__) >= {n} THEN array_distinct("
+        f"transform(sequence(1, size(__T__) - {n - 1}), i -> md5({gram_expr})))"
+        f" ELSE array() END"
+    )
+
+    def _with_grams(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__T__", F.split(F.col(text_col), " "))
+            .filter(F.size("__T__") >= n)
+            .withColumn("gs", grams)
+        )
+
+    bench_grams = (
+        _with_grams(bench).select(F.explode("gs").alias("g")).distinct()
+    )
+    cg = _with_grams(corpus)
+    hits = (
+        cg.select(id_col, F.explode("gs").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
+    )
+    return (
+        cg.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_matched_grams"), F.lit(0)).cast("long").alias(
+                "n_matched_grams"
+            ),
+            (F.coalesce(F.col("n_matched_grams"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 

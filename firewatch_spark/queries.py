@@ -906,6 +906,61 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, max_hamming=3)
 
 
+_DECON_BENCH_MOD = 97  # deterministic stand-in for the eval/benchmark set
+_DECON_N = 8  # the standard decontamination n-gram length
+
+
+def _decon_gram_cte(src_filter: str, name: str) -> str:
+    idx = " || ' ' || ".join(
+        f"list_extract(toks, i + {k})" for k in range(_DECON_N)
+    )
+    return f"""{name} AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(toks) - {_DECON_N - 1}), i -> md5({idx}))) AS gs
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE {src_filter} AND len(string_split(text, ' ')) >= {_DECON_N})
+    )"""
+
+
+_DECONTAMINATION_SQL = f"""
+    WITH {_decon_gram_cte(f"doc_id % {_DECON_BENCH_MOD} = 0", "bench")},
+    {_decon_gram_cte(f"doc_id % {_DECON_BENCH_MOD} <> 0", "corpus")},
+    bg AS (SELECT DISTINCT unnest(gs) AS g FROM bench),
+    cg AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
+    hits AS (
+      SELECT cg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_grams
+      FROM cg JOIN bg ON cg.g = bg.g GROUP BY cg.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(COALESCE(h.n_matched_grams, 0) AS BIGINT) AS n_matched_grams,
+           CAST(COALESCE(h.n_matched_grams, 0) > 0 AS INT) AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """
+
+
+@q("decontamination", _DECONTAMINATION_SQL)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the standard training-data hygiene
+    step: flag corpus documents sharing any {_DECON_N}-word shingle
+    with the benchmark/eval set (here a deterministic doc_id-modulus
+    sample standing in for it).
+
+    Scale shape: the benchmark gram set is SMALL by construction (eval
+    suites are thousands of docs, not billions) — built once, distinct
+    md5 keys, broadcast to an equi-join against the corpus's exploded
+    grams.  The corpus side streams through one scan + explode; no
+    shuffle of document text, the join key is a 32-char hash.  Docs
+    shorter than the shingle length are out of scope on both sides
+    (standard practice — sub-n-gram docs can't 8-gram-collide)."""
+    docs = ensure_parallelism(
+        _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    is_bench = F.col("doc_id") % _DECON_BENCH_MOD == 0
+    return text.flag_contaminated(
+        docs.filter(~is_bench), docs.filter(is_bench), n=_DECON_N
+    )
+
+
 @q(
     "text_stats",
     f"""
@@ -2688,6 +2743,7 @@ _HEAD = [
     "llm_pipeline",
     "cross_doc_packing",
     "lsh_verify",
+    "decontamination",
     # round-4 additions: the LLM-pack components that were test-only in
     # round 3 (VERDICT r3 "Next round" #1), first attested in r4
     "repetition_stats",
@@ -2721,6 +2777,10 @@ _TAIL = [
     # gates the same exact-Jaccard arithmetic over the production
     # (LSH-candidate) input shape
     "ngram_jaccard",
+    # grab-bag scalar-function row: every function in it (lower/
+    # substring/length/concat/format) is exercised inside other
+    # windowed queries' md5/fingerprint/formatting pipelines
+    "scalar_string_fns",
 ]
 
 

@@ -427,3 +427,32 @@ def test_cross_doc_packing_bucketed_invariants(spark):
     assert all(s <= budget for p, s in pack_sums.items() if p not in oversize)
     # cross-doc sharing actually happens
     assert any(len(ds) > 1 for ds in pack_docs.values())
+
+
+def test_flag_contaminated_matching_path(spark):
+    """The sf-table decontamination row is all-zeros (no dup straddles
+    the benchmark modulus), so the MATCHING path is pinned here: a
+    corpus doc that copies an 8-word benchmark span must flag with the
+    right gram count; paraphrases and short docs must not."""
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog every day")],
+        "doc_id long, text string",
+    )
+    leaked = ("i copied this " +
+              "the quick brown fox jumps over the lazy dog" +
+              " into my training text")
+    corpus = spark.createDataFrame(
+        [
+            (1, leaked),                                   # contains 2 bench 8-grams
+            (2, "a fast brown fox leaps over one lazy dog every day here"),  # paraphrase
+            (3, "too short to have grams"),                # < 8 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rows(text.flag_contaminated(corpus, bench, n=8))}
+    # doc 3 is out of scope entirely (cannot 8-gram-collide)
+    assert set(out) == {1, 2}
+    # "the quick ... lazy dog" is 9 bench words -> 2 distinct 8-grams,
+    # both present verbatim in doc 1
+    assert out[1]["n_matched_grams"] == 2 and out[1]["contaminated"] == 1
+    assert out[2]["n_matched_grams"] == 0 and out[2]["contaminated"] == 0
