@@ -353,24 +353,33 @@ def flag_contaminated(
 
     Output: one row per corpus doc ≥ n words —
     (id, n_matched_grams, contaminated int)."""
-    sep = " || ' ' || "
-    gram_expr = sep.join(f"element_at(__T__, i + {k})" for k in range(n))
-    # the size guard lives INSIDE the expression, not only in a filter:
-    # ANSI sequence(1, size-n+1) goes DESCENDING for short docs and
-    # element_at then throws, and Catalyst may evaluate a projection
-    # alongside the filter that was meant to exclude those rows
+    # Two measured traps shape this expression (both the
+    # substitution-duplication family SCALE.md documents):
+    # * the size guard lives INSIDE the expression, not only in a
+    #   filter — ANSI sequence(1, size-n+1) goes DESCENDING for short
+    #   docs and the slice/hash path would still be evaluated for rows
+    #   a separate filter was meant to exclude;
+    # * the token array is LET-BOUND via transform-over-a-1-element-
+    #   array, so split(text) evaluates exactly once per row.  Leaving
+    #   it as a projected column invites Catalyst to substitute the
+    #   split into every lambda reference — measured 14 s vs 0.7 s at
+    #   sf0.1 (no subexpression sharing inside interpreted
+    #   higher-order functions).
+    gram_body = (
+        f"CASE WHEN size(T) >= {n} THEN array_distinct("
+        f"transform(sequence(1, size(T) - {n - 1}), "
+        f"i -> md5(array_join(slice(T, i, {n}), ' ')))) ELSE array() END"
+    )
     grams = F.expr(
-        f"CASE WHEN size(__T__) >= {n} THEN array_distinct("
-        f"transform(sequence(1, size(__T__) - {n - 1}), i -> md5({gram_expr})))"
-        f" ELSE array() END"
+        f"transform(array(split({text_col}, ' ')), T -> {gram_body})[0]"
     )
 
     def _with_grams(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("__T__", F.split(F.col(text_col), " "))
-            .filter(F.size("__T__") >= n)
-            .withColumn("gs", grams)
-        )
+        # the row filter tests a CHEAP predicate (split+size only) so
+        # its pushdown copy never drags the gram lambda into the scan
+        return df.filter(
+            F.size(F.split(F.col(text_col), " ")) >= n
+        ).withColumn("gs", grams)
 
     bench_grams = (
         _with_grams(bench).select(F.explode("gs").alias("g")).distinct()
