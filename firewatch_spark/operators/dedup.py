@@ -460,10 +460,17 @@ def with_simhash(
     as the equivalent `2·count_ones > n_tokens`.  16-bit packed
     counters cap documents at 65 535 tokens per doc — chunk longer
     docs upstream.  No shuffle, no UDF.
+
+    The token array and the packed-counter array are LET-BOUND
+    (nested transform-over-1-element-array binders): the fold runs
+    once per row and the 64 bit cases read the bound struct — as
+    projected columns, Catalyst substituted the split/fold into the
+    64 references (measured 1.6 s vs 0.6 s at sf0.1; the
+    substitution-duplication family SCALE.md records).
     """
     n_nibs = bits // 4
     nibs = (
-        f"transform(transform(split({text_col}, ' '), t -> md5(t)), "
+        f"transform(transform(TK, t -> md5(t)), "
         f"h -> transform(sequence(1, {n_nibs}), i -> instr('{HEX}', substring(h, i, 1)) - 1))"
     )
     packv = (
@@ -478,14 +485,14 @@ def with_simhash(
     bit_cases = []
     for p in range(bits):
         i, w = p // 4, p % 4
-        cnt = f"(shiftright(element_at(_sh_packs, {i + 1}), {16 * w}) % 65536)"
-        bit_cases.append(f"CASE WHEN 2 * {cnt} > _sh_n THEN '1' ELSE '0' END")
-    return (
-        ensure_parallelism(docs).withColumn("_sh_packs", F.expr(counts))
-        .withColumn("_sh_n", F.expr(f"size(split({text_col}, ' '))"))
-        .withColumn(out_col, F.expr("concat(" + ", ".join(bit_cases) + ")"))
-        .drop("_sh_packs", "_sh_n")
+        cnt = f"(shiftright(element_at(Z.p, {i + 1}), {16 * w}) % 65536)"
+        bit_cases.append(f"CASE WHEN 2 * {cnt} > Z.n THEN '1' ELSE '0' END")
+    sig_expr = (
+        f"transform(array(split({text_col}, ' ')), TK -> "
+        f"transform(array(named_struct('p', {counts}, 'n', size(TK))), "
+        f"Z -> concat({', '.join(bit_cases)}))[0])[0]"
     )
+    return ensure_parallelism(docs).withColumn(out_col, F.expr(sig_expr))
 
 
 def simhash_near_pairs(
