@@ -35,6 +35,7 @@ BUILD_TIMED = {
     "video_scan",
     "near_dup_clusters",
     "llm_pipeline",  # runs near_dup_clusters' propagation actions in-build
+    "cluster_representatives",  # same propagation actions in-build
 }
 
 

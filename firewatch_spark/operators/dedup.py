@@ -104,6 +104,56 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style sub-document exact dedup: split every document into
+    fixed ``span_tokens``-token spans, keep only the globally FIRST
+    occurrence of each distinct span (lowest (doc_id, span_idx)), and
+    reassemble what survives — the pass that strips boilerplate
+    paragraphs repeated across a crawl without dropping whole
+    documents.
+
+    Output: one row per input doc — (doc_id, n_spans, n_kept,
+    clean_text) with clean_text the kept spans re-joined in order
+    ('' when everything was a repeat).
+
+    Scale shape: the only wide exchange is a window over
+    md5(span) — 32-byte keys plus (doc_id, idx) coordinates, never
+    document text twice; the reassembly groupBy(doc_id) carries each
+    surviving span exactly once.  Equivalent rows-at-scale: 2 shuffles
+    of O(corpus tokens / span_tokens) rows."""
+    from .text import chunk_documents  # local import: text.py imports us
+
+    spans = chunk_documents(
+        docs, max_tokens=span_tokens, text_col=text_col, id_col=id_col
+    ).select(id_col, F.col("chunk_idx").alias("span_idx"), F.col("chunk").alias("span"))
+    w = Window.partitionBy(F.md5(F.col("span").cast("binary"))).orderBy(
+        id_col, "span_idx"
+    )
+    flagged = spans.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1, F.struct(F.col("span_idx").alias("i"), F.col("span").alias("s"))
+    )  # collect_list drops the NULLs for non-kept spans
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_kept",
+            F.concat_ws(" ", F.expr("transform(_kept, k -> k.s)")).alias("clean_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

@@ -28,14 +28,7 @@ def split_by_hash(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(16**8))
-    )
+    u = _hash_uniform(id_col, salt)
     expr = None
     acc = 0.0
     names = list(fractions)
@@ -45,6 +38,83 @@ def split_by_hash(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(out_col, expr)
+
+
+def _hash_uniform(id_col: str, salt: str):
+    """md5(salt|id) → [0, 1) — the shared deterministic-uniform draw
+    behind split/sample/rebalance (first 8 hex nibbles over 16^8)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its
+    md5-uniform draw falls under its stratum's rate — how a corpus is
+    downsampled to a target language/domain mixture without an RNG
+    seed's run-to-run fragility.
+
+    Pure filter on scan-side column algebra: no shuffle, no state, and
+    the SAME rows survive on every cluster/backfill (content-stable,
+    like split_by_hash).  Unknown strata get ``default_rate``."""
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == F.lit(name)
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(
+        F.lit(float(default_rate))
+    )
+    return df.filter(_hash_uniform(id_col, salt) < rate)
+
+
+def rebalance_groups(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "rebal",
+) -> DataFrame:
+    """Downsample every group to the size of the SMALLEST group — the
+    two-pass mixture-equalization shape (count → derive per-group
+    acceptance rate → hash filter) used to de-bias a crawl dominated by
+    one language/domain.
+
+    Scale shape: pass 1 is a groupBy(strata) count whose output is
+    groups-sized (tiny) and joins back BROADCAST; pass 2 is the same
+    stateless hash filter as :func:`stratified_sample`.  The corpus is
+    scanned twice but never shuffled.  Rates are exact in expectation
+    (each kept row is an independent min_count/count draw), and the
+    kept SET is deterministic for a fixed salt."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    target = counts.agg(F.min("_cnt").alias("_target"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        strata_col,
+        (F.col("_target").cast("double") / F.col("_cnt").cast("double")).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(_hash_uniform(id_col, salt) < F.col("_rate"))
+        .drop("_rate")
+    )
 
 
 def with_unit_norm(

@@ -411,6 +411,113 @@ def flag_contaminated(
     )
 
 
+# PII patterns, restricted to constructs with identical semantics under
+# Java regex (Spark) and RE2 (DuckDB): explicit char classes only — no
+# \d, no \b, no lookaround.  Redaction ORDER matters (email first: its
+# local/domain parts would otherwise be chewed up by the narrower
+# patterns); counts are taken on the ORIGINAL text.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    ("phone", "[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def with_pii_redacted(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before anything else sees the text: emails, IPv4 addresses and
+    phone-shaped numbers are replaced with typed placeholder tokens,
+    and per-document match counts are emitted for audit metrics.
+
+    Pure regexp projections (scan-side, whole-stage codegen, no
+    shuffle): at 100 TB this is a free rider on the cleaning scan.
+    Counts come from the original text; the replacements chain in
+    PII_PATTERNS order so overlapping matches resolve identically in
+    both engines."""
+    red = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        df = df.withColumn(
+            f"n_{name}s",
+            F.expr(f"size(regexp_extract_all({text_col}, '{pat}', 0))").cast("long"),
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return df.withColumn(out_col, red)
+
+
+def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: the k most frequent tokens with corpus
+    term frequency and document frequency — the first diagnostic run
+    on any new text corpus (and the seed of a tokenizer vocabulary).
+
+    Scale shape: explode → groupBy(token) is ONE shuffle whose map side
+    partially aggregates (token, count) pairs — the shuffle carries the
+    vocabulary, not the corpus.  The final top-k is `orderBy(...).
+    limit(k)`, which Spark executes as TakeOrderedAndProject: each
+    partition keeps its local k, the driver merges k·partitions rows —
+    never a global sort of the vocabulary.  Ties break on the token
+    string so the emitted SET is deterministic."""
+    toks = df.select(
+        F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf_corpus"),
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+    top = agg.orderBy(F.desc("tf_corpus"), F.asc("token")).limit(k)
+    # rank over the k survivors only — a window over ≤ k rows, not a
+    # global-sort of the vocabulary
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("tf_corpus"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf — the
+    lightweight topic signal used for corpus slicing and mixture
+    audits.
+
+    idf is the RATIONAL form (N+1)/(df+1) instead of its logarithm:
+    argmax-per-doc is invariant under the monotone log, and pure
+    IEEE-754 divisions are bit-identical across engines where libm
+    `ln` need not be — which keeps the DuckDB oracle exact.
+
+    Scale shape: two token-keyed aggregations (per-doc tf, corpus df)
+    + the corpus doc count as a broadcast 1-row join; the per-doc
+    top-k is a row_number window partitioned by doc_id — key-parallel,
+    no global sort.  The df join shuffles vocabulary-sized data only;
+    AQE upgrades it to broadcast when the vocabulary fits."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_tok = Window.partitionBy("doc_id")
+    tf = tf.withColumn("n_tokens_doc", F.sum("cnt").over(n_tok))
+    dfreq = (
+        toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("cnt") / F.col("n_tokens_doc").cast("double"))
+            * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", F.col("cnt").alias("tf"), "df_docs", "tfidf", "rank")
+    )
+
+
 BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 

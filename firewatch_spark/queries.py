@@ -1629,6 +1629,308 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data cleaning extensions (round 5): PII scrubbing, vocabulary/
+# tf-idf diagnostics, C4-style sub-document span dedup, mixture sampling,
+# and quality-argmax cluster representatives.
+
+_PII_EMAIL, _PII_IP, _PII_PHONE = (p[1] for p in text.PII_PATTERNS)
+
+# deterministic synthesized PII (the corpus itself is clean word salad):
+# every doc gains an email/IP/phone derived from its id, even ids a second
+# email — so the counts vary and the redaction path does real work in
+# BOTH engines
+_PII_SYNTH_SQL = """
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+           || CASE WHEN doc_id % 2 = 0 THEN ' cc bot@ex.org' ELSE '' END
+"""
+
+_PII_SQL = f"""
+    WITH s AS (SELECT doc_id, {_PII_SYNTH_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM s
+    """
+
+
+@q("pii_redaction", _PII_SQL)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py with_pii_redacted): emails, IPv4
+    and phone-shaped numbers replaced with typed placeholders + per-doc
+    audit counts.  The testdata is clean, so deterministic PII derived
+    from doc_id is spliced in identically in both engines first; the
+    patterns are the RE2/Java-portable subset (explicit char classes,
+    no \\d, no \\b) and the replacement chain order is pinned by
+    PII_PATTERNS."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" cc bot@ex.org")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = text.with_pii_redacted(synth)
+    return out.select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+
+
+_VOCAB_K = 50
+
+_VOCAB_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    agg AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf_corpus,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+      FROM toks GROUP BY token
+    ),
+    r AS (
+      SELECT token, tf_corpus, df_docs,
+             CAST(row_number() OVER (ORDER BY tf_corpus DESC, token) AS BIGINT) AS rank
+      FROM agg
+    )
+    SELECT token, tf_corpus, df_docs, rank FROM r WHERE rank <= {_VOCAB_K}
+    """
+
+
+@q("vocab_topk", _VOCAB_SQL)
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (operators/text.py vocab_topk): the 50
+    most frequent tokens with corpus tf and doc frequency.  The Spark
+    plan's final top-k is TakeOrderedAndProject (per-partition partial
+    top-k), never a global sort of the vocabulary."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.vocab_topk(docs, k=_VOCAB_K)
+
+
+_TFIDF_K = 3
+
+_TFIDF_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    nt AS (SELECT doc_id, SUM(tf) AS n_tokens_doc FROM tf GROUP BY doc_id),
+    dfq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+      FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfq.df_docs,
+             (CAST(tf.tf AS DOUBLE) / CAST(nt.n_tokens_doc AS DOUBLE))
+               * ((CAST(nd.n_docs AS DOUBLE) + 1.0) / (CAST(dfq.df_docs AS DOUBLE) + 1.0)) AS tfidf
+      FROM tf JOIN nt USING (doc_id) JOIN dfq USING (token) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, token, tf, df_docs, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df_docs, tfidf, rank FROM ranked WHERE rank <= {_TFIDF_K}
+    """
+
+
+@q("tfidf_topk", _TFIDF_SQL)
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·idf with the RATIONAL
+    idf (N+1)/(df+1) — monotone with log-idf for ranking, but built
+    from pure IEEE divisions so the oracle is bit-exact (libm `ln` is
+    not guaranteed identical across engines)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, k=_TFIDF_K)
+
+
+_SPAN_TOKENS = 16
+
+_SPAN_DEDUP_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), {_SPAN_TOKENS})) AS s,
+             CAST(generate_subscripts(generate_series(1, greatest(len(toks), 1), {_SPAN_TOKENS}), 1) - 1 AS INTEGER) AS span_idx
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, span_idx,
+             array_to_string(list_slice(toks, s, s + {_SPAN_TOKENS - 1}), ' ') AS span
+      FROM st
+    ),
+    flagged AS (
+      SELECT doc_id, span_idx, span,
+             row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '') AS clean_text
+    FROM flagged GROUP BY doc_id
+    """
+
+
+@q("span_dedup", _SPAN_DEDUP_SQL)
+def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup (operators/dedup.py span_dedup):
+    16-token spans, keep the globally first occurrence of each distinct
+    span, reassemble survivors — the only wide exchange carries
+    md5(span) keys + coordinates."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, span_tokens=_SPAN_TOKENS)
+
+
+_STRAT_RATES = {"en": 0.5, "zh": 0.3, "de": 0.2}
+_STRAT_DEFAULT = 0.1
+
+
+def _hash_u_cte(salt: str, extra_cols: str = "lang") -> str:
+    """DuckDB twin of sampling._hash_uniform over doc_id, as a CTE
+    named `u` with a [0,1) column `uv`."""
+    val, _ = _split_val_and_case({"x": 1.0})
+    return f"""
+    h AS (
+      SELECT doc_id, {extra_cols},
+             md5('{salt}|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    u AS (SELECT doc_id, {extra_cols}, ({val}) / 4294967296.0 AS uv FROM h)
+    """
+
+
+_STRAT_CASE = " ".join(
+    f"WHEN '{k}' THEN {v!r}" for k, v in _STRAT_RATES.items()
+)
+
+_STRAT_SQL = f"""
+    WITH {_hash_u_cte("strat")}
+    SELECT doc_id, lang
+    FROM u
+    WHERE uv < CASE lang {_STRAT_CASE} ELSE {_STRAT_DEFAULT!r} END
+    """
+
+
+@q("stratified_sample", _STRAT_SQL)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling to a target mixture
+    (operators/sampling.py stratified_sample) — the md5-uniform draw
+    makes the kept set content-stable across runs and engines."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(
+        docs, _STRAT_RATES, strata_col="lang", default_rate=_STRAT_DEFAULT
+    )
+
+
+_REBAL_SQL = f"""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    t AS (SELECT min(cnt) AS target FROM c),
+    r AS (
+      SELECT lang, CAST(target AS DOUBLE) / CAST(cnt AS DOUBLE) AS rate
+      FROM c CROSS JOIN t
+    ),
+    {_hash_u_cte("rebal")}
+    SELECT u.doc_id, u.lang
+    FROM u JOIN r USING (lang)
+    WHERE uv < r.rate
+    """
+
+
+@q("lang_rebalance", _REBAL_SQL)
+def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture equalization (operators/sampling.py rebalance_groups):
+    every language downsampled to the smallest language's size via the
+    two-pass count → broadcast rate → hash-filter shape."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling.rebalance_groups(docs, strata_col="lang")
+    return out.select("doc_id", "lang")
+
+
+_QUALITY_CTE = """
+    qual AS (
+      SELECT doc_id,
+             LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) *
+               (1.0 - len(list_filter(toks, t -> t IN {stop})) / CAST(len(toks) AS DOUBLE)) AS quality_score
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """
+
+
+_CLUSTER_REPS_SQL = f"""
+    WITH RECURSIVE {_MINHASH_CAND_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    clus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    {_QUALITY_CTE.format(stop=text._in_list(text.STOPWORDS))},
+    j AS (
+      SELECT c.cluster_id, c.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY c.cluster_id
+                  ORDER BY q.quality_score DESC, c.doc_id) AS rn
+      FROM clus c JOIN qual q USING (doc_id)
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+           MAX(CASE WHEN rn = 1 THEN quality_score END) AS rep_quality
+    FROM j GROUP BY cluster_id
+    """
+
+
+@q("cluster_representatives", _CLUSTER_REPS_SQL)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax canonical doc per near-dup cluster — the keep-list
+    policy real pipelines prefer over min-id (keep the BEST copy, not
+    the first): near_dup_clusters labels + token-quality scores, argmax
+    by (quality desc, doc_id asc) per cluster.  Adds one doc-keyed
+    broadcast-able join and a cluster-partitioned window on top of the
+    connected-components machinery."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3)
+    clusters = dedup.near_dup_clusters(pairs, docs)
+    quality = text.with_token_stats(docs).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("rep_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("quality_score"))).alias(
+                "rep_quality"
+            ),
+        )
+    )
+
+
 _ANN_SAMPLE = 50
 
 _ANN_SQL = f"""
@@ -2744,6 +3046,15 @@ _HEAD = [
     "cross_doc_packing",
     "lsh_verify",
     "decontamination",
+    # round-5 session-2 additions: the training-data cleaning
+    # extensions — never driver-attested yet
+    "pii_redaction",
+    "vocab_topk",
+    "tfidf_topk",
+    "span_dedup",
+    "stratified_sample",
+    "lang_rebalance",
+    "cluster_representatives",
     # round-4 additions: the LLM-pack components that were test-only in
     # round 3 (VERDICT r3 "Next round" #1), first attested in r4
     "repetition_stats",
@@ -2781,6 +3092,15 @@ _TAIL = [
     # substring/length/concat/format) is exercised inside other
     # windowed queries' md5/fingerprint/formatting pipelines
     "scalar_string_fns",
+    # round-5 session-2 demotions (all driver-attested green in r04;
+    # each a strict logic subset of a query still inside the window):
+    "text_stats",  # quality stats re-executed inside llm_pipeline's filter stage
+    "dedup_exact",  # exact-dedup stage re-executed inside llm_pipeline
+    "distinct_users",  # exact count-distinct shape re-executed in vocab_topk df_docs
+    "doc_fingerprint",  # md5 + min-over-shingle-hash fold re-executed in minhash sigs
+    "session_window_time",  # built-in twin of the windowed session_stats gap rule
+    "gradcam_cadence",  # cadence machinery re-executed by inference_cadence + EP2
+    "global_counters",  # corpus-wide counters subset of completion_stats family
 ]
 
 

@@ -1,0 +1,193 @@
+"""Training-data cleaning extensions: PII redaction, vocabulary /
+tf-idf diagnostics, span-level dedup, and mixture sampling contracts on
+hand-built corpora (the registry oracle replay covers the sf-dir
+parity; these pin the operator semantics on adversarial micro-cases).
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from firewatch_spark.operators import dedup, sampling, text
+from tests.conftest import rows
+
+
+def test_pii_redaction_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-corp.io from 10.0.0.1 call 555-1234 done"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.org and z@w.co plus 192.168.1.1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rows(text.with_pii_redacted(df))}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "mail <EMAIL> from <IP> call <PHONE> done"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    assert out[2]["redacted"] == "no pii here at all"
+    assert (out[3]["n_emails"], out[3]["n_ips"]) == (2, 1)
+    assert out[3]["redacted"] == "two mails <EMAIL> and <EMAIL> plus <IP>"
+
+
+def test_pii_email_redacts_before_narrower_patterns(spark):
+    # digits inside an email's local/domain must be eaten by <EMAIL>,
+    # not left behind as phone/IP fragments — the PII_PATTERNS order
+    df = spark.createDataFrame(
+        [(1, "user 555-1234@example.com wrote")], "doc_id long, text string"
+    )
+    r = rows(text.with_pii_redacted(df))[0]
+    assert r["redacted"] == "user <EMAIL> wrote"
+    assert r["n_emails"] == 1
+
+
+def test_vocab_topk_counts_and_rank_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a c"), (2, "a b c c")], "doc_id long, text string"
+    )
+    out = rows(text.vocab_topk(df, k=2), "rank")
+    # a: tf 3 df 2; c: tf 3 df 2; b: tf 2 df 2 → top-2 is a then c
+    # (tf desc, token asc tie-break)
+    assert [(r["token"], r["tf_corpus"], r["df_docs"], r["rank"]) for r in out] == [
+        ("a", 3, 2, 1),
+        ("c", 3, 2, 2),
+    ]
+
+
+def test_tfidf_topk_matches_python_reference(spark):
+    corpus = {
+        1: "spark query engine spark",
+        2: "query planner rules",
+        3: "engine room crew crew",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    out = rows(text.tfidf_topk(df, k=2), "doc_id", "rank")
+
+    # independent reference
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    n_docs = len(corpus)
+    dfreq = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    expect = []
+    for d, ts in toks.items():
+        scored = []
+        for t in sorted(set(ts)):
+            tf = ts.count(t)
+            score = (tf / len(ts)) * ((n_docs + 1.0) / (dfreq[t] + 1.0))
+            scored.append((t, tf, score))
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for rank, (t, tf, score) in enumerate(scored[:2], 1):
+            expect.append((d, t, tf, dfreq[t], score, rank))
+    got = [
+        (r["doc_id"], r["token"], r["tf"], r["df_docs"], r["tfidf"], r["rank"])
+        for r in out
+    ]
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[:4] == e[:4] and g[5] == e[5]
+        assert math.isclose(g[4], e[4], rel_tol=1e-12)
+
+
+def test_span_dedup_keeps_first_occurrence_globally(spark):
+    # spans of 3 tokens; "x y z" repeats across docs and within doc 2
+    df = spark.createDataFrame(
+        [
+            (1, "x y z a b c"),
+            (2, "x y z x y z"),
+            (3, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rows(dedup.span_dedup(df, span_tokens=3))}
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["clean_text"] == "x y z a b c"
+    # doc 2: both spans are "x y z", both repeats of doc 1's
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 0)
+    assert out[2]["clean_text"] == ""
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (1, 0)
+
+
+def test_span_dedup_reassembles_in_span_order(spark):
+    # doc 2 loses its MIDDLE span only; the outer spans re-join in order
+    df = spark.createDataFrame(
+        [(1, "d e f"), (2, "a b c d e f g h i")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rows(dedup.span_dedup(df, span_tokens=3))}
+    assert out[2]["clean_text"] == "a b c g h i"
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (3, 2)
+
+
+def test_stratified_sample_deterministic_and_stratum_scoped(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    rates = {"en": 0.5, "zh": 0.1}
+    a = rows(sampling.stratified_sample(df, rates, strata_col="lang"), "doc_id")
+    b = rows(sampling.stratified_sample(df, rates, strata_col="lang"), "doc_id")
+    assert a == b  # content-stable, no RNG
+    kept = {"en": 0, "zh": 0}
+    for r in a:
+        kept[r["lang"]] += 1
+    # 1000 per stratum; md5-uniform keeps ≈ rate ± a few percent
+    assert 400 <= kept["en"] <= 600
+    assert 40 <= kept["zh"] <= 160
+    # unknown stratum with default 0.0 drops everything
+    c = sampling.stratified_sample(
+        df.withColumn("lang", F.lit("xx")), rates, strata_col="lang"
+    )
+    assert c.count() == 0
+
+
+def test_rebalance_groups_equalizes_to_smallest(spark):
+    df = spark.range(1300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "en")
+        .when(F.col("id") < 1200, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = rows(sampling.rebalance_groups(df, strata_col="lang"), "doc_id")
+    kept = {}
+    for r in out:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    # smallest group (fr, 100) keeps everything: rate = 1.0 exactly
+    assert kept["fr"] == 100
+    # the others land near 100 in expectation (md5-uniform draw)
+    assert 70 <= kept["en"] <= 130
+    assert 70 <= kept["de"] <= 130
+    # deterministic
+    again = rows(sampling.rebalance_groups(df, strata_col="lang"), "doc_id")
+    assert out == again
+
+
+def test_cluster_representatives_prefers_quality(spark):
+    # two near-identical docs: doc 2 is longer → higher quality score →
+    # becomes the representative even though doc 1 has the smaller id
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, (base * 2).strip()), (3, "unrelated totally different words")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.lsh_candidate_pairs(df)
+    clusters = dedup.near_dup_clusters(pairs, df)
+    quality = text.with_token_stats(df).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    reps = {
+        r["cluster_id"]: r["doc_id"]
+        for r in rows(
+            joined.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        )
+    }
+    assert reps[1] == 2  # cluster labeled by min id 1; best-quality rep is 2
+    assert reps[3] == 3

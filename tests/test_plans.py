@@ -34,7 +34,17 @@ def test_no_cartesian_product_anywhere(plans):
     # sample; the scale path feeds it LSH candidates instead), and
     # ann_ivf_cells/ann_ivf_topk are corpus × k centroids (IVF index
     # build + probe ranking)
-    allowed_bnlj = {"ann_topk", "ngram_jaccard", "ann_ivf_cells", "ann_ivf_topk"}
+    # tfidf_topk broadcasts the ONE-row corpus doc count (N in the idf)
+    # against the vocabulary, lang_rebalance the ONE-row min group count
+    # against the group-count table — 1 × small products, not quadratic
+    allowed_bnlj = {
+        "ann_topk",
+        "ngram_jaccard",
+        "ann_ivf_cells",
+        "ann_ivf_topk",
+        "tfidf_topk",
+        "lang_rebalance",
+    }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan or name in allowed_bnlj, name
