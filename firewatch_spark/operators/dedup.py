@@ -632,3 +632,96 @@ def simhash_near_pairs(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
     return verified.unionByName(dup_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new corpus vs existing index)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an already-ingested
+    index — the shape every continuously-crawled training corpus needs
+    (the self-join family above rebuilds the whole pair graph; a daily
+    ingest must only compare new docs against the index, never index
+    against itself).
+
+    Per new doc: ``is_exact_dup`` (content md5 already in the index),
+    ``n_candidates`` (index docs sharing an LSH band bucket),
+    ``n_dups`` (candidates whose exact shingle Jaccard ≥ threshold),
+    and ``kept`` = not exact and no verified near-dup.
+
+    Scale shape: both sides band independently (same signature fold as
+    `lsh_candidate_pairs`; caps per (band_idx, band_hash) bound each
+    side's bucket at `max_bucket`, so the band equi-join emits ≤
+    max_bucket² pairs per bucket — never |new|×|index|).  Verification
+    is `verify_candidates` over the candidate pairs only.  The exact
+    check joins 32-char md5 keys.  In production the index side's
+    signatures and band hashes are computed ONCE at ingest and stored
+    (this function recomputes them so the oracle can replay it
+    stateless); the per-batch cost is then O(new + candidates).
+    """
+    rows = num_hashes // bands
+
+    def banded(side: DataFrame, out_id: str) -> DataFrame:
+        sig = with_minhash_signature(side, text_col, num_hashes, shingle_n)
+        band_cols = []
+        for b in range(bands):
+            parts = [F.col("sig")[b * rows + r] for r in range(rows)]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("|", *parts).cast("binary")).alias("band_hash"),
+                )
+            )
+        exploded = sig.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("band")
+        ).select(out_id, "band.band_idx", "band.band_hash")
+        cap_w = Window.partitionBy("band_idx", "band_hash").orderBy(out_id)
+        return exploded.withColumn("_rn", F.row_number().over(cap_w)).filter(
+            F.col("_rn") <= max_bucket
+        ).drop("_rn")
+
+    cand = (
+        banded(new_docs, "doc_a")
+        .join(banded(index_docs, "doc_b"), ["band_idx", "band_hash"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = verify_candidates(
+        cand, new_docs.unionByName(index_docs), text_col, id_col, shingle_n
+    )
+    per_new = verified.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("jaccard") >= threshold).cast("long")).alias("n_dups"),
+    )
+    idx_md5 = (
+        index_docs.select(F.md5(F.col(text_col).cast("binary")).alias("content_md5"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    exact = new_docs.select(
+        id_col, F.md5(F.col(text_col).cast("binary")).alias("content_md5")
+    ).join(idx_md5, "content_md5", "left")
+    zero = F.lit(0).cast("long")
+    return (
+        exact.join(per_new.withColumnRenamed("doc_a", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("_hit").isNotNull().alias("is_exact_dup"),
+            F.coalesce(F.col("n_candidates"), zero).alias("n_candidates"),
+            F.coalesce(F.col("n_dups"), zero).alias("n_dups"),
+            (
+                F.col("_hit").isNull() & (F.coalesce(F.col("n_dups"), zero) == 0)
+            ).alias("kept"),
+        )
+    )

@@ -9,7 +9,7 @@ what makes 100 TB dataset versioning reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -114,6 +114,42 @@ def rebalance_groups(
         df.join(F.broadcast(rates), strata_col)
         .filter(_hash_uniform(id_col, salt) < F.col("_rate"))
         .drop("_rate")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the k best rows of every group — the per-source document
+    cap (RefinedWeb-style: bound any one domain's contribution to the
+    training mix) and the general top-k-per-key building block.
+
+    Scale shape: a plain ``row_number().over(partitionBy(group))``
+    sends EVERY row of a hot group through one task.  This runs in two
+    phases instead: phase 1 ranks within (group, input-partition-id) —
+    the shuffle key includes the scan partition, so a hot group spreads
+    across the cluster — and discards all but each cell's local top-k
+    (the global top-k is always a subset of the union of cell top-ks);
+    phase 2 ranks the ≤ k·partitions survivors per group.  The second
+    window sees k·partitions rows per group however skewed the input.
+    The partition id never reaches the output, so the result is the
+    same deterministic top-k regardless of scan layout — provided
+    ``order_cols`` is a total order within a group (break ties on the
+    row id)."""
+    pre_w = Window.partitionBy(group_col, "_pid").orderBy(*order_cols)
+    pruned = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prn", F.row_number().over(pre_w))
+        .filter(F.col("_prn") <= k)
+        .drop("_pid", "_prn")
+    )
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return pruned.withColumn(rank_col, F.row_number().over(w).cast("long")).filter(
+        F.col(rank_col) <= k
     )
 
 

@@ -518,6 +518,59 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM quality scoring — the deterministic stand-in for the
+    perplexity filter big text pipelines gate on (CCNet/Gopher score
+    each doc under a language model and drop the tails; the unigram
+    model is the degenerate LM whose statistics a SQL engine can
+    compute exactly).
+
+    Per doc: ``n_tokens``, ``sum_tf`` (sum of each token's corpus
+    frequency — repeated tokens count repeatedly, exactly like an LM
+    scoring each position), ``min_tf`` (rarest token's corpus
+    frequency: hapax/garbage detector), ``mean_token_tf`` and
+    ``mean_token_prob`` (the per-position average probability under the
+    corpus unigram distribution — low = surprising/noisy doc, high =
+    boilerplate-ish).
+
+    All-integer aggregation + single IEEE divisions at the end: a true
+    mean LOG prob would sum libm `ln` terms whose last-ulp behavior and
+    addition order differ across engines, so the score is kept in
+    rational space — monotone transforms preserve the filter's ranking
+    (same trade recorded by tfidf_topk's rational idf).
+
+    Scale shape: explode → groupBy(token) builds the vocabulary (ONE
+    shuffle, map-side combine, carries the vocabulary not the corpus);
+    the score pass re-joins exploded tokens to the vocabulary (equi
+    shuffle join; AQE broadcasts when the vocabulary fits) and reduces
+    per doc with map-side partial sums.  The corpus total is a 1-row
+    broadcast.  No step buffers more than a vocabulary partition."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf_corpus"))
+    total = tf.agg(F.sum("tf_corpus").alias("total_tokens"))
+    per_doc = toks.join(tf, "token").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tf_corpus").alias("sum_tf"),
+        F.min("tf_corpus").alias("min_tf"),
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        "sum_tf",
+        "min_tf",
+        "total_tokens",
+        (F.col("sum_tf") / F.col("n_tokens").cast("double")).alias("mean_token_tf"),
+        (
+            F.col("sum_tf").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("total_tokens").cast("double"))
+        ).alias("mean_token_prob"),
+    )
+
+
 BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 

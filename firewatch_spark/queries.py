@@ -1931,6 +1931,141 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 extensions, session 4: unigram-LM quality scoring, per-source
+# caps, mixture pivot, distribution windows, cluster-balanced sampling,
+# and incremental (new-vs-index) dedup.
+
+_UNIGRAM_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS tf_corpus FROM toks GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(tf_corpus) AS BIGINT) AS total_tokens FROM tf),
+    pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(tf.tf_corpus) AS BIGINT) AS sum_tf,
+             CAST(MIN(tf.tf_corpus) AS BIGINT) AS min_tf
+      FROM toks JOIN tf USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, sum_tf, min_tf, total_tokens,
+           CAST(sum_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_tf,
+           CAST(sum_tf AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE)) AS mean_token_prob
+    FROM pd CROSS JOIN tot
+    """
+
+
+@q("unigram_score", _UNIGRAM_SQL)
+def unigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (operators/text.py unigram_score) —
+    the deterministic perplexity-filter stand-in: per-doc mean corpus
+    probability of each token position, from all-integer tf sums and
+    single IEEE divisions (no libm log; monotone with mean log prob
+    for filtering)."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.unigram_score(docs)
+
+
+_SOURCE_CAP_K = 10
+
+_SOURCE_CAP_SQL = f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= {_SOURCE_CAP_K}
+    """
+
+
+@q("source_cap", _SOURCE_CAP_SQL)
+def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py top_k_per_group):
+    keep each source's 10 longest docs — the RefinedWeb-style bound on
+    any one domain's contribution.  Two-phase: local top-k per (source,
+    scan partition) prunes BEFORE the per-source window, so a hot
+    source never funnels all its rows through one task; the output is
+    layout-independent because (n_chars desc, doc_id) totally orders
+    each group."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sampling.top_k_per_group(
+        docs, "source", _SOURCE_CAP_K, [F.desc("n_chars"), F.asc("doc_id")]
+    )
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+_PIVOT_SQL = f"""
+    SELECT source,
+           {", ".join(f"CAST(count(*) FILTER (lang = '{l}') AS BIGINT) AS n_{l}" for l in _PIVOT_LANGS)},
+           CAST({" + ".join(f"count(*) FILTER (lang = '{l}')" for l in _PIVOT_LANGS)} AS BIGINT) AS n_total,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    """
+
+
+@q("mixture_pivot", _PIVOT_SQL)
+def mixture_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture audit as a source × language pivot
+    (RelationalGroupedDataset.pivot with an EXPLICIT value list — no
+    values-discovery job, stable output schema at any scale).  One
+    shuffle on source; each lang count is a map-side conditional
+    partial aggregate, same cost as a flat groupBy."""
+    docs = _tbl(spark, sf_dir, "documents").select("source", "lang", "n_chars")
+    piv = docs.groupBy("source").pivot("lang", list(_PIVOT_LANGS)).agg(
+        F.count(F.lit(1))
+    )
+    tot = docs.groupBy("source").agg(F.sum("n_chars").alias("sum_chars"))
+    lang_cols = [
+        F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}")
+        for l in _PIVOT_LANGS
+    ]
+    out = piv.join(tot, "source")
+    n_total = None
+    for l in _PIVOT_LANGS:
+        c = F.coalesce(F.col(l), F.lit(0)).cast("long")
+        n_total = c if n_total is None else n_total + c
+    return out.select(
+        "source",
+        *lang_cols,
+        n_total.alias("n_total"),
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+    )
+
+
+_NTILE_SQL = """
+    SELECT event_id, user_id, value,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """
+
+
+@q("event_ntile", _NTILE_SQL)
+def event_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (§2.6 parity-plus): per-user quartile
+    bucket (ntile), percent_rank and cume_dist over event value.  All
+    three share the ONE (user_id)-keyed exchange; pct_rank/cum_dist
+    are single divisions of exact row counts, so bit-portable.  Ties
+    broken by event_id → total order → deterministic."""
+    ev = _tbl(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
 _ANN_SAMPLE = 50
 
 _ANN_SQL = f"""
@@ -2003,8 +2138,10 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is O(k) at any scale (see similarity.ivf_centroids)
 _IVF_K = similarity.DEFAULT_IVF_K
 
-_IVF_SQL = f"""
-    WITH iv AS (
+# the cell-assignment CTE chain, shared by ann_ivf_cells and
+# cluster_balanced_sample
+_IVF_CELLS_CTES = f"""
+    iv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
       FROM embeddings
@@ -2024,7 +2161,10 @@ _IVF_SQL = f"""
       SELECT vec_id, centroid_id, d2,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rk
       FROM scored
-    )
+    )"""
+
+_IVF_SQL = f"""
+    WITH {_IVF_CELLS_CTES}
     SELECT vec_id, centroid_id, d2 FROM ranked WHERE rk = 1
     """
 
@@ -2108,6 +2248,158 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, k=5, nprobe=_IVF_NPROBE, k_centroids=_IVF_K
     )
+
+
+def _cell_bal_sql() -> str:
+    val, _ = _split_val_and_case({"x": 1.0})
+    return f"""
+    WITH {_IVF_CELLS_CTES},
+    cells AS (SELECT vec_id, centroid_id FROM ranked WHERE rk = 1),
+    c AS (SELECT centroid_id, count(*) AS cnt FROM cells GROUP BY centroid_id),
+    t AS (SELECT min(cnt) AS target FROM c),
+    r AS (
+      SELECT centroid_id, CAST(target AS DOUBLE) / CAST(cnt AS DOUBLE) AS rate
+      FROM c CROSS JOIN t
+    ),
+    hh AS (
+      SELECT vec_id, centroid_id,
+             md5('cellbal|' || CAST(vec_id AS VARCHAR)) AS h
+      FROM cells
+    ),
+    u AS (SELECT vec_id, centroid_id, ({val}) / 4294967296.0 AS uv FROM hh)
+    SELECT u.vec_id, u.centroid_id
+    FROM u JOIN r USING (centroid_id) WHERE uv < r.rate
+    """
+
+
+@q("cluster_balanced_sample", _cell_bal_sql())
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diversity sampling: assign every vector to its
+    IVF cell, then downsample each cell to the SMALLEST cell's size
+    (operators/sampling.py rebalance_groups over similarity.ivf_assign)
+    — the cluster-balanced selection step data-curation pipelines use
+    to keep semantic coverage while shrinking a corpus (dense regions
+    are pruned hardest).  Plan: O(k) centroid broadcast × one corpus
+    scan for assignment, a cells-sized count join (broadcast), and the
+    stateless md5 filter — no extra corpus shuffle."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, k=_IVF_K)
+    cells = similarity.ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    return sampling.rebalance_groups(
+        cells, strata_col="centroid_id", id_col="vec_id", salt="cellbal"
+    ).select("vec_id", "centroid_id")
+
+
+def _incr_side_ctes(
+    prefix: str,
+    doc_src: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = dedup.MAX_BUCKET,
+) -> str:
+    """Signature → band → capped-bucket CTE chain for one side of the
+    incremental dedup, with prefixed CTE names so two sides coexist in
+    one WITH clause.  Mirrors operators/dedup.py incremental_dedup's
+    banded() exactly (same shingles, salted-md5 minhash, band hashes,
+    per-bucket caps ordered by doc_id)."""
+    rows = num_hashes // bands
+    idx = " || ' ' || ".join(
+        f"list_extract(toks, i + {k})" for k in range(shingle_n)
+    )
+    mins = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{j}|', s)))) AS m{j}"
+        for j in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + f")) AS band_hash FROM {prefix}sigs"
+        for b in range(bands)
+    )
+    return f"""
+    {prefix}toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {doc_src}),
+    {prefix}sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {shingle_n}
+                  THEN list_transform(generate_series(1, len(toks) - {shingle_n - 1}), i -> {idx})
+                  ELSE [concat_ws(' ', toks)] END AS sh
+      FROM {prefix}toks
+    ),
+    {prefix}sigs AS (SELECT doc_id, {mins} FROM {prefix}sh),
+    {prefix}bands AS ({band_selects}),
+    {prefix}capped AS (
+      SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS rn
+        FROM {prefix}bands
+      ) WHERE rn <= {max_bucket}
+    )"""
+
+
+_INCR_FRAC = 0.8
+_INCR_THRESHOLD = 0.5
+
+
+def _incr_dedup_sql() -> str:
+    val, _ = _split_val_and_case({"x": 1.0})
+    return f"""
+    WITH hsp AS (
+      SELECT doc_id, text, md5('incr|' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    usp AS (SELECT doc_id, text, ({val}) / 4294967296.0 AS uv FROM hsp),
+    idxd AS (SELECT doc_id, text FROM usp WHERE uv < {_INCR_FRAC!r}),
+    newd AS (SELECT doc_id, text FROM usp WHERE uv >= {_INCR_FRAC!r}),
+    {_incr_side_ctes("n_", "newd")},
+    {_incr_side_ctes("i_", "idxd")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM n_capped a JOIN i_capped b USING (band_idx, band_hash)
+    ),
+    vsh AS (
+      SELECT doc_id, list_distinct(sh) AS vs FROM n_sh
+      UNION ALL
+      SELECT doc_id, list_distinct(sh) AS vs FROM i_sh
+    ),
+    ver AS (
+      SELECT c.doc_a,
+             len(list_intersect(a.vs, b.vs)) /
+               CAST(len(a.vs) + len(b.vs) - len(list_intersect(a.vs, b.vs)) AS DOUBLE) AS jaccard
+      FROM cand c
+      JOIN vsh a ON a.doc_id = c.doc_a
+      JOIN vsh b ON b.doc_id = c.doc_b
+    ),
+    pn AS (
+      SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN jaccard >= {_INCR_THRESHOLD!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+      FROM ver GROUP BY doc_a
+    ),
+    im AS (SELECT DISTINCT md5(text) AS content_md5 FROM idxd),
+    ex AS (
+      SELECT n.doc_id, (im.content_md5 IS NOT NULL) AS is_exact_dup
+      FROM (SELECT doc_id, md5(text) AS content_md5 FROM newd) n
+      LEFT JOIN im USING (content_md5)
+    )
+    SELECT ex.doc_id, ex.is_exact_dup,
+           CAST(COALESCE(pn.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(pn.n_dups, 0) AS BIGINT) AS n_dups,
+           ((NOT ex.is_exact_dup) AND COALESCE(pn.n_dups, 0) = 0) AS kept
+    FROM ex LEFT JOIN pn USING (doc_id)
+    """
+
+
+@q("incremental_dedup", _incr_dedup_sql())
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-corpus-vs-index dedup (operators/dedup.py incremental_dedup):
+    the corpus splits 80/20 by md5-uniform draw into an "already
+    ingested" index and a "new batch"; each new doc reports exact-dup
+    and verified-near-dup status against the index only — the daily
+    ingest shape where the index never re-joins itself."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.withColumn("_u", sampling._hash_uniform("doc_id", "incr"))
+    idx = u.filter(F.col("_u") < _INCR_FRAC).drop("_u")
+    new = u.filter(F.col("_u") >= _INCR_FRAC).drop("_u")
+    return dedup.incremental_dedup(new, idx, threshold=_INCR_THRESHOLD)
 
 
 @q(
@@ -3039,6 +3331,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # stays continuously gated by tests/test_registry.py's oracle replay
 # (ADVICE r3), just not by the external driver.
 _HEAD = [
+    # round-5 session-4 additions — never driver-attested yet
+    "unigram_score",
+    "source_cap",
+    "mixture_pivot",
+    "event_ntile",
+    "cluster_balanced_sample",
+    "incremental_dedup",
     # round-5 additions: the end-to-end pipeline composition (VERDICT
     # r4 "Next round" #5) and cross-document packing — never
     # driver-attested yet
@@ -3101,6 +3400,31 @@ _TAIL = [
     "session_window_time",  # built-in twin of the windowed session_stats gap rule
     "gradcam_cadence",  # cadence machinery re-executed by inference_cadence + EP2
     "global_counters",  # corpus-wide counters subset of completion_stats family
+    # round-5 session-4 demotions (all driver-attested green in r04;
+    # the scale-critical machinery of each is re-executed by a query
+    # still inside the window, and any residual columns stay gated by
+    # the tail oracle replay):
+    # candidate-generation CTE chain (sig → collapse → bands → cap) is
+    # the shared lineage of lsh_verify / near_dup_clusters /
+    # cluster_representatives / llm_pipeline, all windowed; only the
+    # per-pair minhash-match count is unique here
+    "dedup_minhash_lsh",
+    # the hyperplane bucket fold is re-executed inside
+    # embedding_near_dup's bucket self-join (windowed)
+    "ann_lsh_buckets",
+    # P3 threshold + P6 zeroing re-executed inside predict_udf's
+    # UDF == column == SQL oracle; the complement column stays
+    # tail-gated
+    "surrogate_predictions",
+    # P7 synthesis re-executed inside predict_udf (det_count over the
+    # same synthesized array); flattened bbox fields stay tail-gated
+    "detection_synthesis",
+    # rows-unbounded-preceding running windows, same shape progress_pct
+    # (running max) and inference_cadence (LOCF last) re-execute
+    "window_running",
+    # regexp_extract_all counting projection, the same machinery
+    # pii_redaction's windowed audit counts execute
+    "bpe_token_count",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Round-5 session-4 operators: unigram scoring, per-group caps,
+incremental (new-vs-index) dedup, cluster-balanced sampling.
+
+Oracle replay covers engine parity (test_registry + tools/
+oracle_check.py); these pin the SEMANTICS against independent Python
+references and hand-built scenarios, plus the layout-independence the
+two-phase top-k claims.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from firewatch_spark.operators import dedup, sampling, text
+
+
+def test_unigram_score_matches_python_reference(spark):
+    docs = [
+        (1, "a a b"),
+        (2, "b c"),
+        (3, "a a a a"),
+        (4, "d"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in text.unigram_score(df).collect()}
+
+    tf = Counter(tok for _, t in docs for tok in t.split(" "))
+    total = sum(tf.values())
+    for doc_id, t in docs:
+        toks = t.split(" ")
+        sum_tf = sum(tf[tok] for tok in toks)
+        got = out[doc_id]
+        assert got["n_tokens"] == len(toks)
+        assert got["sum_tf"] == sum_tf
+        assert got["min_tf"] == min(tf[tok] for tok in toks)
+        assert got["total_tokens"] == total
+        assert got["mean_token_tf"] == sum_tf / len(toks)
+        assert got["mean_token_prob"] == sum_tf / (len(toks) * float(total))
+
+
+def test_unigram_score_rare_vs_boilerplate_ordering(spark):
+    # a doc of corpus-frequent tokens must outscore a doc of hapaxes —
+    # the property the quality filter gates on
+    docs = [(i, "common words here") for i in range(10)]
+    docs.append((100, "zzyzx qwfp vexing"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["mean_token_prob"] for r in text.unigram_score(df).collect()}
+    assert out[0] > out[100]
+
+
+def _naive_topk(spark, df, k):
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def test_top_k_per_group_equals_naive_window(spark):
+    rows = [(i % 7, i, (i * 37) % 100) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    fast = sampling.top_k_per_group(df, "g", 5, [F.desc("v"), F.asc("id")])
+    naive = _naive_topk(spark, df, 5)
+    assert sorted(fast.collect()) == sorted(naive.collect())
+
+
+def test_top_k_per_group_layout_independent(spark):
+    """The partition-id pre-prune must not leak into the result: any
+    repartitioning of the input yields the identical top-k."""
+    rows = [(0, i, i % 13) for i in range(300)]  # one hot group
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    base = sorted(
+        sampling.top_k_per_group(df, "g", 4, [F.desc("v"), F.asc("id")]).collect()
+    )
+    for n in (1, 3, 17):
+        shuffled = df.repartition(n)
+        got = sorted(
+            sampling.top_k_per_group(
+                shuffled, "g", 4, [F.desc("v"), F.asc("id")]
+            ).collect()
+        )
+        assert got == base
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_incremental_dedup_scenarios(spark):
+    boiler = " ".join(f"w{i}" for i in range(20))
+    near = " ".join(f"w{i}" for i in range(19)) + " zz"  # 1-token edit
+    index = _docs(spark, [(1, boiler), (2, "totally different index text here")])
+    new = _docs(
+        spark,
+        [
+            (10, boiler),  # exact dup of index doc 1
+            (11, near),  # near dup of index doc 1
+            (12, "unique fresh content nothing shared"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.incremental_dedup(new, index, threshold=0.5).collect()
+    }
+    assert out[10]["is_exact_dup"] and not out[10]["kept"]
+    assert not out[11]["is_exact_dup"]
+    assert out[11]["n_dups"] >= 1 and not out[11]["kept"]
+    assert out[12]["kept"] and out[12]["n_candidates"] == 0
+
+
+def test_incremental_dedup_new_docs_not_compared_to_each_other(spark):
+    """Two identical NEW docs with no index counterpart must BOTH be
+    kept — the incremental contract compares new-vs-index only (the
+    in-batch pair belongs to the self-join family)."""
+    dup = "same new document text repeated verbatim across the batch"
+    index = _docs(spark, [(1, "an unrelated index document")])
+    new = _docs(spark, [(10, dup), (11, dup)])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.incremental_dedup(new, index).collect()
+    }
+    assert out[10]["kept"] and out[11]["kept"]
+    assert out[10]["n_candidates"] == 0
+
+
+def test_incremental_dedup_every_new_doc_reported(spark):
+    index = _docs(spark, [(1, "index doc one"), (2, "index doc two")])
+    new = _docs(spark, [(10, "index doc one"), (11, "something else entirely")])
+    out = dedup.incremental_dedup(new, index)
+    assert sorted(r["doc_id"] for r in out.collect()) == [10, 11]
+
+
+def test_cluster_balanced_sample_deterministic_and_subset(spark):
+    from firewatch_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, k=4)
+    cells = similarity.ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    kept1 = sorted(
+        r["vec_id"]
+        for r in sampling.rebalance_groups(
+            cells, strata_col="centroid_id", id_col="vec_id", salt="cellbal"
+        ).collect()
+    )
+    kept2 = sorted(
+        r["vec_id"]
+        for r in sampling.rebalance_groups(
+            cells, strata_col="centroid_id", id_col="vec_id", salt="cellbal"
+        ).collect()
+    )
+    assert kept1 == kept2  # content-stable, no RNG state
+    all_ids = {r["vec_id"] for r in cells.collect()}
+    assert set(kept1) <= all_ids and kept1
+
+
+def test_mixture_pivot_totals(spark, sf_dir):
+    from firewatch_spark.queries import registry
+
+    out = registry()["mixture_pivot"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expect = docs.groupBy("source").count().collect()
+    totals = {r["source"]: r["n_total"] for r in out}
+    for r in expect:
+        assert totals[r["source"]] == r["count"]

@@ -37,6 +37,9 @@ def test_no_cartesian_product_anywhere(plans):
     # tfidf_topk broadcasts the ONE-row corpus doc count (N in the idf)
     # against the vocabulary, lang_rebalance the ONE-row min group count
     # against the group-count table — 1 × small products, not quadratic
+    # unigram_score broadcasts the ONE-row corpus token total,
+    # cluster_balanced_sample is corpus × k centroids (IVF assign) plus
+    # the ONE-row min cell count — all 1 × small or k × corpus products
     allowed_bnlj = {
         "ann_topk",
         "ngram_jaccard",
@@ -44,6 +47,8 @@ def test_no_cartesian_product_anywhere(plans):
         "ann_ivf_topk",
         "tfidf_topk",
         "lang_rebalance",
+        "unigram_score",
+        "cluster_balanced_sample",
     }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name

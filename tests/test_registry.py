@@ -20,6 +20,8 @@ SAMPLE = ["session_stats", "inference_cadence", "dedup_exact", "asof_join"]
 # sees them (doc_chunks moved to _TAIL in round 5 — covered by the
 # tail replay below); llm_pipeline is the round-5 composition
 SAMPLE += ["repetition_stats", "chunk_packing", "dataset_split", "llm_pipeline"]
+# round-5 session-4 head queries
+SAMPLE += ["unigram_score", "incremental_dedup"]
 
 
 def replay_against_oracle(spark, sf_dir, name):
