@@ -95,6 +95,178 @@ def test_streaming_gap_sessions_match_batch(spark, tmp_path):
             assert got[col] == exp[col], (k, col, got[col], exp[col])
 
 
+def test_tws_processor_state_machine_matches_old_api_fn(spark):
+    """The transformWithState processor (streaming/tws_session.py) and
+    the applyInPandasWithState function share one state machine — drive
+    BOTH directly with a fake state handle over the same multi-batch
+    frame sequences (including a cross-batch gap and an in-batch
+    out-of-order row) and require identical emissions and final state.
+    This seam test needs no TWS protocol, so it runs in this container
+    (the live-query twin below skips on the missing protobuf)."""
+    import pandas as pd
+
+    from firewatch_spark.streaming import session_state as ss
+    from firewatch_spark.streaming.tws_session import GapSessionProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    class FakeGroupState:
+        def __init__(self):
+            self.v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def remove(self):
+            self.v = None
+
+    gap = 10
+    batches = [
+        pd.DataFrame(
+            {"frame_number": [3, 1, 2], "has_fire": [True, False, True],
+             "fire_probability": [0.9, 0.0, 0.6]}
+        ),
+        pd.DataFrame(  # 2 -> 20 jumps the gap: session 1 closes
+            {"frame_number": [20, 21], "has_fire": [False, True],
+             "fire_probability": [0.0, 0.7]}
+        ),
+        pd.DataFrame(  # exactly-gap jump (31-21=10): same session
+            {"frame_number": [31], "has_fire": [False],
+             "fire_probability": [0.0]}
+        ),
+    ]
+
+    proc = GapSessionProcessor(gap)
+    handle = FakeHandle()
+    proc.init(handle)
+    tws_out = []
+    for b in batches:
+        tws_out.extend(
+            r for pdf in proc.handleInputRows(("vid",), iter([b.copy()]), None)
+            for r in pdf.to_dict("records")
+        )
+
+    old_fn = ss._session_fn(gap, timeout_ms=None)
+    gs = FakeGroupState()
+    old_out = []
+    for b in batches:
+        old_out.extend(
+            r for pdf in old_fn(("vid",), iter([b.copy()]), gs)
+            for r in pdf.to_dict("records")
+        )
+
+    assert tws_out == old_out
+    assert len(tws_out) == 1 and tws_out[0]["closed_by"] == "gap"
+    assert tws_out[0]["total_frames"] == 3 and tws_out[0]["fire_count"] == 2
+    assert tws_out[0]["max_fire_probability"] == 0.9
+    assert tuple(handle.state.v) == gs.v  # identical open-session state
+
+
+def test_transform_with_state_matches_old_api_and_batch(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas twin (streaming/
+    tws_session.py) must emit row-identical gap-closed sessions to BOTH
+    the applyInPandasWithState operator and the batch sessionizer —
+    same fixture, three independent implementations, one answer."""
+    from firewatch_spark.streaming.tws_session import (
+        HAVE_TWS_PROTO,
+        ROCKSDB_PROVIDER,
+        sessionize_stream_tws,
+    )
+
+    if not HAVE_TWS_PROTO:
+        pytest.skip(
+            "transformWithState's Python state protocol needs protobuf, "
+            "absent in this container (tws_session.py CONTAINER GATE); "
+            "the state machine is pinned by the fake-handle seam test"
+        )
+
+    data_dir = str(tmp_path / "tws_in")
+    frames_src.write_frame_stream_dir(spark, data_dir, n_files=4)
+    stream = (
+        spark.readStream.schema(frames_src.FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    out = sessionize_stream_tws(_with_pred(stream), gap=GAP)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, ROCKSDB_PROVIDER)
+    try:
+        query = (
+            out.writeStream.format("memory")
+            .queryName("tws_sessions_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    finally:
+        if prior is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prior)
+    tws = {
+        (r["video_id"], r["session_id"]): r
+        for r in rows(spark.sql("SELECT * FROM tws_sessions_out"))
+        if r["closed_by"] == "gap"
+    }
+
+    batch = _with_pred(frames_src.synthetic_frames(spark))
+    bsess = with_session_id(batch, "video_id", "frame_number", gap=GAP)
+    bstats = {
+        (r["video_id"], r["session_id"]): r
+        for r in rows(session_stats(bsess, "video_id", "frame_number"))
+    }
+    last_per_key = {}
+    for vid, sid in bstats:
+        last_per_key[vid] = max(last_per_key.get(vid, 0), sid)
+    expected_closed = {
+        k: v for k, v in bstats.items() if k[1] < last_per_key[k[0]]
+    }
+    assert set(tws) == set(expected_closed) and expected_closed
+    for k, exp in expected_closed.items():
+        got = tws[k]
+        for col in (
+            "total_frames",
+            "fire_count",
+            "max_fire_probability",
+            "first_seq",
+            "last_seq",
+        ):
+            assert got[col] == exp[col], (k, col, got[col], exp[col])
+
+
 def test_streaming_timeout_flushes_open_sessions(spark, tmp_path):
     """W4 shutdown-flush analog: with a short state timeout and a
     running processing-time trigger, every open session is emitted as
