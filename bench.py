@@ -36,6 +36,11 @@ BUILD_TIMED = {
     "near_dup_clusters",
     "llm_pipeline",  # runs near_dup_clusters' propagation actions in-build
     "cluster_representatives",  # same propagation actions in-build
+    # verify_candidates localCheckpoints the candidate pairs in-build —
+    # the LSH lineage materializes there, so the sink-only clock would
+    # miss most of the query's real work
+    "lsh_verify",
+    "incremental_dedup",
 }
 
 
@@ -157,6 +162,13 @@ def main() -> None:
         # its pair count is quadratic in the sample BY DESIGN (measured
         # 1.46× linear at 5x; C(200,2)→C(1000,2) rows)
         "lsh_verify",
+        # round-5 session-4 operators whose caps/buckets should be
+        # proven, not argued: capped cross-side band join, vocabulary-
+        # keyed joins, bucket-offset global rank, two-phase top-k
+        "incremental_dedup",
+        "unigram_score",
+        "corpus_shuffle",
+        "source_cap",
     ]
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope

@@ -153,6 +153,53 @@ def top_k_per_group(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    n_buckets: int = 256,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic corpus shuffle: every row gets a global 1-based
+    ``shuffle_pos`` under the md5(salt|id) ordering — the reproducible
+    example-order assignment a training run needs (same order on every
+    cluster and backfill; a new salt re-shuffles).
+
+    A naive ``row_number() OVER (ORDER BY key)`` is a ONE-TASK global
+    window — the classic scale-killer.  This computes the same exact
+    rank in two phases: (1) the first two hex nibbles of the key split
+    rows into ``n_buckets`` ordered buckets whose counts (a tiny agg)
+    become cumulative offsets via a window over n_buckets rows,
+    broadcast back; (2) each bucket ranks locally — ``row_number`` per
+    bucket partition, key-parallel.  position = bucket offset + local
+    rank.  Because the bucket is a PREFIX of the sort key, bucket order
+    concatenated with in-bucket order IS the global order: the result
+    is bit-identical to the one-task form at any scale."""
+    key = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    assert n_buckets == 256, "bucket = first 2 hex nibbles (prefix of the key)"
+    keyed = df.withColumn("_key", key).withColumn(
+        "_bucket",
+        F.conv(F.substring("_key", 1, 2), 16, 10).cast("int"),
+    )
+    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # offset = rows in all STRICTLY earlier buckets (window over ≤
+    # n_buckets rows — driver-scale, not corpus-scale)
+    offsets = counts.withColumn(
+        "_off", F.sum("_cnt").over(off_w) - F.col("_cnt")
+    ).select("_bucket", "_off")
+    local_w = Window.partitionBy("_bucket").orderBy("_key", id_col)
+    return (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, (F.col("_off") + F.row_number().over(local_w)).cast("long"))
+        .drop("_key", "_bucket", "_off")
+    )
+
+
 def with_unit_norm(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
 ) -> DataFrame:

@@ -2066,6 +2066,99 @@ def event_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUF_SQL = """
+    WITH k AS (
+      SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS k FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS shuffle_pos
+    FROM k
+    """
+
+
+@q("corpus_shuffle", _SHUF_SQL)
+def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (operators/sampling.py
+    corpus_shuffle): reproducible global example order under
+    md5(salt|id).  The oracle ranks with a plain global window; the
+    Spark plan computes the SAME rank scale-safely — hash-prefix
+    buckets → tiny offset table broadcast → per-bucket local
+    row_number — no one-task global window anywhere."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    return sampling.corpus_shuffle(docs).select("doc_id", "shuffle_pos")
+
+
+_HIST_BUCKET = 16
+
+_HIST_SQL = f"""
+    WITH t AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT CAST((n_tokens // {_HIST_BUCKET}) * {_HIST_BUCKET} AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1
+    """
+
+
+@q("length_histogram", _HIST_SQL)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram — the first shape diagnostic run on any
+    corpus (and the input to length-bucketed batch sizing).  Fixed-
+    width integer buckets via integer division; one map-side-combined
+    groupBy over scan-side arithmetic."""
+    docs = _tbl(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select((F.expr(f"size(split(text, ' ')) div {_HIST_BUCKET}") * _HIST_BUCKET)
+                    .cast("long").alias("bucket_lo"),
+                    n.alias("_n"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+    )
+
+
+_UNPIVOT_SQL = f"""
+    WITH p AS (
+      SELECT source,
+             {", ".join(f"CAST(count(*) FILTER (lang = '{l}') AS BIGINT) AS n_{l}" for l in _PIVOT_LANGS)}
+      FROM documents GROUP BY source
+    )
+    SELECT source, lang, n_docs FROM p
+    UNPIVOT (n_docs FOR lang IN ({", ".join(f"n_{l} AS '{l}'" for l in _PIVOT_LANGS)}))
+    """
+
+
+@q("mixture_unpivot", _UNPIVOT_SQL)
+def mixture_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide→long inverse of mixture_pivot via DataFrame.unpivot
+    (melt) — §2.6 parity-plus: pivot and unpivot round-trip the
+    mixture table, and the unpivot is a zero-shuffle projection
+    (each wide row expands to 5 long rows in place)."""
+    docs = _tbl(spark, sf_dir, "documents").select("source", "lang")
+    piv = docs.groupBy("source").pivot("lang", list(_PIVOT_LANGS)).agg(
+        F.count(F.lit(1))
+    )
+    wide = piv.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}") for l in _PIVOT_LANGS],
+    )
+    long = wide.unpivot(
+        "source",
+        [f"n_{l}" for l in _PIVOT_LANGS],
+        "lang",
+        "n_docs",
+    )
+    return long.withColumn("lang", F.expr("substring(lang, 3)"))
+
+
 _ANN_SAMPLE = 50
 
 _ANN_SQL = f"""
@@ -3338,6 +3431,9 @@ _HEAD = [
     "event_ntile",
     "cluster_balanced_sample",
     "incremental_dedup",
+    "corpus_shuffle",
+    "length_histogram",
+    "mixture_unpivot",
     # round-5 additions: the end-to-end pipeline composition (VERDICT
     # r4 "Next round" #5) and cross-document packing — never
     # driver-attested yet
@@ -3425,6 +3521,18 @@ _TAIL = [
     # regexp_extract_all counting projection, the same machinery
     # pii_redaction's windowed audit counts execute
     "bpe_token_count",
+    # windowed row_number-≤-k top-k: the same machinery is now
+    # driver-gated by source_cap's two-phase variant (windowed), and
+    # topk_events_per_user sits beside it in this tail
+    "top_orders_per_customer",
+    # exact int-cosine scoring re-executed inside ann_ivf_topk's probe
+    # stage (windowed); the map-side partial-top-k plan shape stays
+    # machine-checked by test_plans
+    "ann_topk",
+    # same mapInPandas fake-kernel plumbing + media schema as
+    # multimodal_decode (windowed); the S4 size arithmetic stays
+    # tail-gated
+    "jpeg_encode_plan",
 ]
 
 

@@ -157,6 +157,27 @@ def test_cluster_balanced_sample_deterministic_and_subset(spark):
     assert set(kept1) <= all_ids and kept1
 
 
+def test_corpus_shuffle_is_dense_global_rank(spark):
+    """The two-phase (bucket offsets + local rank) position must equal
+    the one-task global row_number over the same key — a dense 1..N
+    permutation — and be invariant to input layout."""
+    import hashlib
+
+    ids = list(range(1, 301))
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = {r["doc_id"]: r["shuffle_pos"] for r in sampling.corpus_shuffle(df).collect()}
+    expect_order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"shuf|{i}".encode()).hexdigest(), i)
+    )
+    expect = {i: pos + 1 for pos, i in enumerate(expect_order)}
+    assert out == expect
+    out2 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in sampling.corpus_shuffle(df.repartition(7)).collect()
+    }
+    assert out2 == expect
+
+
 def test_mixture_pivot_totals(spark, sf_dir):
     from firewatch_spark.queries import registry
 
