@@ -157,7 +157,6 @@ def corpus_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
     salt: str = "shuf",
-    n_buckets: int = 256,
     out_col: str = "shuffle_pos",
 ) -> DataFrame:
     """Deterministic corpus shuffle: every row gets a global 1-based
@@ -168,17 +167,16 @@ def corpus_shuffle(
     A naive ``row_number() OVER (ORDER BY key)`` is a ONE-TASK global
     window — the classic scale-killer.  This computes the same exact
     rank in two phases: (1) the first two hex nibbles of the key split
-    rows into ``n_buckets`` ordered buckets whose counts (a tiny agg)
-    become cumulative offsets via a window over n_buckets rows,
-    broadcast back; (2) each bucket ranks locally — ``row_number`` per
-    bucket partition, key-parallel.  position = bucket offset + local
-    rank.  Because the bucket is a PREFIX of the sort key, bucket order
+    rows into 256 ordered buckets whose counts (a tiny agg) become
+    cumulative offsets via a window over 256 rows, broadcast back;
+    (2) each bucket ranks locally — ``row_number`` per bucket
+    partition, key-parallel.  position = bucket offset + local rank.
+    Because the bucket is a PREFIX of the sort key, bucket order
     concatenated with in-bucket order IS the global order: the result
     is bit-identical to the one-task form at any scale."""
     key = F.md5(
         F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
     )
-    assert n_buckets == 256, "bucket = first 2 hex nibbles (prefix of the key)"
     keyed = df.withColumn("_key", key).withColumn(
         "_bucket",
         F.conv(F.substring("_key", 1, 2), 16, 10).cast("int"),

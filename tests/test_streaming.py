@@ -297,6 +297,41 @@ def test_duplicate_frames_counted_at_least_once(spark, tmp_path):
     assert dup and dup[0]["total_frames"] == 4  # frames 0,1,1,2
 
 
+def test_drop_duplicates_within_watermark_removes_redelivered(spark, tmp_path):
+    """W5's exactly-once UPGRADE twin: the default pipeline keeps the
+    reference's at-least-once behavior (the dup fixture counts its
+    repeated frame twice, test above); `dropDuplicatesWithinWatermark`
+    is the bounded-state dedup — duplicates on (video_id, frame_number)
+    inside the watermark are dropped, and unlike plain streaming
+    dropDuplicates the key state is EVICTED once the watermark passes
+    it, so state stays bounded on an unbounded stream."""
+    data_dir = str(tmp_path / "ddw_in")
+    frames_src.write_frame_stream_dir(spark, data_dir, n_files=4)
+    stream = (
+        spark.readStream.schema(frames_src.FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    deduped = (
+        stream.withColumn("event_time", F.to_timestamp("timestamp"))
+        .withWatermark("event_time", "10 minutes")
+        .dropDuplicatesWithinWatermark(["video_id", "frame_number"])
+        .select("video_id", "frame_number")
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("ddw_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ddw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    out = rows(spark.sql("SELECT * FROM ddw_out WHERE video_id = 'dup'"))
+    frames = sorted(r["frame_number"] for r in out)
+    assert frames == [0, 1, 2]  # the redelivered frame 1 appears ONCE
+
+
 def test_watermark_windowed_agg_drops_late_and_finalizes(spark, tmp_path):
     """Streaming tumbling window + watermark (the parity-plus W5/§2.5
     machinery run as a REAL stream, not the batch analog): in append
