@@ -198,6 +198,39 @@ def corpus_shuffle(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_size: int,
+    pos_col: str = "shuffle_pos",
+) -> int:
+    """Materialize a shuffled corpus as fixed-size training shards —
+    the last step of the pipeline (scan → clean → dedup → split →
+    chunk → pack → shuffle → SHARD): shard i holds positions
+    [i·shard_size, (i+1)·shard_size), rows sorted by position inside
+    each shard, written as ``shard=i`` parquet partitions a data
+    loader can map to workers.
+
+    Plan shape: shard id is pure arithmetic on ``pos_col``;
+    ``repartition(shard)`` routes each shard to one write task and
+    ``sortWithinPartitions`` orders it — ONE shuffle of the final
+    corpus, no global sort (the global order was already computed by
+    `corpus_shuffle`'s bucket ranking).  Returns the shard count.
+    """
+    sharded = df.withColumn(
+        "shard", F.expr(f"({pos_col} - 1) div {shard_size}").cast("int")
+    )
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions(pos_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    n = sharded.agg(F.max("shard")).first()[0]
+    return int(n) + 1 if n is not None else 0
+
+
 def with_unit_norm(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
 ) -> DataFrame:

@@ -259,6 +259,25 @@ def test_corpus_shuffle_is_dense_global_rank(spark):
     assert out2 == expect
 
 
+def test_write_training_shards_contiguous_and_ordered(spark, tmp_path):
+    """Each shard partition must hold exactly its contiguous position
+    range, internally ordered — the contract a data loader maps
+    workers onto."""
+    df = spark.createDataFrame([(i,) for i in range(1, 121)], ["doc_id"])
+    shuffled = sampling.corpus_shuffle(df)
+    out = str(tmp_path / "shards")
+    n = sampling.write_training_shards(shuffled, out, shard_size=50)
+    assert n == 3  # 120 positions / 50 → shards 0,1,2
+    back = spark.read.parquet(out)
+    got = {
+        r["shard"]: sorted(x["shuffle_pos"] for x in back.filter(back.shard == r["shard"]).collect())
+        for r in back.select("shard").distinct().collect()
+    }
+    assert got[0] == list(range(1, 51))
+    assert got[1] == list(range(51, 101))
+    assert got[2] == list(range(101, 121))
+
+
 def test_mixture_pivot_totals(spark, sf_dir):
     from firewatch_spark.queries import registry
 
