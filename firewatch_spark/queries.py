@@ -2159,6 +2159,70 @@ def mixture_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.withColumn("lang", F.expr("substring(lang, 3)"))
 
 
+@q("udtf_chunks", _DOC_CHUNKS_SQL)
+def udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 UDTF surface — the REAL Python table-function API (Spark
+    4 `@udtf` + LATERAL join), demonstrated as a twin of the
+    column-algebra chunker: one input doc row expands to its chunk
+    rows, same contract `doc_chunks` gates (the posexplode version
+    stays the production path — a Python UDTF pays per-row Python cost;
+    this exists because the reference's extensibility point, §2.7, maps
+    to all THREE Spark UDF kinds and the other two are already
+    driver-gated).  The oracle is doc_chunks' chunking SQL verbatim."""
+    from pyspark.sql.functions import udtf
+
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens bigint, chunk string")
+    class ChunkUDTF:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            idx = 0
+            for st in range(0, max(len(toks), 1), step):
+                piece = toks[st:st + CHUNK_TOKENS]
+                if idx == 0 or len(piece) > CHUNK_OVERLAP:
+                    yield doc_id, idx, len(piece), " ".join(piece)
+                idx += 1
+
+    spark.udtf.register("fw_chunk_udtf", ChunkUDTF)
+    _tbl(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT f.* FROM _udtf_docs d, LATERAL fw_chunk_udtf(d.doc_id, d.text) f"
+    )
+
+
+_UDAF_SQL = f"""
+    SELECT user_id,
+           MAX(CASE WHEN {RAW_SQL} >= 0.5 THEN {RAW_SQL} ELSE 0.0 END) AS max_prob,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """
+
+
+@q("udaf_user_peak", _UDAF_SQL)
+def udaf_user_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 UDAF surface — a GROUPED_AGG pandas UDF (the Python
+    aggregate-function API: Arrow batches the group's values into one
+    pandas Series per group) computing each user's peak fire
+    probability and event count (Spark disallows mixing grouped-agg
+    pandas UDFs with built-in aggregates in one agg, so both are
+    Python).  max and count are order-independent, so the Python
+    aggregates are bit-exact against the SQL oracle.  The production
+    paths use built-in aggregates (aggregates.py) — this gates the
+    extension point itself."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    peak = pandas_udf(lambda s: float(s.max()), "double", PandasUDFType.GROUPED_AGG)
+    n = pandas_udf(lambda s: len(s), "long", PandasUDFType.GROUPED_AGG)
+    ev = _with_surrogate(_tbl(spark, sf_dir, "events"))
+    return ev.groupBy("user_id").agg(
+        peak(F.col("fire_probability")).alias("max_prob"),
+        n(F.col("event_id")).alias("n_events"),
+    )
+
+
 _ANN_SAMPLE = 50
 
 _ANN_SQL = f"""
@@ -3434,6 +3498,8 @@ _HEAD = [
     "corpus_shuffle",
     "length_histogram",
     "mixture_unpivot",
+    "udtf_chunks",
+    "udaf_user_peak",
     # round-5 additions: the end-to-end pipeline composition (VERDICT
     # r4 "Next round" #5) and cross-document packing — never
     # driver-attested yet
@@ -3533,6 +3599,14 @@ _TAIL = [
     # multimodal_decode (windowed); the S4 size arithmetic stays
     # tail-gated
     "jpeg_encode_plan",
+    # broadcast star-join plan shape is machine-checked by test_plans::
+    # test_star_join_broadcasts_dimensions; the floor-scaled revenue
+    # aggregation is the same family pricing_summary (windowed) gates
+    "revenue_by_nation",
+    # the profile-hit fold (size(filter(toks, IN list))) is the same
+    # machinery as the stopword fold inside llm_pipeline's quality
+    # stage (windowed); the argmax CASE chain stays tail-gated
+    "lang_id",
 ]
 
 

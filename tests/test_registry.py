@@ -21,7 +21,7 @@ SAMPLE = ["session_stats", "inference_cadence", "dedup_exact", "asof_join"]
 # tail replay below); llm_pipeline is the round-5 composition
 SAMPLE += ["repetition_stats", "chunk_packing", "dataset_split", "llm_pipeline"]
 # round-5 session-4 head queries
-SAMPLE += ["unigram_score", "incremental_dedup"]
+SAMPLE += ["unigram_score", "incremental_dedup", "udtf_chunks", "udaf_user_peak"]
 
 
 def replay_against_oracle(spark, sf_dir, name):
