@@ -169,6 +169,9 @@ def main() -> None:
         "unigram_score",
         "corpus_shuffle",
         "source_cap",
+        # every-offset gram window + per-doc interval union — the
+        # heaviest linear text op, slope should stay ~linear
+        "dup_ngram_coverage",
     ]
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope

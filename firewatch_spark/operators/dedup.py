@@ -725,3 +725,101 @@ def incremental_dedup(
             ).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding duplicate-substring coverage
+
+
+def with_dup_ngram_coverage(
+    docs: DataFrame,
+    gram_n: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the sliding-window
+    strong form of exact substring dedup (the fixed-span `span_dedup`
+    removes repeats; this MEASURES them at every offset, the signal
+    substring-dedup pipelines threshold on): the fraction of a doc's
+    token positions lying inside some ``gram_n``-token window whose
+    content occurs more than once in the corpus (self-repeats inside
+    one doc count — "duplicated anywhere" semantics).
+
+    Output per doc: ``n_tokens``, ``n_dup_positions`` (exact union
+    length of all duplicated windows), ``dup_frac``.  Docs shorter
+    than ``gram_n`` tokens carry no window and report 0.
+
+    Plan shape, all linear in corpus tokens:
+    1. every window start explodes to one (doc, start, md5(gram)) row;
+    2. duplication = ``count(*) over (partition by gram md5)`` — one
+       hash-keyed exchange of 32-char keys, spill-friendly (the same
+       window-over-content-hash shape as span_dedup's first-occurrence
+       rule);
+    3. the union length of overlapping windows is gaps-and-islands
+       over (doc, start): an island starts where the window begins
+       past the running max end; island length = max end − min start
+       + 1; islands are per-doc-keyed windows, key-parallel.
+    No pair expansion anywhere — cost is O(corpus positions), the same
+    order as tokenizing the corpus."""
+    end_off = gram_n - 1
+    piece = f"concat_ws(' ', slice(__T__, _start, {gram_n}))"
+    grams = (
+        ensure_parallelism(docs)
+        .withColumn("__T__", tokens(F.col(text_col)))
+        .withColumn(
+            "_starts",
+            F.expr(
+                f"CASE WHEN size(__T__) >= {gram_n} "
+                f"THEN sequence(1, size(__T__) - {end_off}) "
+                f"ELSE array() END"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.explode("_starts").alias("_start"),
+            F.col("__T__"),
+        )
+        .select(
+            id_col,
+            "_start",
+            F.md5(F.expr(piece).cast("binary")).alias("_h"),
+        )
+    )
+    dup = grams.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    ).filter(F.col("_cnt") > 1)
+    w = Window.partitionBy(id_col).orderBy("_start")
+    islands = (
+        dup.withColumn("_end", F.col("_start") + end_off)
+        .withColumn(
+            "_prev_max_end",
+            F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev_max_end").isNull()
+                | (F.col("_start") > F.col("_prev_max_end"))
+            ).cast("long"),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+    )
+    per_doc = (
+        islands.groupBy(id_col, "_island")
+        .agg((F.max("_end") - F.min("_start") + 1).alias("_len"))
+        .groupBy(id_col)
+        .agg(F.sum("_len").alias("n_dup_positions"))
+    )
+    base = docs.select(
+        id_col, F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    zero = F.lit(0).cast("long")
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_dup_positions"), zero).alias("n_dup_positions"),
+        (
+            F.coalesce(F.col("n_dup_positions"), zero)
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_frac"),
+    )

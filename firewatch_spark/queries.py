@@ -2193,6 +2193,71 @@ def udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_COV_N = 16
+
+_DUP_COV_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - {_DUP_COV_N - 1})) AS s, toks
+      FROM t WHERE len(toks) >= {_DUP_COV_N}
+    ),
+    h AS (
+      SELECT doc_id, s,
+             md5(array_to_string(list_slice(toks, s, s + {_DUP_COV_N - 1}), ' ')) AS h
+      FROM g
+    ),
+    d AS (SELECT doc_id, s, count(*) OVER (PARTITION BY h) AS cnt FROM h),
+    dd AS (SELECT doc_id, s, s + {_DUP_COV_N - 1} AS e FROM d WHERE cnt > 1),
+    isl AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM dd
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+      FROM isl
+    ),
+    numbered AS (
+      SELECT doc_id, s, e,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    lens AS (
+      SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS len
+      FROM numbered GROUP BY doc_id, island
+    ),
+    pd AS (
+      SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_dup_positions
+      FROM lens GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT base.doc_id, base.n_tokens,
+           CAST(COALESCE(pd.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(COALESCE(pd.n_dup_positions, 0) AS DOUBLE)
+             / CAST(base.n_tokens AS DOUBLE) AS dup_frac
+    FROM base LEFT JOIN pd USING (doc_id)
+    """
+
+
+@q("dup_ngram_coverage", _DUP_COV_SQL)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding duplicated-substring coverage (operators/dedup.py
+    with_dup_ngram_coverage): the fraction of each doc's token
+    positions inside some corpus-duplicated 16-token window — the
+    measurement the exact-substring-dedup family thresholds on, at
+    every offset (span_dedup's fixed spans are its removal
+    counterpart).  Window counts over gram md5 + per-doc
+    gaps-and-islands union; O(corpus positions), no pairs."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.with_dup_ngram_coverage(docs, gram_n=_DUP_COV_N)
+
+
 _UDAF_SQL = f"""
     SELECT user_id,
            MAX(CASE WHEN {RAW_SQL} >= 0.5 THEN {RAW_SQL} ELSE 0.0 END) AS max_prob,
@@ -3500,6 +3565,7 @@ _HEAD = [
     "mixture_unpivot",
     "udtf_chunks",
     "udaf_user_peak",
+    "dup_ngram_coverage",
     # round-5 additions: the end-to-end pipeline composition (VERDICT
     # r4 "Next round" #5) and cross-document packing — never
     # driver-attested yet
@@ -3607,6 +3673,11 @@ _TAIL = [
     # machinery as the stopword fold inside llm_pipeline's quality
     # stage (windowed); the argmax CASE chain stays tail-gated
     "lang_id",
+    # watermark + dropDuplicates policy: the exactly-once upgrade twin
+    # is live-streaming-tested (dropDuplicatesWithinWatermark,
+    # test_streaming), and the at-least-once batch parity arithmetic is
+    # a strict subset of completion_stats' (windowed) counting
+    "late_dedup",
 ]
 
 

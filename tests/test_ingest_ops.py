@@ -238,6 +238,32 @@ def test_incremental_dedup_fuzz_vs_python_reference(spark, seed):
     assert got == expect
 
 
+def test_dup_ngram_coverage_union_arithmetic(spark):
+    """Hand-built corpus pinning the interval-union math: overlapping
+    duplicated windows must not double-count positions, clean docs and
+    too-short docs report zero."""
+    shared = " ".join(f"w{i}" for i in range(6))  # a duplicated 6-token run
+    docs = [
+        (1, shared + " unique_a tail_a1 tail_a2"),
+        (2, shared + " unique_b tail_b1 tail_b2"),
+        (3, "totally clean document with distinct words here ok"),
+        (4, "short doc"),  # < gram_n tokens: no window at all
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.with_dup_ngram_coverage(df, gram_n=4).collect()
+    }
+    # docs 1/2: 4-grams at starts 1,2,3 of the shared run are
+    # duplicated (starts 4+ mix in unique words) → union covers
+    # positions 1..6 exactly — overlapping windows counted once
+    for d in (1, 2):
+        assert out[d]["n_dup_positions"] == 6, out[d]
+        assert out[d]["dup_frac"] == 6 / 9
+    assert out[3]["n_dup_positions"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_dup_positions"] == 0
+
+
 def test_corpus_shuffle_is_dense_global_rank(spark):
     """The two-phase (bucket offsets + local rank) position must equal
     the one-task global row_number over the same key — a dense 1..N
