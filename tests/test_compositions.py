@@ -316,6 +316,37 @@ def test_llm_pipeline_single_lineage_invariants(spark, sf_dir):
         assert v["n_vecs"] <= v["n_docs"]
 
 
+def test_split_shuffle_shard_output_tail(spark, sf_dir, tmp_path):
+    """The pipeline's OUTPUT tail as one lineage: split → keep train →
+    deterministic shuffle → fixed-size shard write.  The shards must
+    jointly hold exactly the train docs, positions dense 1..N, every
+    shard full except possibly the last."""
+    from firewatch_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    train = sampling.split_by_hash(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).filter("split = 'train'").drop("split")
+    n_train = train.count()
+    shuffled = sampling.corpus_shuffle(train)
+    out = str(tmp_path / "shards")
+    n_shards = sampling.write_training_shards(shuffled, out, shard_size=64)
+    back = spark.read.parquet(out)
+    assert back.count() == n_train
+    assert set(r["doc_id"] for r in back.collect()) == set(
+        r["doc_id"] for r in train.collect()
+    )
+    pos = sorted(r["shuffle_pos"] for r in back.collect())
+    assert pos == list(range(1, n_train + 1))  # dense global order
+    sizes = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").count().withColumnRenamed("count", "n").collect()
+    }
+    assert len(sizes) == n_shards
+    for shard, n in sizes.items():
+        assert n == 64 or (shard == max(sizes) and 0 < n <= 64)
+
+
 def _python_lloyd(vecs, k, iters):
     """Reference Lloyd in the exact integer domain ivf_train uses:
     floor(x*1e6) scaling, md5-smallest seeds, argmin with lower-id tie
