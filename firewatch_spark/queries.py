@@ -3673,10 +3673,10 @@ _TAIL = [
     # machinery as the stopword fold inside llm_pipeline's quality
     # stage (windowed); the argmax CASE chain stays tail-gated
     "lang_id",
-    # watermark + dropDuplicates policy: the exactly-once upgrade twin
-    # is live-streaming-tested (dropDuplicatesWithinWatermark,
-    # test_streaming), and the at-least-once batch parity arithmetic is
-    # a strict subset of completion_stats' (windowed) counting
+    # W5 duplicate policy: the dedup-under-redelivery behavior is now
+    # ALSO live-streaming-tested (dropDuplicatesWithinWatermark +
+    # the at-least-once dup-fixture test, test_streaming), so the batch
+    # parity row carries the least marginal information of the W5 gates
     "late_dedup",
 ]
 
