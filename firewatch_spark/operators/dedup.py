@@ -192,6 +192,41 @@ def with_minhash_signature(
     return ensure_parallelism(docs).withColumn(sig_col, F.expr(sig_expr))
 
 
+def banded_capped(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+) -> DataFrame:
+    """The shared banding stage of the self-join
+    (`lsh_candidate_pairs`) and cross-side (`incremental_dedup`) LSH
+    families: explode a signature DataFrame into per-band bucket rows
+    (band_hash = md5 of the band's minhashes) and cap every
+    (band_idx, band_hash) bucket at its `max_bucket` lowest ids —
+    row_number BEFORE any collect, so per-task state is hard-bounded.
+    Output columns: (id_col, sig, band_idx, band_hash)."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("sig")[b * rows + r] for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *parts).cast("binary")).alias("band_hash"),
+            )
+        )
+    exploded = sig_df.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
+    cap_w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+    return (
+        exploded.withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -218,7 +253,6 @@ def lsh_candidate_pairs(
     star, not a clique — connected components are preserved for dedup
     while output stays linear in cluster size.
     """
-    rows = num_hashes // bands
     sig = with_minhash_signature(docs, text_col, num_hashes, shingle_n)
     # tier 1 — identical-signature collapse: window min over a 32-char
     # signature digest (one shuffle of (id, sig) rows, spill-friendly)
@@ -234,23 +268,9 @@ def lsh_candidate_pairs(
     )
     reps = sig.filter(F.col(id_col) == F.col("_rep_id"))
 
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col("sig")[b * rows + r] for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts).cast("binary")).alias("band_hash"))
-        )
-    exploded = reps.select(
-        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
-
-    # tier 2 — bucket cap BEFORE the collect: keep the max_bucket
-    # lowest ids per (band_idx, band_hash).  row_number's partition
-    # sort spills; the later collect_list sees ≤ max_bucket rows.
-    cap_w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
-    capped = exploded.withColumn("_rn", F.row_number().over(cap_w)).filter(
-        F.col("_rn") <= max_bucket
-    )
+    # tier 2 — band + bucket cap BEFORE the collect (shared helper):
+    # the later collect_list sees ≤ max_bucket rows per bucket.
+    capped = banded_capped(reps, id_col, num_hashes, bands, max_bucket)
 
     buckets = capped.groupBy("band_idx", "band_hash").agg(
         F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig")))).alias(
@@ -660,45 +680,57 @@ def incremental_dedup(
     ``n_dups`` (candidates whose exact shingle Jaccard ≥ threshold),
     and ``kept`` = not exact and no verified near-dup.
 
-    Scale shape: both sides band independently (same signature fold as
-    `lsh_candidate_pairs`; caps per (band_idx, band_hash) bound each
+    Scale shape: both sides band independently (the shared
+    `banded_capped` stage; caps per (band_idx, band_hash) bound each
     side's bucket at `max_bucket`, so the band equi-join emits ≤
     max_bucket² pairs per bucket — never |new|×|index|).  Verification
-    is `verify_candidates` over the candidate pairs only.  The exact
-    check joins 32-char md5 keys.  In production the index side's
-    signatures and band hashes are computed ONCE at ingest and stored
-    (this function recomputes them so the oracle can replay it
-    stateless); the per-batch cost is then O(new + candidates).
+    attaches each pair's shingle sets SIDE-AWARE (new ids resolve
+    against new_docs, index ids against index_docs), so the two inputs
+    may safely use overlapping id spaces — each crawl batch numbering
+    its own ids from 1 is the normal case.  The exact check joins
+    32-char md5 keys.  In production the index side's signatures and
+    band hashes are computed ONCE at ingest and stored (this function
+    recomputes them so the oracle can replay it stateless); the
+    per-batch cost is then O(new + candidates).
     """
-    rows = num_hashes // bands
 
     def banded(side: DataFrame, out_id: str) -> DataFrame:
         sig = with_minhash_signature(side, text_col, num_hashes, shingle_n)
-        band_cols = []
-        for b in range(bands):
-            parts = [F.col("sig")[b * rows + r] for r in range(rows)]
-            band_cols.append(
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.md5(F.concat_ws("|", *parts).cast("binary")).alias("band_hash"),
-                )
-            )
-        exploded = sig.select(
-            F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("band")
-        ).select(out_id, "band.band_idx", "band.band_hash")
-        cap_w = Window.partitionBy("band_idx", "band_hash").orderBy(out_id)
-        return exploded.withColumn("_rn", F.row_number().over(cap_w)).filter(
-            F.col("_rn") <= max_bucket
-        ).drop("_rn")
+        return banded_capped(sig, id_col, num_hashes, bands, max_bucket).select(
+            F.col(id_col).alias(out_id), "band_idx", "band_hash"
+        )
 
+    # referenced three times below (two shingle semi-joins + the final
+    # join) — materialize the small capped pair set once instead of
+    # re-running both LSH lineages per reference
     cand = (
         banded(new_docs, "doc_a")
         .join(banded(index_docs, "doc_b"), ["band_idx", "band_hash"])
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint()
     )
-    verified = verify_candidates(
-        cand, new_docs.unionByName(index_docs), text_col, id_col, shingle_n
+
+    def side_shingles(side: DataFrame, pair_col: str) -> DataFrame:
+        ids = cand.select(F.col(pair_col).alias(id_col)).distinct()
+        return (
+            side.join(ids, id_col, "semi")
+            .withColumn("__T__", tokens(F.col(text_col)))
+            .select(
+                F.col(id_col).alias(pair_col),
+                F.array_distinct(word_shingles("__T__", shingle_n)).alias(
+                    f"_s_{pair_col}"
+                ),
+            )
+        )
+
+    joined = cand.join(side_shingles(new_docs, "doc_a"), "doc_a").join(
+        side_shingles(index_docs, "doc_b"), "doc_b"
+    )
+    inter = F.size(F.array_intersect("_s_doc_a", "_s_doc_b")).cast("long")
+    union = (F.size("_s_doc_a") + F.size("_s_doc_b")).cast("long") - inter
+    verified = joined.select(
+        "doc_a", (inter / union.cast("double")).alias("jaccard")
     )
     per_new = verified.groupBy("doc_a").agg(
         F.count(F.lit(1)).alias("n_candidates"),

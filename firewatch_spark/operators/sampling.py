@@ -212,23 +212,32 @@ def write_training_shards(
     loader can map to workers.
 
     Plan shape: shard id is pure arithmetic on ``pos_col``;
-    ``repartition(shard)`` routes each shard to one write task and
-    ``sortWithinPartitions`` orders it — ONE shuffle of the final
-    corpus, no global sort (the global order was already computed by
-    `corpus_shuffle`'s bucket ranking).  Returns the shard count.
-    """
+    ``repartition(shard)`` routes each shard's rows together and
+    ``sortWithinPartitions(shard, pos)`` orders them — ONE shuffle of
+    the final corpus, no global sort (the global order was already
+    computed by `corpus_shuffle`'s bucket ranking).  The sort leads
+    with ``shard`` deliberately: it satisfies the partitioned writer's
+    required child ordering, so no planner-inserted re-sort runs after
+    ours and the in-file position order is guaranteed by OUR sort, not
+    by sort-stability luck.  Returns the shard count, read back from
+    the written ``shard=*`` directories (never by re-running the
+    upstream lineage; swap the listdir for your object store's listing
+    off-local)."""
     sharded = df.withColumn(
         "shard", F.expr(f"({pos_col} - 1) div {shard_size}").cast("int")
     )
     (
         sharded.repartition("shard")
-        .sortWithinPartitions(pos_col)
+        .sortWithinPartitions("shard", pos_col)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir)
     )
-    n = sharded.agg(F.max("shard")).first()[0]
-    return int(n) + 1 if n is not None else 0
+    import os
+
+    return sum(
+        1 for d in os.listdir(out_dir) if d.startswith("shard=")
+    )
 
 
 def with_unit_norm(

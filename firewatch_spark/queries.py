@@ -2008,6 +2008,22 @@ _PIVOT_SQL = f"""
     """
 
 
+def _lang_wide(docs: DataFrame) -> DataFrame:
+    """source × language counts as ONE wide row per source — the shared
+    pivot behind mixture_pivot and its unpivot inverse (explicit value
+    list: no values-discovery job, stable schema; nulls filled to 0)."""
+    piv = docs.groupBy("source").pivot("lang", list(_PIVOT_LANGS)).agg(
+        F.count(F.lit(1))
+    )
+    return piv.select(
+        "source",
+        *[
+            F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}")
+            for l in _PIVOT_LANGS
+        ],
+    )
+
+
 @q("mixture_pivot", _PIVOT_SQL)
 def mixture_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture audit as a source × language pivot
@@ -2016,22 +2032,15 @@ def mixture_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on source; each lang count is a map-side conditional
     partial aggregate, same cost as a flat groupBy."""
     docs = _tbl(spark, sf_dir, "documents").select("source", "lang", "n_chars")
-    piv = docs.groupBy("source").pivot("lang", list(_PIVOT_LANGS)).agg(
-        F.count(F.lit(1))
-    )
+    wide = _lang_wide(docs)
     tot = docs.groupBy("source").agg(F.sum("n_chars").alias("sum_chars"))
-    lang_cols = [
-        F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}")
-        for l in _PIVOT_LANGS
-    ]
-    out = piv.join(tot, "source")
     n_total = None
     for l in _PIVOT_LANGS:
-        c = F.coalesce(F.col(l), F.lit(0)).cast("long")
+        c = F.col(f"n_{l}")
         n_total = c if n_total is None else n_total + c
-    return out.select(
+    return wide.join(tot, "source").select(
         "source",
-        *lang_cols,
+        *[f"n_{l}" for l in _PIVOT_LANGS],
         n_total.alias("n_total"),
         F.col("sum_chars").cast("long").alias("sum_chars"),
     )
@@ -2108,13 +2117,17 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram — the first shape diagnostic run on any
     corpus (and the input to length-bucketed batch sizing).  Fixed-
     width integer buckets via integer division; one map-side-combined
-    groupBy over scan-side arithmetic."""
+    groupBy over scan-side arithmetic.  The text is tokenized ONCE per
+    row (two chained selects) — bucket_lo derives from the projected
+    count, not a second split()."""
     docs = _tbl(spark, sf_dir, "documents")
-    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    counted = docs.select(F.size(F.split(F.col("text"), " ")).cast("long").alias("_n"))
     return (
-        docs.select((F.expr(f"size(split(text, ' ')) div {_HIST_BUCKET}") * _HIST_BUCKET)
-                    .cast("long").alias("bucket_lo"),
-                    n.alias("_n"))
+        counted.select(
+            (F.expr(f"_n div {_HIST_BUCKET}") * _HIST_BUCKET)
+            .cast("long").alias("bucket_lo"),
+            "_n",
+        )
         .groupBy("bucket_lo")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2143,13 +2156,7 @@ def mixture_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture table, and the unpivot is a zero-shuffle projection
     (each wide row expands to 5 long rows in place)."""
     docs = _tbl(spark, sf_dir, "documents").select("source", "lang")
-    piv = docs.groupBy("source").pivot("lang", list(_PIVOT_LANGS)).agg(
-        F.count(F.lit(1))
-    )
-    wide = piv.select(
-        "source",
-        *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}") for l in _PIVOT_LANGS],
-    )
+    wide = _lang_wide(docs)
     long = wide.unpivot(
         "source",
         [f"n_{l}" for l in _PIVOT_LANGS],

@@ -75,6 +75,54 @@ STATE_SCHEMA = StructType(
 )
 
 
+def fold_session_batch(
+    video_id: str,
+    state_tuple: "tuple | None",
+    batch: pd.DataFrame,
+    gap: int,
+) -> tuple[tuple, list[dict]]:
+    """THE W1–W3 per-batch state fold, shared by both arbitrary-state
+    APIs (`_session_fn` on applyInPandasWithState and
+    tws_session.GapSessionProcessor on transformWithStateInPandas) so
+    the session semantics exist exactly once.  ``state_tuple`` is the
+    (session_id, first_seq, last_seen, total, fires, max_prob) tuple or
+    None for an unseen key (W1); returns the updated tuple and the
+    completion rows closed by the gap rule (W2/W3) in batch order."""
+    if state_tuple is None:
+        sid, first, last, total, fires, maxp = 1, None, None, 0, 0, 0.0
+    else:
+        sid, first, last, total, fires, maxp = state_tuple
+
+    closed: list[dict] = []
+    batch = batch.sort_values("frame_number")
+    for row in batch.itertuples(index=False):
+        seq = int(row.frame_number)
+        if last is not None and seq - last > gap:  # W2: strict >
+            closed.append(
+                {
+                    "video_id": video_id,
+                    "session_id": sid,
+                    "total_frames": total,
+                    "fire_count": fires,
+                    "max_fire_probability": maxp,
+                    "first_seq": first,
+                    "last_seq": last,
+                    "closed_by": "gap",
+                }
+            )
+            sid, first, total, fires, maxp = sid + 1, None, 0, 0, 0.0
+        if first is None:
+            first = seq
+        # reference overwrites last_seen unconditionally (stream.py:349)
+        # — late rows inside the gap are absorbed
+        last = seq
+        total += 1
+        if bool(row.has_fire):
+            fires += 1
+            maxp = max(maxp, float(row.fire_probability))
+    return (sid, first, last, total, fires, maxp), closed
+
+
 def _session_fn(gap: int, timeout_ms: int):
     def fn(
         key: tuple[Any, ...],
@@ -103,42 +151,11 @@ def _session_fn(gap: int, timeout_ms: int):
             )
             return
 
-        if state.exists:
-            sid, first, last, total, fires, maxp = state.get
-        else:  # W1 session open: first frame of an unseen key
-            sid, first, last, total, fires, maxp = 1, None, None, 0, 0, 0.0
-
-        closed: list[dict] = []
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("frame_number")
-        for row in batch.itertuples(index=False):
-            seq = int(row.frame_number)
-            hf = bool(row.has_fire)
-            prob = float(row.fire_probability)
-            if last is not None and seq - last > gap:  # W2: strict >
-                closed.append(
-                    {
-                        "video_id": video_id,
-                        "session_id": sid,
-                        "total_frames": total,
-                        "fire_count": fires,
-                        "max_fire_probability": maxp,
-                        "first_seq": first,
-                        "last_seq": last,
-                        "closed_by": "gap",
-                    }
-                )
-                sid, first, total, fires, maxp = sid + 1, None, 0, 0, 0.0
-            if first is None:
-                first = seq
-            # reference overwrites last_seen unconditionally
-            # (stream.py:349) — late rows inside the gap are absorbed
-            last = seq
-            total += 1
-            if hf:
-                fires += 1
-                maxp = max(maxp, prob)
-
-        state.update((sid, first, last, total, fires, maxp))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        new_state, closed = fold_session_batch(
+            video_id, state.get if state.exists else None, batch, gap
+        )
+        state.update(new_state)
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         if closed:

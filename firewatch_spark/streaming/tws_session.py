@@ -12,9 +12,11 @@ family), kept as the forward-looking twin:
   `sessionize_stream_tws`'s caller), which is also the right provider
   for 100 TB state (incremental checkpointing, spill-free).
 
-The state machine is byte-for-byte the same semantics: gap in the
-sequence-number domain, strict ``>`` boundary, per-batch sort,
-unconditional ``last_seen`` overwrite (reference stream.py:340-349).
+The state machine IS the same code: both APIs call
+``session_state.fold_session_batch`` — gap in the sequence-number
+domain, strict ``>`` boundary, per-batch sort, unconditional
+``last_seen`` overwrite (reference stream.py:340-349) — so the two
+wrappers cannot drift.
 Timers are deliberately NOT armed (timeMode="none"): bounded
 ``availableNow`` replays close every session via the sentinel-driven
 gap rule, exactly like the NoTimeout path of the old-API twin — the
@@ -46,7 +48,12 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-from .session_state import DEFAULT_GAP, OUTPUT_SCHEMA, STATE_SCHEMA
+from .session_state import (
+    DEFAULT_GAP,
+    OUTPUT_SCHEMA,
+    STATE_SCHEMA,
+    fold_session_batch,
+)
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -76,39 +83,10 @@ class GapSessionProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
     ) -> Iterator[pd.DataFrame]:
-        video_id = key[0]
-        if self._state.exists():
-            sid, first, last, total, fires, maxp = tuple(self._state.get())
-        else:  # W1: first frame of an unseen key
-            sid, first, last, total, fires, maxp = 1, None, None, 0, 0, 0.0
-
-        closed: list[dict] = []
-        batch = pd.concat(list(rows), ignore_index=True).sort_values("frame_number")
-        for row in batch.itertuples(index=False):
-            seq = int(row.frame_number)
-            if last is not None and seq - last > self._gap:  # W2: strict >
-                closed.append(
-                    {
-                        "video_id": video_id,
-                        "session_id": sid,
-                        "total_frames": total,
-                        "fire_count": fires,
-                        "max_fire_probability": maxp,
-                        "first_seq": first,
-                        "last_seq": last,
-                        "closed_by": "gap",
-                    }
-                )
-                sid, first, total, fires, maxp = sid + 1, None, 0, 0, 0.0
-            if first is None:
-                first = seq
-            last = seq  # unconditional overwrite (stream.py:349)
-            total += 1
-            if bool(row.has_fire):
-                fires += 1
-                maxp = max(maxp, float(row.fire_probability))
-
-        self._state.update((sid, first, last, total, fires, maxp))
+        prior = tuple(self._state.get()) if self._state.exists() else None
+        batch = pd.concat(list(rows), ignore_index=True)
+        new_state, closed = fold_session_batch(key[0], prior, batch, self._gap)
+        self._state.update(new_state)
         if closed:
             yield pd.DataFrame(closed)
 

@@ -127,6 +127,26 @@ def test_incremental_dedup_new_docs_not_compared_to_each_other(spark):
     assert out[10]["n_candidates"] == 0
 
 
+def test_incremental_dedup_tolerates_colliding_id_spaces(spark):
+    """Each crawl batch numbers its own ids from 1, so new and index
+    ids collide routinely — verification must resolve new ids against
+    new_docs and index ids against index_docs (a union-keyed join
+    would duplicate pairs and attach the wrong side's shingles)."""
+    boiler = " ".join(f"w{i}" for i in range(20))
+    near = " ".join(f"w{i}" for i in range(19)) + " zz"
+    # index id 1 is UNRELATED text; new id 1 near-dups index id 2
+    index = _docs(spark, [(1, "index one entirely unrelated words"), (2, boiler)])
+    new = _docs(spark, [(1, near), (2, "fresh unique new content here")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.incremental_dedup(new, index, threshold=0.5).collect()
+    }
+    assert not out[1]["is_exact_dup"]
+    assert out[1]["n_candidates"] == 1  # exactly index doc 2, once
+    assert out[1]["n_dups"] == 1 and not out[1]["kept"]
+    assert out[2]["kept"] and out[2]["n_candidates"] == 0
+
+
 def test_incremental_dedup_every_new_doc_reported(spark):
     index = _docs(spark, [(1, "index doc one"), (2, "index doc two")])
     new = _docs(spark, [(10, "index doc one"), (11, "something else entirely")])
@@ -302,6 +322,17 @@ def test_write_training_shards_contiguous_and_ordered(spark, tmp_path):
     assert got[0] == list(range(1, 51))
     assert got[1] == list(range(51, 101))
     assert got[2] == list(range(101, 121))
+    # physical in-file order (read WITHOUT sorting): the writer's own
+    # sort must have ordered each shard by position
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    for shard_dir in _glob.glob(str(tmp_path / "shards" / "shard=*")):
+        pos = []
+        for f in sorted(_glob.glob(f"{shard_dir}/*.parquet")):
+            pos.extend(pq.read_table(f).column("shuffle_pos").to_pylist())
+        assert pos == sorted(pos), shard_dir
 
 
 def test_mixture_pivot_totals(spark, sf_dir):
