@@ -2075,6 +2075,36 @@ def event_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HINTED_SQL = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """
+
+
+@q("hinted_join", _HINTED_SQL)
+def hinted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 join-strategy hints: the same fact⋈dim join forced onto
+    SHUFFLE_HASH (no sort phase — right when both sides are large but
+    one side's per-key partitions fit memory).  The hint's effect is
+    machine-checked in test_plans (ShuffledHashJoin in the physical
+    plan); broadcast (revenue_by_nation) and bucketed sort-merge
+    (sources/bucketed.py) cover the other two strategies."""
+    o = _tbl(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(
+        c.hint("shuffle_hash"), o["o_custkey"] == c["c_custkey"]
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
 _SHUF_SQL = """
     WITH k AS (
       SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS k FROM documents
@@ -3685,6 +3715,12 @@ _TAIL = [
     # the at-least-once dup-fixture test, test_streaming), so the batch
     # parity row carries the least marginal information of the W5 gates
     "late_dedup",
+    # tail-born plan-shape demonstration: its VALUE semantics are the
+    # join+agg family already driver-gated (pricing_summary et al.);
+    # what it adds — the SHUFFLE_HASH strategy hint actually taking
+    # effect — is machine-checked by test_plans, and the tail replay
+    # gates the values
+    "hinted_join",
 ]
 
 

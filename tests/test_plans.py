@@ -83,6 +83,14 @@ def test_star_join_broadcasts_dimensions(plans):
     assert "SortMergeJoin" not in plan
 
 
+def test_hinted_join_uses_shuffle_hash(plans):
+    """The SHUFFLE_HASH hint must actually take effect — hinted_join's
+    physical plan builds a hash join without a sort phase."""
+    plan = plans["hinted_join"]
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_filters_are_pushed_to_scan(plans):
     """pricing_summary's date filter must reach the parquet reader."""
     scan = [l for l in plans["pricing_summary"].split("\n") if "PushedFilters" in l]
