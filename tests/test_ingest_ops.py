@@ -284,6 +284,49 @@ def test_dup_ngram_coverage_union_arithmetic(spark):
     assert out[4]["n_dup_positions"] == 0
 
 
+@pytest.mark.parametrize("seed", [3, 11])
+def test_dup_ngram_coverage_fuzz_vs_python_reference(spark, seed):
+    """Random small-vocab corpora (plenty of natural window collisions)
+    through the Spark operator vs an independent Python mirror —
+    duplication detection and interval-union lengths must agree."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    gram_n = 3
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(40)
+    ]
+
+    from collections import Counter
+
+    counts = Counter()
+    windows = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        ws = [
+            (s, tuple(toks[s:s + gram_n]))
+            for s in range(0, max(len(toks) - gram_n + 1, 0))
+        ]
+        windows[doc_id] = ws
+        counts.update(g for _, g in ws)
+    expect = {}
+    for doc_id, text in docs:
+        covered = set()
+        for s, g in windows[doc_id]:
+            if counts[g] > 1:
+                covered.update(range(s, s + gram_n))
+        expect[doc_id] = (len(text.split(" ")), len(covered))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_positions"])
+        for r in dedup.with_dup_ngram_coverage(df, gram_n=gram_n).collect()
+    }
+    assert got == expect
+
+
 def test_corpus_shuffle_is_dense_global_rank(spark):
     """The two-phase (bucket offsets + local rank) position must equal
     the one-task global row_number over the same key — a dense 1..N
