@@ -2509,6 +2509,79 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAM_DIM = 64
+
+_GRAM_SQL = f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    p AS (
+      SELECT t1.i AS i, t2.j AS j,
+             list_extract(iv, t1.i) AS vi, list_extract(iv, t2.j) AS vj
+      FROM iv, range(1, {_GRAM_DIM + 1}) AS t1(i), range(1, {_GRAM_DIM + 1}) AS t2(j)
+      WHERE t2.j >= t1.i
+    ),
+    s AS (
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vi) AS BIGINT) AS sum_i,
+             CAST(sum(vj) AS BIGINT) AS sum_j,
+             CAST(sum(vi * vj) AS BIGINT) AS sum_ij
+      FROM p GROUP BY i, j
+    )
+    SELECT i, j, n, sum_i, sum_j, sum_ij,
+           CAST(sum_ij AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sum_i AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sum_j AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+    FROM s
+    """
+
+
+@q("embedding_gram", _GRAM_SQL)
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed gram/covariance matrix over the embedding corpus —
+    the "aggregate huge, solve tiny" shape behind PCA/whitening/ZCA in
+    embedding curation: the d×d second-moment sums reduce map-side (the
+    shuffle carries ≤ partitions × d(d+1)/2 partial rows, never
+    vectors), the driver eigen-solves the tiny result and broadcasts
+    the projection back (tested against numpy in test_ingest_ops).
+
+    Exactness: all sums run on floor-scaled int64 (the IVF family's
+    1e-6 grid) so the moments are bit-exact; `cov` is three mirrored
+    IEEE ops on those exact integers.  For d ≫ a few hundred, swap the
+    per-row pair explode (d²/2 rows per vector) for a chunked
+    mapInPandas outer-product fold — the agg shape is unchanged."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    iv = similarity.with_scaled_vec(emb).select("iv")
+    pairs = F.expr(
+        f"flatten(transform(sequence(1, {_GRAM_DIM}), i -> "
+        f"transform(sequence(i, {_GRAM_DIM}), j -> "
+        "struct(i AS i, j AS j, element_at(iv, i) AS vi, element_at(iv, j) AS vj))))"
+    )
+    exploded = iv.select(F.explode(pairs).alias("p")).select(
+        F.col("p.i").cast("long").alias("i"),
+        F.col("p.j").cast("long").alias("j"),
+        F.col("p.vi").alias("vi"),
+        F.col("p.vj").alias("vj"),
+    )
+    s = exploded.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("sum_i"),
+        F.sum("vj").alias("sum_j"),
+        F.sum(F.col("vi") * F.col("vj")).alias("sum_ij"),
+    )
+    return s.select(
+        "i", "j", "n", "sum_i", "sum_j", "sum_ij",
+        (
+            F.col("sum_ij").cast("double") / F.col("n").cast("double")
+            - (F.col("sum_i").cast("double") / F.col("n").cast("double"))
+            * (F.col("sum_j").cast("double") / F.col("n").cast("double"))
+        ).alias("cov"),
+    )
+
+
 def _cell_bal_sql() -> str:
     val, _ = _split_val_and_case({"x": 1.0})
     return f"""
@@ -3603,6 +3676,7 @@ _HEAD = [
     "udtf_chunks",
     "udaf_user_peak",
     "dup_ngram_coverage",
+    "embedding_gram",
     # round-5 additions: the end-to-end pipeline composition (VERDICT
     # r4 "Next round" #5) and cross-document packing — never
     # driver-attested yet
@@ -3721,6 +3795,10 @@ _TAIL = [
     # effect — is machine-checked by test_plans, and the tail replay
     # gates the values
     "hinted_join",
+    # grab-bag scalar date-function row (date_format/datediff/year
+    # single projections), the same class as the scalar_string_fns
+    # demotion above; r04-green, tail-replay-gated
+    "iso_timestamps",
 ]
 
 

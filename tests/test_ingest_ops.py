@@ -378,6 +378,38 @@ def test_write_training_shards_contiguous_and_ordered(spark, tmp_path):
         assert pos == sorted(pos), shard_dir
 
 
+def test_embedding_gram_drives_numpy_pca(spark, sf_dir):
+    """The distributed gram query must reproduce numpy's covariance of
+    the same scaled vectors, and its tiny driver-side result must be
+    eigen-solvable — the full aggregate-huge/solve-tiny PCA loop."""
+    import math
+
+    import numpy as np
+
+    from firewatch_spark.queries import registry
+
+    rows = registry()["embedding_gram"].fn(spark, sf_dir).collect()
+    d = 64
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"] - 1, r["j"] - 1] = C[r["j"] - 1, r["i"] - 1] = r["cov"]
+
+    vecs = [
+        r["embedding"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ]
+    X = np.array([[math.floor(float(x) * 1e6) for x in v] for v in vecs], dtype=float)
+    mu = X.mean(axis=0)
+    Cref = X.T @ X / len(X) - np.outer(mu, mu)
+    assert np.allclose(C, Cref, rtol=1e-9, atol=1e-3)
+
+    w, V = np.linalg.eigh(C)
+    # a valid eigh of a real covariance: non-negative spectrum (up to
+    # fp noise) and C v = w v for the principal direction
+    assert w[-1] > 0 and w[0] > -1e-3 * w[-1]
+    assert np.allclose(C @ V[:, -1], w[-1] * V[:, -1], rtol=1e-6, atol=1e-3)
+
+
 def test_mixture_pivot_totals(spark, sf_dir):
     from firewatch_spark.queries import registry
 
