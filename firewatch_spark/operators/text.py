@@ -13,7 +13,7 @@ portable list folds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles
@@ -584,4 +584,111 @@ def with_bpe_token_count(
     return df.withColumn(
         out_col,
         F.expr(f"size(regexp_extract_all({text_col}, '{BPE_PATTERN}', 0))").cast("long"),
+    )
+
+
+def top_adjacent_pair(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus's most frequent adjacent token pair — the argmax
+    step of a BPE-style merge round.  ONE row out: (pair_left,
+    pair_right, pair_count); ties break on the pair text so the choice
+    is deterministic.  Shuffle carries (pair, partial count) only."""
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
+                f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+                f"i -> struct(element_at(split({text_col}, ' '), i) AS l, "
+                f"element_at(split({text_col}, ' '), i + 1) AS r)) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy(
+        F.col("bg.l").alias("pair_left"), F.col("bg.r").alias("pair_right")
+    ).agg(F.count(F.lit(1)).alias("pair_count"))
+    return counts.orderBy(
+        F.desc("pair_count"), F.asc("pair_left"), F.asc("pair_right")
+    ).limit(1)
+
+
+def bpe_merge_round(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "_",
+) -> DataFrame:
+    """ONE round of BPE-style pair merging over the whole corpus — the
+    tokenizer-induction primitive: find the most frequent adjacent
+    token pair, then merge its non-overlapping occurrences greedily
+    left-to-right in every document (exactly the BPE apply rule).
+    Iterating K rounds = re-applying this to `new_text` (the same
+    multi-action loop shape as `near_dup_clusters`).
+
+    Greedy left-to-right without a sequential scan: in a run of
+    CONSECUTIVE matching start positions (e.g. "a a a a" for pair
+    (a,a)), BPE merges the 1st, 3rd, … occurrence — so the merge set
+    is "odd offset within its island", a gaps-and-islands parity
+    computation over the matching positions: per-doc windows, fully
+    key-parallel, no UDF.  Output per doc: (doc_id, n_merges,
+    new_text).
+
+    Scale shape: one bigram-keyed count (map-side combine; shuffle
+    carries the pair vocabulary), a 1-row argmax broadcast, one
+    doc-keyed window over MATCHING positions only, and a scan-side
+    array rebuild.  All linear in corpus tokens."""
+    top = top_adjacent_pair(df, text_col, id_col)
+
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn("__T__", toks)
+    positions = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(__T__) >= 2 THEN slice(__T__, 1, size(__T__) - 1) "
+                "ELSE array() END"
+            )
+        ).alias("_p0", "_tok_l"),
+        F.col("__T__"),
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("_i"),  # 1-based pair start
+        F.col("_tok_l"),
+        F.element_at("__T__", F.col("_p0") + 2).alias("_tok_r"),
+    )
+    flagged = positions.crossJoin(F.broadcast(top)).filter(
+        (F.col("_tok_l") == F.col("pair_left"))
+        & (F.col("_tok_r") == F.col("pair_right"))
+    )
+    w = Window.partitionBy(id_col).orderBy("_i")
+    runs = flagged.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_island", F.col("_i") - F.col("_rn")
+    )
+    w_isl = Window.partitionBy(id_col, "_island").orderBy("_i")
+    merges = runs.withColumn("_k", F.row_number().over(w_isl)).filter(
+        F.col("_k") % 2 == 1  # 1st, 3rd, … of each consecutive run
+    )
+    mpos = merges.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_i")).alias("_mpos")
+    )
+    rebuilt = (
+        base.join(mpos, id_col, "left")
+        .withColumn("_mpos", F.coalesce(F.col("_mpos"), F.expr("array()")))
+        .withColumn(
+            "_new",
+            F.expr(
+                "filter(transform(sequence(1, size(__T__)), i -> "
+                "CASE WHEN array_contains(_mpos, i) THEN "
+                f"concat(element_at(__T__, i), '{joiner}', element_at(__T__, i + 1)) "
+                "WHEN array_contains(_mpos, i - 1) THEN NULL "
+                "ELSE element_at(__T__, i) END), x -> x IS NOT NULL)"
+            ),
+        )
+    )
+    return rebuilt.select(
+        id_col,
+        F.size("_mpos").cast("long").alias("n_merges"),
+        F.concat_ws(" ", "_new").alias("new_text"),
     )

@@ -327,6 +327,77 @@ def test_dup_ngram_coverage_fuzz_vs_python_reference(spark, seed):
     assert got == expect
 
 
+def _py_bpe_round(docs):
+    """Independent Python mirror of text.bpe_merge_round: corpus-argmax
+    adjacent pair + the sequential greedy left-to-right apply rule."""
+    from collections import Counter
+
+    cnt = Counter()
+    for _, t in docs:
+        toks = t.split(" ")
+        cnt.update(zip(toks, toks[1:]))
+    top = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    out = {}
+    for doc_id, t in docs:
+        toks = t.split(" ")
+        new, i, m = [], 0, 0
+        while i < len(toks):
+            if i + 1 < len(toks) and (toks[i], toks[i + 1]) == top:
+                new.append(toks[i] + "_" + toks[i + 1])
+                i += 2
+                m += 1
+            else:
+                new.append(toks[i])
+                i += 1
+        out[doc_id] = (m, " ".join(new))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_bpe_merge_round_fuzz_vs_python_reference(spark, seed):
+    """The gaps-and-islands parity rule must equal the sequential
+    greedy left-to-right BPE apply on random small-vocab corpora
+    (overlapping runs like 'a a a a' included by construction)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10))))
+        for i in range(50)
+    ]
+    expect = _py_bpe_round(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_merges"], r["new_text"])
+        for r in text.bpe_merge_round(df).collect()
+    }
+    assert got == expect
+
+
+def test_bpe_merge_iterates_like_sequential_bpe(spark):
+    """Three rounds of the distributed merge (re-applied to new_text)
+    must equal three rounds of the Python reference — the K-round
+    tokenizer-induction loop composes."""
+    docs = [
+        (1, "x y x y x y z"),
+        (2, "x y q x y"),
+        (3, "z z z z z"),
+    ]
+    py = {d: t for d, t in docs}
+    for _ in range(3):
+        res = _py_bpe_round(list(py.items()))
+        py = {d: t for d, (_, t) in res.items()}
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for _ in range(3):
+        df = text.bpe_merge_round(df).select(
+            "doc_id", F.col("new_text").alias("text")
+        )
+    got = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert got == py
+
+
 def test_corpus_shuffle_is_dense_global_rank(spark):
     """The two-phase (bucket offsets + local rank) position must equal
     the one-task global row_number over the same key — a dense 1..N
