@@ -172,6 +172,9 @@ def main() -> None:
         # every-offset gram window + per-doc interval union — the
         # heaviest linear text op, slope should stay ~linear
         "dup_ngram_coverage",
+        # bigram count + argmax broadcast + parity windows — the
+        # tokenizer-induction round
+        "bpe_merge",
     ]
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope

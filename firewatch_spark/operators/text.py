@@ -594,15 +594,22 @@ def top_adjacent_pair(
     step of a BPE-style merge round.  ONE row out: (pair_left,
     pair_right, pair_count); ties break on the pair text so the choice
     is deterministic.  Shuffle carries (pair, partial count) only."""
+    # token array LET-BOUND (transform-over-1-element-array binder):
+    # an unbound form re-ran split() per bigram — O(n²) tokenization
+    # per doc (measured ~2× at sf0.1; the substitution-duplication
+    # family SCALE.md records).  No scan fan-out here: the per-row fold
+    # is light and the groupBy's own exchange spreads the work
+    # (measured: repartition cost exceeded its gain).
     bigrams = df.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
-                f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-                f"i -> struct(element_at(split({text_col}, ' '), i) AS l, "
-                f"element_at(split({text_col}, ' '), i + 1) AS r)) "
-                "ELSE array() END"
+                f"transform(array(split({text_col}, ' ')), TK -> "
+                "CASE WHEN size(TK) >= 2 THEN "
+                "transform(sequence(1, size(TK) - 1), "
+                "i -> struct(element_at(TK, i) AS l, "
+                "element_at(TK, i + 1) AS r)) "
+                "ELSE array() END)[0]"
             )
         ).alias("bg"),
     )
