@@ -198,6 +198,7 @@ def banded_capped(
     num_hashes: int,
     bands: int,
     max_bucket: int,
+    keep_sig: bool = True,
 ) -> DataFrame:
     """The shared banding stage of the self-join
     (`lsh_candidate_pairs`) and cross-side (`incremental_dedup`) LSH
@@ -205,7 +206,12 @@ def banded_capped(
     (band_hash = md5 of the band's minhashes) and cap every
     (band_idx, band_hash) bucket at its `max_bucket` lowest ids —
     row_number BEFORE any collect, so per-task state is hard-bounded.
-    Output columns: (id_col, sig, band_idx, band_hash)."""
+    Output columns: (id_col, [sig,] band_idx, band_hash).
+
+    ``keep_sig=False`` projects the signature array out BEFORE the cap
+    window — callers that only need bucket membership (the cross-side
+    join) must not pay ~sig-size × bands extra shuffle bytes per doc
+    through the window exchange."""
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -216,9 +222,10 @@ def banded_capped(
                 F.md5(F.concat_ws("|", *parts).cast("binary")).alias("band_hash"),
             )
         )
+    carried = ["sig"] if keep_sig else []
     exploded = sig_df.select(
-        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
+        F.col(id_col), *carried, F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, *carried, "band.band_idx", "band.band_hash")
     cap_w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
     return (
         exploded.withColumn("_rn", F.row_number().over(cap_w))
@@ -696,9 +703,9 @@ def incremental_dedup(
 
     def banded(side: DataFrame, out_id: str) -> DataFrame:
         sig = with_minhash_signature(side, text_col, num_hashes, shingle_n)
-        return banded_capped(sig, id_col, num_hashes, bands, max_bucket).select(
-            F.col(id_col).alias(out_id), "band_idx", "band_hash"
-        )
+        return banded_capped(
+            sig, id_col, num_hashes, bands, max_bucket, keep_sig=False
+        ).select(F.col(id_col).alias(out_id), "band_idx", "band_hash")
 
     # referenced three times below (two shingle semi-joins + the final
     # join) — materialize the small capped pair set once instead of

@@ -203,6 +203,7 @@ def write_training_shards(
     out_dir: str,
     shard_size: int,
     pos_col: str = "shuffle_pos",
+    list_dirs=None,
 ) -> int:
     """Materialize a shuffled corpus as fixed-size training shards —
     the last step of the pipeline (scan → clean → dedup → split →
@@ -221,8 +222,10 @@ def write_training_shards(
     ours and the in-file position order is guaranteed by OUR sort, not
     by sort-stability luck.  Returns the shard count, read back from
     the written ``shard=*`` directories (never by re-running the
-    upstream lineage; swap the listdir for your object store's listing
-    off-local)."""
+    upstream lineage).  ``list_dirs`` injects the directory listing for
+    non-local stores (default ``os.listdir`` — pass e.g. an S3/HDFS
+    prefix lister when ``out_dir`` is not a local path, otherwise this
+    raises after the write)."""
     sharded = df.withColumn(
         "shard", F.expr(f"({pos_col} - 1) div {shard_size}").cast("int")
     )
@@ -233,10 +236,16 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
-    import os
+    if list_dirs is None:
+        import os
 
+        list_dirs = os.listdir
+    # "shard=N" directories only — a null pos_col would surface as the
+    # Hive default partition, which is a caller bug, not a shard
     return sum(
-        1 for d in os.listdir(out_dir) if d.startswith("shard=")
+        1
+        for d in list_dirs(out_dir)
+        if d.startswith("shard=") and d.split("=", 1)[1].lstrip("-").isdigit()
     )
 
 

@@ -587,9 +587,7 @@ def with_bpe_token_count(
     )
 
 
-def top_adjacent_pair(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def top_adjacent_pair(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The corpus's most frequent adjacent token pair — the argmax
     step of a BPE-style merge round.  ONE row out: (pair_left,
     pair_right, pair_count); ties break on the pair text so the choice
@@ -601,7 +599,6 @@ def top_adjacent_pair(
     # is light and the groupBy's own exchange spreads the work
     # (measured: repartition cost exceeded its gain).
     bigrams = df.select(
-        F.col(id_col),
         F.explode(
             F.expr(
                 f"transform(array(split({text_col}, ' ')), TK -> "
@@ -646,7 +643,7 @@ def bpe_merge_round(
     carries the pair vocabulary), a 1-row argmax broadcast, one
     doc-keyed window over MATCHING positions only, and a scan-side
     array rebuild.  All linear in corpus tokens."""
-    top = top_adjacent_pair(df, text_col, id_col)
+    top = top_adjacent_pair(df, text_col)
 
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), F.col(text_col)).withColumn("__T__", toks)
