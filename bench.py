@@ -186,7 +186,13 @@ def main() -> None:
     dirs = {}
     for factor in (1, SCALE_FACTOR):
         d = os.path.join(bench_root, f"x{factor}")
-        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
+        # BOTH tables must exist: documents is written first, so a
+        # crash between the two writes would otherwise look complete
+        # forever and feed the embedding slopes stale/missing data
+        if not all(
+            os.path.exists(os.path.join(d, t, "_SUCCESS"))
+            for t in ("documents.parquet", "embeddings.parquet")
+        ):
             build_scaled_dir(spark, SF_DIR, d, factor)
         dirs[factor] = d
     scaling = {}

@@ -121,28 +121,47 @@ def span_dedup(
     clean_text) with clean_text the kept spans re-joined in order
     ('' when everything was a repeat).
 
-    Scale shape: the only wide exchange is a window over
-    md5(span) — 32-byte keys plus (doc_id, idx) coordinates, never
-    document text twice; the reassembly groupBy(doc_id) carries each
-    surviving span exactly once.  Equivalent rows-at-scale: 2 shuffles
-    of O(corpus tokens / span_tokens) rows."""
+    Scale shape (mega-bucket-proof): the first occurrence of each
+    distinct span is a ``groupBy(md5(span)).agg(min(coords))`` — a
+    boilerplate span repeated across millions of docs reduces to
+    map-side partials per task, never one window task sorting the
+    whole hot key (the skew shape MAX_BUCKET defends against in the
+    LSH family; the earlier row_number-over-md5 form had it).  That
+    agg's exchange carries (32-byte hash, coords) only; span TEXT
+    travels exactly twice, both times on well-distributed keys — the
+    keep-flag join on (doc_id, span_idx) and the reassembly
+    groupBy(doc_id)."""
     from .text import chunk_documents  # local import: text.py imports us
 
     spans = chunk_documents(
         docs, max_tokens=span_tokens, text_col=text_col, id_col=id_col
     ).select(id_col, F.col("chunk_idx").alias("span_idx"), F.col("chunk").alias("span"))
-    w = Window.partitionBy(F.md5(F.col("span").cast("binary"))).orderBy(
-        id_col, "span_idx"
+    spans = spans.withColumn("_h", F.md5(F.col("span").cast("binary")))
+    # textless meta for every hash-keyed hop: the dedup decision needs
+    # (hash, coords) only
+    meta = spans.select(id_col, "span_idx", "_h")
+    firsts = meta.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))).alias(
+            "_first"
+        )
     )
-    flagged = spans.withColumn("_rn", F.row_number().over(w))
+    kept_meta = meta.join(firsts, "_h").select(
+        id_col,
+        "span_idx",
+        (
+            (F.col("_first.d") == F.col(id_col))
+            & (F.col("_first.i") == F.col("span_idx"))
+        ).alias("_keep"),
+    )
+    flagged = spans.drop("_h").join(kept_meta, [id_col, "span_idx"])
     kept_struct = F.when(
-        F.col("_rn") == 1, F.struct(F.col("span_idx").alias("i"), F.col("span").alias("s"))
+        F.col("_keep"), F.struct(F.col("span_idx").alias("i"), F.col("span").alias("s"))
     )  # collect_list drops the NULLs for non-kept spans
     return (
         flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
             F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
         )
         .select(
@@ -462,6 +481,8 @@ def near_dup_clusters(
     the swap changes no logic.  Iterative ⇒ not single-query
     SQL-expressible; correctness is pinned against a Python union-find
     in tests (sf0.01 edges + seeded random graphs)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -469,7 +490,8 @@ def near_dup_clusters(
     edges = edges.localCheckpoint()
 
     labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
+
+    def one_round(labels):
         neigh = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -491,19 +513,27 @@ def near_dup_clusters(
             .localCheckpoint()
         )
         n_changed = labels.agg(F.sum("_chg")).first()[0]
-        labels = labels.drop("_chg")
+        return labels.drop("_chg"), n_changed
+
+    for _ in range(max_iter):
+        labels, n_changed = one_round(labels)
         if not n_changed:
             break
     else:
-        # the loop exhausted max_iter with labels still moving: the
-        # result is NOT a fixpoint (a chain deeper than max_iter hops
-        # would silently under-merge and fail any exact transitive-
-        # closure oracle with no diagnostic — ADVICE r4)
-        raise RuntimeError(
-            f"near_dup_clusters did not converge in {max_iter} rounds "
-            f"({n_changed} labels still changing); raise max_iter — "
-            "rounds needed equals the pair graph's diameter"
-        )
+        # the loop used its whole change budget.  That is NOT yet proof
+        # of non-convergence: a propagation needing exactly max_iter
+        # changing rounds ends the loop with n_changed > 0 AND a
+        # correct fixpoint.  One confirming probe round decides; raise
+        # only if labels are genuinely still moving (a chain deeper
+        # than max_iter hops would otherwise silently under-merge and
+        # fail any exact transitive-closure oracle — ADVICE r4).
+        labels, n_changed = one_round(labels)
+        if n_changed:
+            raise RuntimeError(
+                f"near_dup_clusters did not converge in {max_iter} rounds "
+                f"({n_changed} labels still changing); raise max_iter — "
+                "rounds needed equals the pair graph's diameter"
+            )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -324,8 +324,13 @@ def ivf_train(
     shuffle carries (cell, dim, int64) triples: corpus×dim rows of
     ints, linear in corpus size, never vectors-per-cell in one task.
     Empty cells keep their previous centroid.  All arithmetic stays in
-    the scaled-int64 domain with floor division, so training is
-    deterministic and engine-portable like everything else here.
+    the scaled-int64 domain; the mean uses Spark ``div`` — TRUNCATING
+    (toward-zero) integer division, NOT floor: they differ on negative
+    sums (-7 div 2 = -3, floor gives -4), and any reimplementation
+    must truncate or its centroids diverge on cells with negative
+    coordinate sums (the pinned Python reference implements exactly
+    this).  Deterministic and engine-portable like everything else
+    here.
     Iterative ⇒ pinned against a Python Lloyd reference in tests
     (like near_dup_clusters' union-find), not a SQL oracle."""
     cents = ivf_centroids(corpus, k, id_col, vec_col).localCheckpoint()

@@ -58,7 +58,15 @@ def _read_part(path: str) -> tuple[int, list[str]]:
         lines = f.readlines()
     if lines and lines[0].startswith(_BID_PREFIX):
         return int(lines[0][len(_BID_PREFIX):].strip()), lines[1:]
-    return -1, lines  # headerless (pre-upgrade) part: re-apply is safest
+    # headerless part written by the pre-header design: its batch id
+    # lives in the legacy `.bid` SIDECAR — honor it, or a retry that
+    # straddles the upgrade re-appends the already-applied batch
+    # (upgrade-path duplication)
+    legacy = path + ".bid"
+    if os.path.exists(legacy):
+        with open(legacy) as bf:
+            return int(bf.read().strip()), lines
+    return -1, lines  # no sidecar either: re-apply is safest
 
 def _replace_part(path: str, batch_id: int, frame_lines: list[str]) -> None:
     """Commit header + frames in one atomic rename (fsync'd temp)."""
@@ -164,6 +172,8 @@ def media_finalize_sink(output_dir: str):
             k += 1
         os.replace(tmp, final)
         os.remove(part)  # next session starts a fresh lifecycle
+        if os.path.exists(part + ".bid"):
+            os.remove(part + ".bid")  # pre-upgrade sidecar litter
         return final
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -186,9 +196,17 @@ def s3_upload_sink(bucket: str, delete_local: bool = False, client_factory=None)
     uploaded serially from the driver; VERDICT r4 "What's wrong" #2).
     Like the reference's consumer, a retry re-PUTs the same key —
     `s3_key` is a pure function of video_id, so S3's last-writer-wins
-    overwrite makes micro-batch retries idempotent without a batch-id
-    sidecar.  The MP4 must live on storage the executors can read
-    (same requirement the manifest sink documents).
+    overwrite makes re-delivery idempotent without a batch-id sidecar.
+
+    RETRY-SAFE deletes: a Spark TASK retry (not just a foreachBatch
+    retry) re-runs the partition from its first row, so deleting each
+    file right after its PUT would leave a retried task hitting
+    missing local files and failing forever.  Instead the partition
+    uploads EVERYTHING first and deletes only after every PUT
+    succeeded; on retry, a path already deleted by a previous attempt
+    is skipped (its absence implies a completed upload under the
+    idempotent key).  The MP4 must live on storage the executors can
+    read (same requirement the manifest sink documents).
 
     `client_factory` injects the S3 client per partition (tests pass a
     cloudpickle-able fake; default `boto3.client("s3")` — created
@@ -204,14 +222,21 @@ def s3_upload_sink(bucket: str, delete_local: bool = False, client_factory=None)
 
         def upload_partition(rows) -> None:
             s3 = factory() if factory is not None else boto3.client("s3")
+            uploaded: list[str] = []
             for row in rows:
-                key = s3_key(row["video_id"])
+                path = row["local_filepath"]
+                if delete_local and not os.path.exists(path):
+                    # a previous attempt of this task uploaded and
+                    # deleted it already (idempotent key) — skip
+                    continue
                 s3.upload_file(
-                    row["local_filepath"], bucket, key,
+                    path, bucket, s3_key(row["video_id"]),
                     ExtraArgs={"ContentType": "video/mp4"},
                 )
-                if delete_local:
-                    os.remove(row["local_filepath"])
+                uploaded.append(path)
+            if delete_local:  # phase 2: only after every PUT succeeded
+                for path in uploaded:
+                    os.remove(path)
 
         batch_df.select("video_id", "local_filepath").foreachPartition(
             upload_partition

@@ -182,6 +182,24 @@ def test_near_dup_clusters_string_ids_deep_chain(spark):
     assert labels == {i: ("doc00" if i != "doc07" else "doc07") for i in ids}
 
 
+def test_near_dup_clusters_converges_at_exactly_max_iter(spark):
+    """A propagation that needs exactly max_iter changing rounds IS a
+    fixpoint — the budget-exhausted path must confirm with one probe
+    round and return, not false-alarm (and max_iter < 1 is rejected
+    loudly, not a NameError)."""
+    from firewatch_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"]
+    )
+    # the 4-chain needs exactly 3 changing rounds
+    out = near_dup_clusters(pairs, docs, max_iter=3)
+    assert {r["cluster_id"] for r in out.collect()} == {1}
+    with pytest.raises(ValueError):
+        near_dup_clusters(pairs, docs, max_iter=0)
+
+
 def test_near_dup_clusters_raises_when_not_converged(spark):
     """ADVICE r4: exhausting max_iter with labels still moving must be
     a loud error, not a silently under-merged result that only the

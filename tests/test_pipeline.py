@@ -299,6 +299,50 @@ def test_s3_upload_sink_runs_executor_side(spark, tmp_path):
     assert os.listdir(locals_dir) == []
 
 
+def test_s3_upload_sink_task_retry_after_partial_delete(spark, tmp_path):
+    """Task-retry safety: if a previous attempt uploaded and deleted
+    some files before dying, the retry must SKIP the missing paths
+    (their absence implies a completed upload under the idempotent
+    key) and still upload + delete the remainder — never
+    FileNotFoundError-poison the partition.  Deletes are also
+    two-phase: nothing is removed until every PUT in the partition
+    succeeded."""
+    record_dir = tmp_path / "uploads2"
+    record_dir.mkdir()
+    locals_dir = tmp_path / "media2"
+    locals_dir.mkdir()
+    vids = [f"w{i}" for i in range(4)]
+    for v in vids:
+        (locals_dir / f"{v}.mp4").write_bytes(b"mp4")
+    # simulate the prior attempt: w0 was uploaded AND deleted already
+    os.remove(locals_dir / "w0.mp4")
+
+    batch = spark.createDataFrame(
+        [(v, str(locals_dir / f"{v}.mp4")) for v in vids],
+        "video_id string, local_filepath string",
+    ).coalesce(1)  # one partition = the retried task
+
+    rd = str(record_dir)
+
+    class FakeS3Client:
+        def upload_file(self, filename, bucket, key, ExtraArgs=None):
+            assert os.path.exists(filename)  # never PUT a missing file
+            with open(os.path.join(rd, key.replace("/", "__")), "w") as f:
+                f.write(filename)
+
+    sink = sinks.s3_upload_sink(
+        "my-bucket", delete_local=True, client_factory=FakeS3Client
+    )
+    sink(batch, batch_id=0)
+
+    uploaded = sorted(os.listdir(rd))
+    # w0 skipped (already gone), the other three uploaded and deleted
+    assert uploaded == sorted(
+        f"videos__{v}_with_heatmaps.mp4" for v in vids[1:]
+    )
+    assert os.listdir(locals_dir) == []
+
+
 def test_dead_letter_routing(spark):
     """§1.3 upgrade: malformed envelopes are routed with a reason, not
     swallowed (reference drops them, stream.py:421-423)."""
