@@ -83,6 +83,14 @@ def test_star_join_broadcasts_dimensions(plans):
     assert "SortMergeJoin" not in plan
 
 
+def test_span_dedup_has_no_window_over_span_hash(plans):
+    """The first-occurrence rule must be a map-side-combinable
+    aggregation, not a window over md5(span): a boilerplate mega-span
+    would funnel through one window-sort task (the skew shape the
+    third-review fix removed)."""
+    assert "Window" not in plans["span_dedup"]
+
+
 def test_hinted_join_uses_shuffle_hash(plans):
     """The SHUFFLE_HASH hint must actually take effect — hinted_join's
     physical plan builds a hash join without a sort phase."""
