@@ -66,6 +66,14 @@ def main() -> None:
     reg["completion_stats"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Arrow python-worker pool warmup: a trivial mapInPandas across the
+    # full core count forks the pyspark daemon's worker pool once,
+    # off-clock.  Round 5's ann_topk "regression" was exactly this cost
+    # landing on whichever one-shot query touched Python first
+    # (measured: 2.8 s cold vs 0.65 s warm at sf0.1).
+    spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
     # streaming warmup at the smallest SF: state-store provider, Arrow
     # python workers and the streaming engine cold-start cost ~3x the
     # steady-state replay time on a fresh JVM — pay it off-clock so the
@@ -218,23 +226,63 @@ def main() -> None:
     # commits.
     stream_rps = round(n_events / times["streaming_session_parity"], 1)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-                "rows_per_sec_flagship": flagship_rps,
-                "flagship_p50_sec": pct(0.5),
-                "flagship_p95_sec": pct(0.95),
-                "sessionized_rows_per_sec_stream": stream_rps,
-                "batched_inference": inference,
-                "scaling": {"factor": SCALE_FACTOR, "queries": scaling},
-            }
-        )
+
+    full = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "rows_per_sec_flagship": flagship_rps,
+        "flagship_p50_sec": pct(0.5),
+        "flagship_p95_sec": pct(0.95),
+        "sessionized_rows_per_sec_stream": stream_rps,
+        "batched_inference": inference,
+        "scaling": {"factor": SCALE_FACTOR, "queries": scaling},
+    }
+    # Full detail goes to a committed file; stdout gets ONE compact
+    # line guaranteed < 1.9 kB so the driver's 2 kB capture parses it
+    # (VERDICT r5 #1: rounds 4 and 5 both lost the external perf record
+    # to mid-line truncation).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    def compact_line(min_sec: float) -> str:
+        kept = {n: round(v, 2) for n, v in times.items() if v >= min_sec}
+        payload = {
+            "metric": "total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf),
+            "n_queries": len(times),
+            # slowest-first: the informative end of the distribution
+            "queries": dict(
+                sorted(kept.items(), key=lambda kv: -kv[1])
+            ),
+            "q_omitted_below_sec": min_sec,
+            "q_omitted": len(times) - len(kept),
+            "rows_per_sec_flagship": flagship_rps,
+            "flagship_p50_sec": pct(0.5),
+            "flagship_p95_sec": pct(0.95),
+            "sessionized_rows_per_sec_stream": stream_rps,
+            "pandas_vs_row_speedup": inference["pandas_vs_row_speedup"],
+            "column_vs_row_speedup": inference["column_vs_row_speedup"],
+            "scaling_slope_vs_linear": {
+                n: s["slope_vs_linear"] for n, s in scaling.items()
+            },
+            "full": "BENCH_FULL.json",
+        }
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = compact_line(0.0)
+    for threshold in (0.05, 0.1, 0.2, 0.3, 0.5, 1.0):
+        if len(line) <= 1900:
+            break
+        line = compact_line(threshold)
+    print(line)
     spark.stop()
 
 

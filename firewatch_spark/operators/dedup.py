@@ -820,10 +820,14 @@ def with_dup_ngram_coverage(
 
     Plan shape, all linear in corpus tokens:
     1. every window start explodes to one (doc, start, md5(gram)) row;
-    2. duplication = ``count(*) over (partition by gram md5)`` — one
-       hash-keyed exchange of 32-char keys, spill-friendly (the same
-       window-over-content-hash shape as span_dedup's first-occurrence
-       rule);
+    2. duplication = ``groupBy(gram md5).count()`` filtered to cnt>1,
+       semi-joined back on the md5 — the partial count combines
+       map-side, so a boilerplate gram repeated across millions of
+       docs reaches the exchange as one partial row per map task
+       (a window over the gram hash would funnel every occurrence of
+       the hot key through ONE task — the shape span_dedup's
+       first-occurrence rule also avoids), and AQE's skew-join can
+       split the hot key in the join back;
     3. the union length of overlapping windows is gaps-and-islands
        over (doc, start): an island starts where the window begins
        past the running max end; island length = max end − min start
@@ -854,9 +858,13 @@ def with_dup_ngram_coverage(
             F.md5(F.expr(piece).cast("binary")).alias("_h"),
         )
     )
-    dup = grams.withColumn(
-        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
-    ).filter(F.col("_cnt") > 1)
+    dup_hashes = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > 1)
+        .select("_h")
+    )
+    dup = grams.join(dup_hashes, "_h", "semi")
     w = Window.partitionBy(id_col).orderBy("_start")
     islands = (
         dup.withColumn("_end", F.col("_start") + end_off)

@@ -677,15 +677,19 @@ def bpe_merge_round(
     mpos = merges.groupBy(id_col).agg(
         F.array_sort(F.collect_list("_i")).alias("_mpos")
     )
+    # the joiner rides in as a literal COLUMN, never interpolated into
+    # the SQL expression text — a quote/backslash in it would otherwise
+    # break (or inject into) the expression (ADVICE r5)
     rebuilt = (
         base.join(mpos, id_col, "left")
         .withColumn("_mpos", F.coalesce(F.col("_mpos"), F.expr("array()")))
+        .withColumn("_joiner", F.lit(joiner))
         .withColumn(
             "_new",
             F.expr(
                 "filter(transform(sequence(1, size(__T__)), i -> "
                 "CASE WHEN array_contains(_mpos, i) THEN "
-                f"concat(element_at(__T__, i), '{joiner}', element_at(__T__, i + 1)) "
+                "concat(element_at(__T__, i), _joiner, element_at(__T__, i + 1)) "
                 "WHEN array_contains(_mpos, i - 1) THEN NULL "
                 "ELSE element_at(__T__, i) END), x -> x IS NOT NULL)"
             ),

@@ -2554,9 +2554,19 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row pair explode (d²/2 rows per vector) for a chunked
     mapInPandas outer-product fold — the agg shape is unchanged."""
     emb = _tbl(spark, sf_dir, "embeddings")
+    # Fail loudly on schema drift: a vector whose dim != _GRAM_DIM
+    # would otherwise NULL-poison the sums via out-of-range element_at
+    # (and the oracle mirrors the bug, so the gate could not catch it —
+    # ADVICE r5).  The guard feeds sequence(), so Catalyst cannot prune
+    # it, and raise_error only fires on the drifted row.
+    dim_guard = (
+        f"CASE WHEN size(iv) = {_GRAM_DIM} THEN {_GRAM_DIM} "
+        f"ELSE CAST(raise_error(concat('embedding_gram: embedding dim ', "
+        f"CAST(size(iv) AS STRING), ' != {_GRAM_DIM}')) AS INT) END"
+    )
     iv = similarity.with_scaled_vec(emb).select("iv")
     pairs = F.expr(
-        f"flatten(transform(sequence(1, {_GRAM_DIM}), i -> "
+        f"flatten(transform(sequence(1, {dim_guard}), i -> "
         f"transform(sequence(i, {_GRAM_DIM}), j -> "
         "struct(i AS i, j AS j, element_at(iv, i) AS vi, element_at(iv, j) AS vj))))"
     )

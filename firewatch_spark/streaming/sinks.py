@@ -226,8 +226,16 @@ def s3_upload_sink(bucket: str, delete_local: bool = False, client_factory=None)
             for row in rows:
                 path = row["local_filepath"]
                 if delete_local and not os.path.exists(path):
-                    # a previous attempt of this task uploaded and
-                    # deleted it already (idempotent key) — skip
+                    # a previous attempt of this task may have uploaded
+                    # and deleted it (idempotent key) — but CONFIRM the
+                    # object is really there before skipping: a wrong
+                    # path or evicted file would otherwise silently
+                    # drop the video (ADVICE r5).  NB: speculative
+                    # execution must stay off for this sink — a zombie
+                    # attempt's phase-2 delete could race a live
+                    # attempt's upload (documented trade; the reference
+                    # consumer is single-process and has no analog).
+                    s3.head_object(Bucket=bucket, Key=s3_key(row["video_id"]))
                     continue
                 s3.upload_file(
                     path, bucket, s3_key(row["video_id"]),

@@ -481,6 +481,23 @@ def test_embedding_gram_drives_numpy_pca(spark, sf_dir):
     assert np.allclose(C @ V[:, -1], w[-1] * V[:, -1], rtol=1e-6, atol=1e-3)
 
 
+def test_embedding_gram_fails_loudly_on_dim_drift(spark, tmp_path):
+    """A corpus whose embedding dim != 64 must raise, not NULL-poison
+    the covariance (out-of-range element_at returns NULL and the DuckDB
+    oracle mirrors the bug, so the hash gate can't catch it —
+    ADVICE r5)."""
+    import pytest
+
+    from firewatch_spark.queries import registry
+
+    bad = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    bad.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(Exception, match="embedding_gram: embedding dim 3"):
+        registry()["embedding_gram"].fn(spark, str(tmp_path)).collect()
+
+
 def test_mixture_pivot_totals(spark, sf_dir):
     from firewatch_spark.queries import registry
 

@@ -4,6 +4,7 @@ sinks, on a bounded file-source stream (no Kafka needed)."""
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from firewatch_spark.sources import frames as frames_src
@@ -330,17 +331,53 @@ def test_s3_upload_sink_task_retry_after_partial_delete(spark, tmp_path):
             with open(os.path.join(rd, key.replace("/", "__")), "w") as f:
                 f.write(filename)
 
+        def head_object(self, Bucket, Key):
+            # the prior attempt DID upload w0 under the idempotent key
+            assert Key == sinks.s3_key("w0")
+            with open(os.path.join(rd, "HEAD__" + Key.replace("/", "__")), "w"):
+                pass
+            return {"ContentLength": 3}
+
     sink = sinks.s3_upload_sink(
         "my-bucket", delete_local=True, client_factory=FakeS3Client
     )
     sink(batch, batch_id=0)
 
-    uploaded = sorted(os.listdir(rd))
+    uploaded = sorted(p for p in os.listdir(rd) if not p.startswith("HEAD__"))
     # w0 skipped (already gone), the other three uploaded and deleted
     assert uploaded == sorted(
         f"videos__{v}_with_heatmaps.mp4" for v in vids[1:]
     )
     assert os.listdir(locals_dir) == []
+    # the skip was CONFIRMED against S3, not assumed (ADVICE r5)
+    assert os.path.exists(
+        os.path.join(rd, "HEAD__" + sinks.s3_key("w0").replace("/", "__"))
+    )
+
+
+def test_s3_upload_sink_missing_path_without_uploaded_object_fails(
+    spark, tmp_path
+):
+    """A missing local path whose object is NOT in S3 (caller bug, disk
+    eviction) must fail the task loudly, not silently drop the video
+    (ADVICE r5)."""
+    batch = spark.createDataFrame(
+        [("x0", str(tmp_path / "nope.mp4"))],
+        "video_id string, local_filepath string",
+    ).coalesce(1)
+
+    class FakeS3Client:
+        def upload_file(self, filename, bucket, key, ExtraArgs=None):
+            raise AssertionError("must not PUT a missing file")
+
+        def head_object(self, Bucket, Key):
+            raise FileNotFoundError(f"404: {Bucket}/{Key}")
+
+    sink = sinks.s3_upload_sink(
+        "my-bucket", delete_local=True, client_factory=FakeS3Client
+    )
+    with pytest.raises(Exception, match="404"):
+        sink(batch, batch_id=0)
 
 
 def test_dead_letter_routing(spark):

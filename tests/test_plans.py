@@ -91,6 +91,17 @@ def test_span_dedup_has_no_window_over_span_hash(plans):
     assert "Window" not in plans["span_dedup"]
 
 
+def test_dup_ngram_coverage_has_no_window_over_gram_hash(plans):
+    """Duplication counting must be a map-side-combinable groupBy over
+    the gram md5 plus a semi-join back — never a window partitioned by
+    the gram hash, which would funnel every occurrence of a hot
+    boilerplate gram through ONE window-sort task (ADVICE r5; the
+    per-doc islands windows are fine, they key on doc_id)."""
+    for line in plans["dup_ngram_coverage"].split("\n"):
+        if "windowspecdefinition" in line:
+            assert "_h#" not in line, line
+
+
 def test_hinted_join_uses_shuffle_hash(plans):
     """The SHUFFLE_HASH hint must actually take effect — hinted_join's
     physical plan builds a hash join without a sort phase."""
@@ -106,18 +117,29 @@ def test_filters_are_pushed_to_scan(plans):
 
 
 def test_ann_topk_reduces_exchange_with_partial_topk(plans):
-    """Brute-force cosine top-k must fold a map-side partial top-k
-    BEFORE the per-query window shuffle, so the exchange carries at
-    most partitions × queries × k survivor rows, not every scored
-    corpus row."""
+    """Brute-force cosine top-k must rank within (query_id, salt)
+    BEFORE the per-query window shuffle, so the final exchange carries
+    at most salts × queries × k survivor rows, not every scored
+    corpus row — and the whole reduction stays JVM-side (no Python
+    stage: the round-5 Arrow fold's worker cold-start was the ann_topk
+    bench regression)."""
     plan = plans["ann_topk"]
     lines = plan.split("\n")
-    ex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(query_id" in l]
-    mp = [i for i, l in enumerate(lines) if "MapInPandas" in l]
-    assert ex and mp, "expected a query_id exchange fed by MapInPandas"
-    # the tree prints top-down: the partial top-k sits BELOW (after)
-    # the exchange line, i.e. it executes before the shuffle
-    assert min(mp) > min(ex)
+    ex_final = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(query_id" in l and "_salt" not in l
+    ]
+    ex_salted = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(query_id" in l and "_salt" in l
+    ]
+    assert ex_final and ex_salted, "expected salted + final query_id exchanges"
+    # the tree prints top-down: the salted phase sits BELOW (after)
+    # the final exchange line, i.e. it executes before that shuffle
+    assert min(ex_salted) > min(ex_final)
+    assert "MapInPandas" not in plan, "top-k reduction must stay JVM-side"
 
 
 def test_media_payload_never_enters_exchange(spark):
