@@ -41,6 +41,13 @@ BUILD_TIMED = {
     # miss most of the query's real work
     "lsh_verify",
     "incremental_dedup",
+    # both checkpoint the capped candidate pairs in-build (same reason)
+    "incremental_dedup_indexed",
+    # bpe_merge_k3 / llm_pipeline-style per-round materializations
+    "bpe_merge_k3",
+    # the shard WRITE is the query's work; the returned agg only reads
+    # the written files back
+    "training_shards",
 }
 
 

@@ -60,7 +60,7 @@ HEX = "0123456789abcdef"
 MAX_BUCKET = 64
 
 
-from .util import ensure_parallelism  # noqa: E402  (shared fan-out guard)
+from .util import ensure_parallelism, make_checkpointer  # noqa: E402  (shared fan-out guard)
 
 
 def tokens(text: Column) -> Column:
@@ -454,6 +454,7 @@ def near_dup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup edges: every doc gets
     ``cluster_id`` = the smallest doc id reachable through the pair
@@ -473,21 +474,23 @@ def near_dup_clusters(
 
     Scale: each round is one equi-join edges⋈labels + one groupBy —
     both shuffle on ids, never materialize components in one task.
-    ``localCheckpoint`` truncates the growing lineage per round (the
-    classic iterative-algorithm necessity; without it round k replays
-    rounds 1..k-1).  On a real cluster prefer reliable checkpointing
-    (``sc.setCheckpointDir`` + ``df.checkpoint()``) — localCheckpoint
+    Per-round lineage truncation (the classic iterative-algorithm
+    necessity; without it round k replays rounds 1..k-1) comes from
+    ``make_checkpointer``: default ``localCheckpoint`` for local runs,
+    or pass ``checkpoint_dir`` for reliable ``checkpoint()`` — local
     blocks die with their executor, which a 1000-node run WILL see;
-    the swap changes no logic.  Iterative ⇒ not single-query
-    SQL-expressible; correctness is pinned against a Python union-find
-    in tests (sf0.01 edges + seeded random graphs)."""
+    the swap changes no logic (both paths are label-identity-tested).
+    Iterative ⇒ not single-query SQL-expressible; correctness is
+    pinned against a Python union-find in tests (sf0.01 edges + seeded
+    random graphs)."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    ckpt = make_checkpointer(docs.sparkSession, checkpoint_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint()
+    edges = ckpt(edges)
 
     labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
 
@@ -510,8 +513,8 @@ def near_dup_clusters(
                 .cast("long")
                 .alias("_chg"),
             )
-            .localCheckpoint()
         )
+        labels = ckpt(labels)
         n_changed = labels.agg(F.sum("_chg")).first()[0]
         return labels.drop("_chg"), n_changed
 
@@ -777,6 +780,131 @@ def incremental_dedup(
         index_docs.select(F.md5(F.col(text_col).cast("binary")).alias("content_md5"))
         .distinct()
         .withColumn("_hit", F.lit(1))
+    )
+    exact = new_docs.select(
+        id_col, F.md5(F.col(text_col).cast("binary")).alias("content_md5")
+    ).join(idx_md5, "content_md5", "left")
+    zero = F.lit(0).cast("long")
+    return (
+        exact.join(per_new.withColumnRenamed("doc_a", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("_hit").isNotNull().alias("is_exact_dup"),
+            F.coalesce(F.col("n_candidates"), zero).alias("n_candidates"),
+            F.coalesce(F.col("n_dups"), zero).alias("n_dups"),
+            (
+                F.col("_hit").isNull() & (F.coalesce(F.col("n_dups"), zero) == 0)
+            ).alias("kept"),
+        )
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """The STORED dedup index a daily-ingest pipeline writes at ingest
+    time (the shape `incremental_dedup`'s docstring promises): one row
+    per (doc_id, band_idx, band_hash) from the capped banded minhash,
+    with the doc's content_md5 denormalized onto every row so the
+    exact-dup check never re-reads the corpus text.  Write this
+    partitioned by band_idx (or bucketed by band_hash) and each
+    night's batch joins against it directly — the index side is never
+    re-hashed.
+
+    Cap note: the per-bucket cap is applied AT BUILD TIME with the
+    same (band_idx, band_hash → first max_bucket doc_ids) rule the
+    stateless `incremental_dedup` applies, so the two forms return
+    identical answers (tested)."""
+    sig = with_minhash_signature(docs, text_col, num_hashes, shingle_n)
+    banded = banded_capped(
+        sig, id_col, num_hashes, bands, max_bucket, keep_sig=False
+    ).select(id_col, "band_idx", "band_hash")
+    md5s = docs.select(
+        F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("content_md5")
+    )
+    return banded.join(md5s, id_col)
+
+
+def incremental_dedup_indexed(
+    new_docs: DataFrame,
+    index: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """`incremental_dedup` against a PRECOMPUTED index table — the form
+    a daily-ingest pipeline actually runs (VERDICT r5 #4).
+
+    `index` carries (doc_id, band_idx, band_hash, content_md5) as
+    written by `build_dedup_index`; only the NEW side is shingled,
+    minhashed and banded here.  Per-batch cost is O(new) signature
+    work + the capped band equi-join + O(candidates) verification:
+    `index_docs` supplies candidate TEXT for the exact-Jaccard check
+    via a semi-join on the candidate ids, so at 100 TB the index
+    corpus is touched only for docs that actually collide.  The
+    exact-dup check reads the index's stored content_md5 — no index
+    text scan at all on that path.  Same output schema and (given
+    `index = build_dedup_index(index_docs)` with matching parameters)
+    bit-identical results to the stateless form."""
+    new_banded = banded_capped(
+        with_minhash_signature(new_docs, text_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+        max_bucket,
+        keep_sig=False,
+    ).select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+
+    cand = (
+        new_banded.join(
+            index.select(
+                F.col(id_col).alias("doc_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def side_shingles(side: DataFrame, pair_col: str) -> DataFrame:
+        ids = cand.select(F.col(pair_col).alias(id_col)).distinct()
+        return (
+            side.join(ids, id_col, "semi")
+            .withColumn("__T__", tokens(F.col(text_col)))
+            .select(
+                F.col(id_col).alias(pair_col),
+                F.array_distinct(word_shingles("__T__", shingle_n)).alias(
+                    f"_s_{pair_col}"
+                ),
+            )
+        )
+
+    joined = cand.join(side_shingles(new_docs, "doc_a"), "doc_a").join(
+        side_shingles(index_docs, "doc_b"), "doc_b"
+    )
+    inter = F.size(F.array_intersect("_s_doc_a", "_s_doc_b")).cast("long")
+    union = (F.size("_s_doc_a") + F.size("_s_doc_b")).cast("long") - inter
+    verified = joined.select(
+        "doc_a", (inter / union.cast("double")).alias("jaccard")
+    )
+    per_new = verified.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("jaccard") >= threshold).cast("long")).alias("n_dups"),
+    )
+    idx_md5 = (
+        index.select("content_md5").distinct().withColumn("_hit", F.lit(1))
     )
     exact = new_docs.select(
         id_col, F.md5(F.col(text_col).cast("binary")).alias("content_md5")

@@ -307,6 +307,7 @@ def ivf_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means refinement of the md5-sample seed centroids —
     the "production pipeline would run k-means here" step the
@@ -328,12 +329,20 @@ def ivf_train(
     this).  Deterministic and engine-portable like everything else
     here.
     Iterative ⇒ pinned against a Python Lloyd reference in tests
-    (like near_dup_clusters' union-find), not a SQL oracle."""
-    cents = ivf_centroids(corpus, k, id_col, vec_col).localCheckpoint()
-    a = (
+    (like near_dup_clusters' union-find), not a SQL oracle.
+
+    ``checkpoint_dir`` swaps the per-iteration localCheckpoint for
+    reliable ``checkpoint()`` (see util.make_checkpointer) — the
+    executor-loss-safe posture a 1000-node run needs; both paths
+    produce identical centroids (tested)."""
+    from .util import make_checkpointer
+
+    ckpt = make_checkpointer(corpus.sparkSession, checkpoint_dir)
+    cents = ckpt(ivf_centroids(corpus, k, id_col, vec_col))
+    a = ckpt(
         with_scaled_vec(ensure_parallelism(corpus), vec_col)
         .select(id_col, "iv")
-        .localCheckpoint()  # scaled vectors reused every iteration
+        # scaled vectors reused every iteration
     )
     d2 = F.aggregate(
         F.zip_with("iv", "civ", lambda x, c: (x - c) * (x - c)),
@@ -362,12 +371,11 @@ def ivf_train(
                 "centroid_id", F.expr("transform(z, t -> t.m)").alias("new_civ")
             )
         )
-        cents = (
+        cents = ckpt(
             cents.join(means, "centroid_id", "left")
             .select(
                 "centroid_id", F.coalesce("new_civ", "civ").alias("civ")
             )
-            .localCheckpoint()
         )
     return cents
 

@@ -700,3 +700,56 @@ def bpe_merge_round(
         F.size("_mpos").cast("long").alias("n_merges"),
         F.concat_ws(" ", "_new").alias("new_text"),
     )
+
+
+def bpe_merge_k(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "_",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """K rounds of `bpe_merge_round` — tokenizer INDUCTION, not just
+    one merge (VERDICT r5 #5): each round finds the corpus-argmax
+    adjacent pair of the PREVIOUS round's output and greedily applies
+    it, exactly the sequential BPE training loop (fuzz-pinned against
+    the Python reference for the composed K-round case).
+
+    Output per doc: (doc_id, n_merges = total across rounds,
+    new_text = the K-times-merged text).
+
+    Each round materializes via `make_checkpointer` (localCheckpoint,
+    or reliable `checkpoint()` when `checkpoint_dir` is given): a
+    round references its input three times (bigram count, positions,
+    rebuild), so K lazily-stacked rounds would re-substitute the
+    rebuild expression ~3^K times into one plan — the same
+    substitution-duplication codegen trap SCALE.md documents for the
+    repetition filters.  K rounds = K jobs, each linear in corpus
+    tokens."""
+    from .util import make_checkpointer
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ckpt = make_checkpointer(df.sparkSession, checkpoint_dir)
+    cur = df.select(
+        F.col(id_col), F.col(text_col), F.lit(0).cast("long").alias("_acc")
+    )
+    for _ in range(k):
+        out = bpe_merge_round(
+            cur.select(id_col, text_col), text_col, id_col, joiner
+        )
+        cur = ckpt(
+            cur.select(id_col, "_acc")
+            .join(out, id_col)
+            .select(
+                id_col,
+                F.col("new_text").alias(text_col),
+                (F.col("_acc") + F.col("n_merges")).alias("_acc"),
+            )
+        )
+    return cur.select(
+        id_col,
+        F.col("_acc").alias("n_merges"),
+        F.col(text_col).alias("new_text"),
+    )

@@ -40,7 +40,7 @@ from .operators import (
     similarity,
     text,
 )
-from .operators.util import ensure_parallelism
+from .operators.util import ensure_parallelism, make_checkpointer
 
 # Deterministic surrogate probability of an event row (FIXTURES.md §2),
 # in both dialects.  event_id is the sequence key of the events table.
@@ -1518,7 +1518,9 @@ def _llm_pipeline_sql() -> str:
 
 
 @q("llm_pipeline", _llm_pipeline_sql())
-def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_pipeline(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """The end-to-end LLM-data-pipeline walkthrough as ONE lineage:
     documents → token/quality stats (filter quality ≥ 0.5) →
     repetition stats (filter dup-token/top-bigram/run-length) → exact
@@ -1532,7 +1534,11 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the per-doc repetition metrics and the split assignment — both
     O(docs) narrow tables, not the corpus), exactly where a production
     pipeline would write intermediate datasets; see the inline comments
-    for the measured pushdown/codegen trap they avoid."""
+    for the measured pushdown/codegen trap they avoid.  `checkpoint_dir`
+    swaps every stage materialization (and the label propagation's
+    per-round truncation) to executor-loss-safe reliable checkpoints —
+    the cluster-run posture."""
+    ckpt = make_checkpointer(spark, checkpoint_dir)
     # fan the (test-scale single-file) scan out before the expression-
     # heavy token/repetition/minhash folds — a no-op at real scale
     docs = ensure_parallelism(
@@ -1551,9 +1557,11 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the filter tests plain attributes; the surviving ids join
     # back to the text.  At production scale this checkpoint is the
     # natural stage boundary a real pipeline writes to storage anyway.
-    rep_metrics = text.with_repetition_stats(qkeep, ngram_n=2).select(
-        "doc_id", "dup_token_frac", "top_ngram_frac", "max_run_len"
-    ).localCheckpoint()
+    rep_metrics = ckpt(
+        text.with_repetition_stats(qkeep, ngram_n=2).select(
+            "doc_id", "dup_token_frac", "top_ngram_frac", "max_run_len"
+        )
+    )
     keep_rep = rep_metrics.filter(
         (F.col("dup_token_frac") <= _PIPE_DUP_MAX)
         & (F.col("top_ngram_frac") <= _PIPE_TOPGRAM_MAX)
@@ -1562,13 +1570,15 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cleaned corpus is referenced by the exact-dedup grouping, the
     # minhash signatures, the cluster-label seed and the survivor join —
     # materialize it once (the "cleaned dataset" stage write)
-    clean = qkeep.join(keep_rep, "doc_id").localCheckpoint()
+    clean = ckpt(qkeep.join(keep_rep, "doc_id"))
     keep_exact = dedup.exact_dedup(clean).select(
         F.col("keep_doc_id").alias("doc_id")
     )
     clean2 = clean.join(keep_exact, "doc_id")
     pairs = dedup.lsh_candidate_pairs(clean2, num_hashes=12, bands=4, shingle_n=3)
-    clusters = dedup.near_dup_clusters(pairs, clean2.select("doc_id"))
+    clusters = dedup.near_dup_clusters(
+        pairs, clean2.select("doc_id"), checkpoint_dir=checkpoint_dir
+    )
     keep_near = clusters.filter(
         F.col("doc_id") == F.col("cluster_id")
     ).select("doc_id")
@@ -1576,7 +1586,7 @@ def llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second stage boundary: the split assignment feeds FOUR downstream
     # aggregates (docs/chunks/packs/vectors) — materialize it once
     # instead of re-running the clean→dedup lineage per reference
-    split_docs = sampling.split_by_hash(survivors, _SPLIT_FRACTIONS).localCheckpoint()
+    split_docs = ckpt(sampling.split_by_hash(survivors, _SPLIT_FRACTIONS))
 
     chunks = text.chunk_documents(
         split_docs.select("doc_id", "text"), max_tokens=PACK_CHUNK, overlap=0
@@ -1903,16 +1913,19 @@ _CLUSTER_REPS_SQL = f"""
 
 
 @q("cluster_representatives", _CLUSTER_REPS_SQL)
-def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cluster_representatives(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Quality-argmax canonical doc per near-dup cluster — the keep-list
     policy real pipelines prefer over min-id (keep the BEST copy, not
     the first): near_dup_clusters labels + token-quality scores, argmax
     by (quality desc, doc_id asc) per cluster.  Adds one doc-keyed
     broadcast-able join and a cluster-partitioned window on top of the
-    connected-components machinery."""
+    connected-components machinery.  `checkpoint_dir` selects reliable
+    checkpointing for the iterative label propagation (cluster runs)."""
     docs = _tbl(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3)
-    clusters = dedup.near_dup_clusters(pairs, docs)
+    clusters = dedup.near_dup_clusters(pairs, docs, checkpoint_dir=checkpoint_dir)
     quality = text.with_token_stats(docs).select("doc_id", "quality_score")
     joined = clusters.join(quality, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
@@ -2125,6 +2138,49 @@ def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number — no one-task global window anywhere."""
     docs = _tbl(spark, sf_dir, "documents").select("doc_id")
     return sampling.corpus_shuffle(docs).select("doc_id", "shuffle_pos")
+
+
+_SHARD_SIZE = 64
+
+_SHARDS_SQL = f"""
+    WITH k AS (
+      SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS k FROM documents
+    ),
+    p AS (
+      SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS pos FROM k
+    )
+    SELECT CAST((pos - 1) // {_SHARD_SIZE} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(pos) AS BIGINT) AS min_pos,
+           CAST(max(pos) AS BIGINT) AS max_pos
+    FROM p GROUP BY 1
+    """
+
+
+@q("training_shards", _SHARDS_SQL)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTPUT side of the pipeline, hash-gated like everything else
+    (VERDICT r5 #7): shuffle the corpus, WRITE fixed-size training
+    shards (operators/sampling.py write_training_shards — one
+    repartition, no global sort, shard-leading within-partition sort),
+    then read the written parquet back and report per-shard
+    (shard, n_rows, min_pos, max_pos) — so the gate attests the
+    on-disk artifact, not just the lineage that produced it.  The
+    oracle derives the same ranges from the global rank directly.
+    The shard dir is a fresh mkdtemp per call (left for the OS tmp
+    reaper — the result DataFrame lazily reads from it)."""
+    import tempfile
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    shuffled = sampling.corpus_shuffle(docs)
+    out_dir = tempfile.mkdtemp(prefix="fw_training_shards_")
+    sampling.write_training_shards(shuffled, out_dir, _SHARD_SIZE)
+    written = spark.read.parquet(out_dir)
+    return written.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("shuffle_pos").cast("long").alias("min_pos"),
+        F.max("shuffle_pos").cast("long").alias("max_pos"),
+    )
 
 
 _HIST_BUCKET = 16
@@ -2592,6 +2648,74 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_round_ctes(p: str, src: str) -> str:
+    """One BPE merge round as a prefixed CTE chain over relation `src`
+    (doc_id, text), ending in `{p}out` (doc_id, n_merges, new_text) —
+    textually iterable, so the K-round tokenizer-induction oracle is
+    the same verified SQL applied K times."""
+    return f"""
+    {p}t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+    {p}bg AS (
+      SELECT list_extract(toks, u.i) AS l, list_extract(toks, u.i + 1) AS r
+      FROM {p}t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ),
+    {p}cnt AS (SELECT l, r, count(*) AS c FROM {p}bg GROUP BY l, r),
+    {p}top AS (SELECT l, r FROM {p}cnt ORDER BY c DESC, l, r LIMIT 1),
+    {p}pos AS (
+      SELECT {p}t.doc_id, u.i
+      FROM {p}t, unnest(generate_series(1, len(toks) - 1)) AS u(i), {p}top
+      WHERE list_extract(toks, u.i) = {p}top.l
+        AND list_extract(toks, u.i + 1) = {p}top.r
+    ),
+    {p}runs AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM {p}pos
+    ),
+    {p}mk AS (
+      SELECT doc_id, i,
+             row_number() OVER (PARTITION BY doc_id, island ORDER BY i) AS k
+      FROM {p}runs
+    ),
+    {p}mpos AS (
+      SELECT doc_id, list_sort(list(i)) AS mp FROM {p}mk WHERE k % 2 = 1 GROUP BY doc_id
+    ),
+    {p}o AS (
+      SELECT {p}t.doc_id, COALESCE({p}mpos.mp, []) AS mp, {p}t.toks
+      FROM {p}t LEFT JOIN {p}mpos USING (doc_id)
+    ),
+    {p}out AS (
+      SELECT doc_id,
+             CAST(len(mp) AS BIGINT) AS n_merges,
+             array_to_string(list_filter(list_transform(generate_series(1, len(toks)),
+               i -> CASE WHEN list_contains(mp, i)
+                         THEN list_extract(toks, i) || '_' || list_extract(toks, i + 1)
+                         WHEN list_contains(mp, i - 1) THEN NULL
+                         ELSE list_extract(toks, i) END),
+               x -> x IS NOT NULL), ' ') AS new_text
+      FROM {p}o
+    )"""
+
+
+def _bpe_k_sql(k: int) -> str:
+    ctes = ["r0 AS (SELECT doc_id, text FROM documents)"]
+    for i in range(1, k + 1):
+        ctes.append(_bpe_round_ctes(f"b{i}_", f"r{i - 1}"))
+        ctes.append(
+            f"r{i} AS (SELECT doc_id, new_text AS text FROM b{i}_out)"
+        )
+    total = " + ".join(f"b{i}_out.n_merges" for i in range(1, k + 1))
+    joins = "".join(
+        f" JOIN b{i}_out USING (doc_id)" for i in range(1, k)
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT doc_id, CAST({total} AS BIGINT) AS n_merges,
+           b{k}_out.new_text AS new_text
+    FROM b{k}_out{joins}
+    """
+
+
 _BPE_SQL = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     bg AS (
@@ -2645,6 +2769,18 @@ def bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-action loop shape as near_dup_clusters."""
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return text.bpe_merge_round(docs)
+
+
+@q("bpe_merge_k3", _bpe_k_sql(3))
+def bpe_merge_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE rounds of BPE merging — tokenizer induction, not one
+    primitive (VERDICT r5 #5): each round argmaxes the previous
+    round's bigram counts and greedily applies the merge; total merge
+    count + final text per doc.  The oracle is the single-round SQL
+    textually iterated three times (same WITH chain, prefixed), so
+    every intermediate round is replayed too."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bpe_merge_k(docs, k=3)
 
 
 def _cell_bal_sql() -> str:
@@ -2797,6 +2933,28 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = u.filter(F.col("_u") < _INCR_FRAC).drop("_u")
     new = u.filter(F.col("_u") >= _INCR_FRAC).drop("_u")
     return dedup.incremental_dedup(new, idx, threshold=_INCR_THRESHOLD)
+
+
+# Same oracle as incremental_dedup ON PURPOSE: the stored-index form is
+# defined by returning bit-identical answers to the stateless form (the
+# i_* CTE chain IS the index build, written once in the WITH clause; the
+# n_*/cand/ver chain is the per-batch replay).  The Spark side exercises
+# the different plan: index rows come from build_dedup_index's output,
+# only the new batch is hashed, and the index corpus text is touched
+# solely through the candidate semi-join.
+@q("incremental_dedup_indexed", _incr_dedup_sql())
+def incremental_dedup_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup against a PRECOMPUTED (doc_id, band_idx,
+    band_hash, content_md5) index table (VERDICT r5 #4) — the per-batch
+    cost is O(new + candidates); the index side is never re-hashed."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.withColumn("_u", sampling._hash_uniform("doc_id", "incr"))
+    idx_docs = u.filter(F.col("_u") < _INCR_FRAC).drop("_u")
+    new = u.filter(F.col("_u") >= _INCR_FRAC).drop("_u")
+    index = dedup.build_dedup_index(idx_docs)
+    return dedup.incremental_dedup_indexed(
+        new, index, idx_docs, threshold=_INCR_THRESHOLD
+    )
 
 
 @q(
@@ -3728,6 +3886,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # stays continuously gated by tests/test_registry.py's oracle replay
 # (ADVICE r3), just not by the external driver.
 _HEAD = [
+    # round-6 additions — never driver-attested yet
+    "incremental_dedup_indexed",
+    "bpe_merge_k3",
+    "training_shards",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",

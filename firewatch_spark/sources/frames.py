@@ -174,24 +174,20 @@ def write_frame_stream_dir(
     specs: list[VideoSpec] | None = None,
     n_files: int = 3,
 ) -> None:
-    """Materialize the synthetic stream as `n_files` parquet files in
-    arrival order — a file-source streaming harness: read with
+    """Materialize the synthetic stream as up to `n_files` parquet
+    files in arrival order — a file-source streaming harness: read with
     ``spark.readStream.schema(FRAME_SCHEMA).option("maxFilesPerTrigger",
-    1).parquet(path)`` to replay it micro-batch by micro-batch."""
-    import os
-    import time
+    1).parquet(path)`` to replay it micro-batch by micro-batch.
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    Delegates to ``streaming.replay.write_replay_chunks`` (VERDICT r5
+    #8): chunks are written BY SPARK via one repartitionByRange job on
+    ``frame_number`` — driver memory is O(n_files), never a
+    ``toPandas()`` of the stream.  Range-chunking preserves the only
+    ordering the stateful operators need (each key's frames
+    non-decreasing across micro-batches; within a batch they sort)."""
+    from ..streaming.replay import write_replay_chunks
 
-    os.makedirs(path, exist_ok=True)
-    pdf = synthetic_frames(spark, specs).toPandas()
-    per = (len(pdf) + n_files - 1) // n_files
-    for i in range(n_files):
-        chunk = pdf.iloc[i * per : (i + 1) * per]
-        if chunk.empty:
-            continue
-        # one file per chunk, written in order (the file source replays
-        # by listing order/mtime → chunk_i becomes micro-batch i)
-        pq.write_table(pa.Table.from_pandas(chunk), f"{path}/chunk_{i:03d}.parquet")
-        time.sleep(0.01)
+    write_replay_chunks(
+        synthetic_frames(spark, specs), path, order_col="frame_number",
+        n_chunks=n_files,
+    )

@@ -191,3 +191,53 @@ def test_cluster_representatives_prefers_quality(spark):
     }
     assert reps[1] == 2  # cluster labeled by min id 1; best-quality rep is 2
     assert reps[3] == 3
+
+
+def test_reliable_checkpoint_matches_local_for_clusters_and_ivf(spark, tmp_path):
+    """VERDICT r5 #3: the checkpoint_dir parameter must swap
+    localCheckpoint for reliable checkpoint() WITHOUT changing any
+    result — same cluster labels, same trained centroids — and must
+    actually write checkpoint blocks under the given dir."""
+    import os
+
+    from firewatch_spark.operators import similarity
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    local = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.near_dup_clusters(pairs, docs).collect()
+    }
+    ck_dir = str(tmp_path / "ck")
+    reliable = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.near_dup_clusters(
+            pairs, docs, checkpoint_dir=ck_dir
+        ).collect()
+    }
+    assert reliable == local
+    assert os.listdir(ck_dir), "reliable checkpoint wrote nothing"
+
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    cents_local = {
+        r["centroid_id"]: list(r["civ"])
+        for r in similarity.ivf_train(emb, k=4, iters=2).collect()
+    }
+    ck_dir2 = str(tmp_path / "ck2")
+    cents_reliable = {
+        r["centroid_id"]: list(r["civ"])
+        for r in similarity.ivf_train(
+            emb, k=4, iters=2, checkpoint_dir=ck_dir2
+        ).collect()
+    }
+    assert cents_reliable == cents_local
+    assert os.listdir(ck_dir2)
