@@ -48,6 +48,8 @@ BUILD_TIMED = {
     # the shard WRITE is the query's work; the returned agg only reads
     # the written files back
     "training_shards",
+    # Lloyd iterations checkpoint per round in-build
+    "ivf_train_centroids",
 }
 
 

@@ -753,3 +753,45 @@ def bpe_merge_k(
         F.col("_acc").alias("n_merges"),
         F.col(text_col).alias("new_text"),
     )
+
+
+_HEX = "0123456789abcdef"
+
+
+def with_quality_classifier(
+    df: DataFrame, text_col: str = "text", salt: str = "qw"
+) -> DataFrame:
+    """Model-based quality scoring with the hashing trick — the
+    fasttext-style LINEAR classifier shape production cleaning
+    pipelines run after the heuristic ratios: every token hashes to a
+    deterministic integer weight in [-7, 8] (one md5 nibble, the same
+    decode the LSH hyperplanes use), the doc's feature sum is an exact
+    int64 fold, and the score is the mean weight.  A trained model
+    swaps the md5 nibble for a learned weight lookup (broadcast map or
+    join against a weights table) — every plan shape is identical, and
+    the md5 choice keeps the whole thing DuckDB-replayable.
+
+    Output columns: ``n_tokens``, ``feat_sum`` (exact), ``lin_score``
+    (= feat_sum/n_tokens, one IEEE division of exact ints — bit-portable;
+    deliberately NOT squashed through exp/sigmoid, whose libm rounding
+    may differ across engines), ``keep`` = feat_sum > 0 (the decision
+    is sign-exact, so no float threshold ambiguity).
+
+    Pure Column algebra: zero shuffle, whole-stage codegen, linear in
+    corpus tokens — the 100 TB posture of the rest of this module."""
+    w = f"(instr('{_HEX}', substring(md5(concat('{salt}|', tk)), 1, 1)) - 8)"
+    fold = (
+        f"transform(array(split({text_col}, ' ')), TK -> named_struct("
+        "'n', size(TK), "
+        f"'s', aggregate(TK, CAST(0 AS BIGINT), (a, tk) -> a + {w})))[0]"
+    )
+    out = df.withColumn("__Q__", F.expr(fold))
+    return out.select(
+        *df.columns,
+        F.col("__Q__.n").cast("long").alias("n_tokens"),
+        F.col("__Q__.s").alias("feat_sum"),
+        (F.col("__Q__.s").cast("double") / F.col("__Q__.n").cast("double")).alias(
+            "lin_score"
+        ),
+        (F.col("__Q__.s") > 0).alias("keep"),
+    )

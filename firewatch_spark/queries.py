@@ -2497,6 +2497,88 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assign(emb, cents)
 
 
+def _ivf_train_sql(k: int = _IVF_K, iters: int = 2) -> str:
+    """Textually-iterated Lloyd refinement — upgrades ivf_train from
+    Python-reference-pinned to fully hash-gated (the BPE-k pattern):
+    per iteration, argmin assignment against the previous centroid CTE,
+    truncating-div per-(cell, dim) means, empty cells keep their
+    previous centroid.  DuckDB `//` truncates toward zero on integers
+    exactly like Spark `div` (-7//2 = -3, verified), which the
+    negative-coordinate-sum cells depend on."""
+    pieces = [
+        """iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT vec_id AS centroid_id, iv AS civ FROM iv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        pieces.append(
+            f"""d{i} AS (
+      SELECT v.vec_id, v.iv, c.centroid_id,
+             list_sum(list_transform(generate_series(1, len(v.iv)),
+               j -> (list_extract(v.iv, j) - list_extract(c.civ, j))
+                  * (list_extract(v.iv, j) - list_extract(c.civ, j)))) AS d2
+      FROM iv v, {prev} c
+    )""")
+        pieces.append(
+            f"""a{i} AS (
+      SELECT vec_id, iv, centroid_id FROM (
+        SELECT vec_id, iv, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
+        FROM d{i}) WHERE rk = 1
+    )""")
+        pieces.append(
+            f"""m{i} AS (
+      SELECT centroid_id, u.j AS dim,
+             CAST(CAST(sum(list_extract(iv, u.j)) AS BIGINT)
+                  // CAST(count(*) AS BIGINT) AS BIGINT) AS m
+      FROM a{i}, unnest(generate_series(1, len(iv))) AS u(j)
+      GROUP BY centroid_id, u.j
+    )""")
+        pieces.append(
+            f"""mm{i} AS (
+      SELECT centroid_id, list(m ORDER BY dim) AS new_civ FROM m{i} GROUP BY centroid_id
+    )""")
+        pieces.append(
+            f"""c{i} AS (
+      SELECT c.centroid_id, COALESCE(mm{i}.new_civ, c.civ) AS civ
+      FROM {prev} c LEFT JOIN mm{i} USING (centroid_id)
+    )""")
+    body = ",\n    ".join(pieces)
+    return f"""
+    WITH {body}
+    SELECT centroid_id, CAST(u.j AS BIGINT) AS dim,
+           CAST(list_extract(civ, u.j) AS BIGINT) AS civ_val
+    FROM c{iters}, unnest(generate_series(1, len(civ))) AS u(j)
+    """
+
+
+@q("ivf_train_centroids", _ivf_train_sql())
+def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means refinement of the IVF index
+    (operators/similarity.py ivf_train), hash-gated end to end: the
+    oracle replays both iterations — seed sample, broadcast-argmin
+    assignment, truncating-div (cell, dim) means, empty-cell
+    carry-over — so the trained centroids themselves are value-checked,
+    not just pinned against a Python reference.  Output exploded to
+    (centroid_id, dim, civ_val) rows."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, k=_IVF_K, iters=2)
+    return cents.select(
+        "centroid_id", F.posexplode("civ").alias("dim0", "civ_val")
+    ).select(
+        "centroid_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("civ_val").cast("long").alias("civ_val"),
+    )
+
+
 _IVF_QSAMPLE = 37
 _IVF_NPROBE = 2
 
@@ -2769,6 +2851,35 @@ def bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-action loop shape as near_dup_clusters."""
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return text.bpe_merge_round(docs)
+
+
+_QCLS_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks,
+               tk -> strpos('0123456789abcdef', substring(md5('qw|' || tk), 1, 1)) - 8))
+             AS BIGINT) AS feat_sum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, feat_sum,
+           CAST(feat_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS lin_score,
+           (feat_sum > 0) AS keep
+    FROM s
+    """
+
+
+@q("quality_classifier", _QCLS_SQL)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (operators/text.py
+    with_quality_classifier) — the model-based filter stage after the
+    heuristic ratios: per-token md5-nibble weights, exact int64 feature
+    sum, sign-exact keep decision.  Swapping in trained weights keeps
+    every plan shape."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_quality_classifier(docs).select(
+        "doc_id", "n_tokens", "feat_sum", "lin_score", "keep"
+    )
 
 
 @q("bpe_merge_k3", _bpe_k_sql(3))
@@ -3890,6 +4001,8 @@ _HEAD = [
     "incremental_dedup_indexed",
     "bpe_merge_k3",
     "training_shards",
+    "ivf_train_centroids",
+    "quality_classifier",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",

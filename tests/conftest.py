@@ -37,6 +37,14 @@ def sf_dir() -> str:
     return "/root/testdata/sf0.001"
 
 
+@pytest.fixture(scope="session")
+def sf_dir_mid() -> str:
+    """The driver's correctness scale (VERDICT r5 #6): the _TAIL oracle
+    replay runs here so a size-dependent bug (cap boundaries, bucket
+    splits) can't hide at sf0.001 while the driver gates sf0.01."""
+    return "/root/testdata/sf0.01"
+
+
 def rows(df, *order_cols):
     """Collect to a list of dicts, optionally ordered."""
     if order_cols:

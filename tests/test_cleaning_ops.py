@@ -241,3 +241,34 @@ def test_reliable_checkpoint_matches_local_for_clusters_and_ivf(spark, tmp_path)
     }
     assert cents_reliable == cents_local
     assert os.listdir(ck_dir2)
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """Hashing-trick weights, exact feature sum, sign-exact keep —
+    pinned against an independent Python mirror (md5 nibble decode
+    included)."""
+    import hashlib
+
+    HEX = "0123456789abcdef"
+
+    def w(tk: str) -> int:
+        return HEX.index(hashlib.md5(f"qw|{tk}".encode()).hexdigest()[0]) + 1 - 8
+
+    docs = [
+        (1, "a b c"),
+        (2, "zzz"),
+        (3, "the quick brown fox jumps"),
+        (4, "x' quote \\ backslash"),
+    ]
+    expect = {}
+    for d, t in docs:
+        toks = t.split(" ")
+        s = sum(w(tk) for tk in toks)
+        expect[d] = (len(toks), s, s / len(toks), s > 0)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["feat_sum"], r["lin_score"], r["keep"])
+        for r in text.with_quality_classifier(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert got == expect

@@ -78,8 +78,10 @@ def _tail_names():
 
 
 @pytest.mark.parametrize("name", _tail_names())
-def test_tail_queries_keep_oracle_coverage(spark, sf_dir, name):
+def test_tail_queries_keep_oracle_coverage(spark, sf_dir_mid, name):
     """_TAIL entries sit outside the external driver's 50-query window
     (queries.py _ordered) — this replay keeps them continuously gated
-    (ADVICE r3), via the same body as the SAMPLE gate."""
-    replay_against_oracle(spark, sf_dir, name)
+    (ADVICE r3), via the same body as the SAMPLE gate, AT THE DRIVER'S
+    sf0.01 SCALE (VERDICT r5 #6) so cap/bucket-boundary bugs can't hide
+    at the smaller fixture size."""
+    replay_against_oracle(spark, sf_dir_mid, name)
