@@ -50,6 +50,7 @@ BUILD_TIMED = {
     "training_shards",
     # Lloyd iterations checkpoint per round in-build
     "ivf_train_centroids",
+    "ann_ivf_trained_topk",
 }
 
 

@@ -117,6 +117,50 @@ def rebalance_groups(
     )
 
 
+def temperature_rebalance(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture smoothing — the α-sampling multilingual
+    corpora actually train with (mBERT/XLM-R exponent-smoothed rates):
+    keep rate for group g is ``(n_min / n_g) ** (1 - alpha)``, which
+    interpolates between :func:`rebalance_groups`' full equalization
+    (α = 0 → rate n_min/n_g) and the raw distribution (α = 1 → rate 1).
+    Dominant groups are damped, small groups kept whole, and the kept
+    set is content-stable (md5-uniform draw, like every sampler here).
+
+    Same two-pass scale shape as rebalance_groups: groups-sized count
+    agg, broadcast rate join, stateless hash filter — the corpus never
+    shuffles.
+
+    Exactness note: the registered query pins α = 0.5, where the rate
+    is ``sqrt(n_min/n_g)`` — IEEE sqrt and division are correctly
+    rounded in BOTH engines, so the keep decision is bit-portable.
+    Arbitrary α uses ``pow``, which libms round within an ulp or two;
+    with a 2^-32-granular draw a flipped row would need the two rates
+    to straddle a draw within ~1e-16 — practically never, but the
+    pinned-α query keeps the oracle gate exact by construction."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    target = counts.agg(F.min("_cnt").alias("_target"))
+    ratio = F.col("_target").cast("double") / F.col("_cnt").cast("double")
+    rate = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - float(alpha)))
+    )
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        strata_col, rate.alias("_rate")
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(_hash_uniform(id_col, salt) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_col: str,

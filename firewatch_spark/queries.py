@@ -1875,6 +1875,33 @@ def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+_TEMP_REBAL_SQL = f"""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    t AS (SELECT min(cnt) AS target FROM c),
+    r AS (
+      SELECT lang, sqrt(CAST(target AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate
+      FROM c CROSS JOIN t
+    ),
+    {_hash_u_cte("temp")}
+    SELECT u.doc_id, u.lang
+    FROM u JOIN r USING (lang)
+    WHERE uv < r.rate
+    """
+
+
+@q("temperature_rebalance", _TEMP_REBAL_SQL)
+def temperature_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-smoothed mixture sampling (operators/sampling.py
+    temperature_rebalance, α = 0.5): keep rate sqrt(n_min/n_g) —
+    between full equalization (lang_rebalance) and the raw crawl
+    distribution, the exponent-smoothing multilingual pretraining
+    mixes actually use.  sqrt + division are correctly-rounded IEEE in
+    both engines, so the keep decision is bit-portable."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling.temperature_rebalance(docs, strata_col="lang", alpha=0.5)
+    return out.select("doc_id", "lang")
+
+
 _QUALITY_CTE = """
     qual AS (
       SELECT doc_id,
@@ -2497,14 +2524,15 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assign(emb, cents)
 
 
-def _ivf_train_sql(k: int = _IVF_K, iters: int = 2) -> str:
-    """Textually-iterated Lloyd refinement — upgrades ivf_train from
-    Python-reference-pinned to fully hash-gated (the BPE-k pattern):
-    per iteration, argmin assignment against the previous centroid CTE,
-    truncating-div per-(cell, dim) means, empty cells keep their
-    previous centroid.  DuckDB `//` truncates toward zero on integers
-    exactly like Spark `div` (-7//2 = -3, verified), which the
-    negative-coordinate-sum cells depend on."""
+def _ivf_train_ctes(k: int = _IVF_K, iters: int = 2) -> tuple[str, str]:
+    """Textually-iterated Lloyd refinement as a CTE body — upgrades
+    ivf_train from Python-reference-pinned to fully hash-gated (the
+    BPE-k pattern): per iteration, argmin assignment against the
+    previous centroid CTE, truncating-div per-(cell, dim) means, empty
+    cells keep their previous centroid.  DuckDB `//` truncates toward
+    zero on integers exactly like Spark `div` (-7//2 = -3, verified),
+    which the negative-coordinate-sum cells depend on.  Returns
+    (cte_body, final_centroid_cte_name); the body also defines `iv`."""
     pieces = [
         """iv AS (
       SELECT vec_id,
@@ -2550,12 +2578,16 @@ def _ivf_train_sql(k: int = _IVF_K, iters: int = 2) -> str:
       SELECT c.centroid_id, COALESCE(mm{i}.new_civ, c.civ) AS civ
       FROM {prev} c LEFT JOIN mm{i} USING (centroid_id)
     )""")
-    body = ",\n    ".join(pieces)
+    return ",\n    ".join(pieces), f"c{iters}"
+
+
+def _ivf_train_sql(k: int = _IVF_K, iters: int = 2) -> str:
+    body, final = _ivf_train_ctes(k, iters)
     return f"""
     WITH {body}
     SELECT centroid_id, CAST(u.j AS BIGINT) AS dim,
            CAST(list_extract(civ, u.j) AS BIGINT) AS civ_val
-    FROM c{iters}, unnest(generate_series(1, len(civ))) AS u(j)
+    FROM {final}, unnest(generate_series(1, len(civ))) AS u(j)
     """
 
 
@@ -2644,6 +2676,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % _IVF_QSAMPLE == 0)
     return similarity.ivf_topk(
         emb, queries, k=5, nprobe=_IVF_NPROBE, k_centroids=_IVF_K
+    )
+
+
+def _ivf_trained_topk_sql(k: int = _IVF_K, iters: int = 2) -> str:
+    """The full train-then-search composition: the Lloyd CTE chain
+    feeds the SAME probe-search SQL ann_ivf_topk uses, with the trained
+    table in place of the seed sample."""
+    body, final = _ivf_train_ctes(k, iters)
+    return f"""
+    WITH {body},
+    nn AS (
+      SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2 FROM iv
+    ),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, centroid_id, iv AS civ2, n2 AS cn2 FROM (
+        SELECT a.vec_id, c.centroid_id, a.iv, a.n2,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, len(a.iv)),
+                   i -> (list_extract(a.iv, i) - list_extract(c.civ, i))
+                      * (list_extract(a.iv, i) - list_extract(c.civ, i)))) ASC,
+                 c.centroid_id ASC) AS rk
+        FROM nn a, {final} c
+      ) WHERE rk = 1
+    ),
+    q_probe AS (
+      SELECT vec_id AS query_id, centroid_id, iv AS qiv, n2 AS qn2 FROM (
+        SELECT a.vec_id, c.centroid_id, a.iv, a.n2,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, len(a.iv)),
+                   i -> (list_extract(a.iv, i) - list_extract(c.civ, i))
+                      * (list_extract(a.iv, i) - list_extract(c.civ, i)))) ASC,
+                 c.centroid_id ASC) AS rk
+        FROM nn a, {final} c WHERE a.vec_id % {_IVF_QSAMPLE} = 0
+      ) WHERE rk <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(q.qiv)),
+                  i -> list_extract(q.qiv, i) * list_extract(c.civ2, i))) AS DOUBLE)
+               / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos_sim
+      FROM q_probe q JOIN c_assign c ON q.centroid_id = c.centroid_id
+      WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           cos_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@q("ann_ivf_trained_topk", _ivf_trained_topk_sql())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe search against the LLOYD-TRAINED IVF index — the composed
+    production ANN flow (train once, search many), hash-gated end to
+    end: the oracle replays both refinement iterations AND the nprobe
+    cell search over the refined cells.  Same plan shapes as
+    ann_ivf_topk; only the centroid table differs."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _IVF_QSAMPLE == 0)
+    cents = similarity.ivf_train(emb, k=_IVF_K, iters=2)
+    return similarity.ivf_topk(
+        emb, queries, k=5, nprobe=_IVF_NPROBE, centroids=cents
     )
 
 
@@ -4003,6 +4099,8 @@ _HEAD = [
     "training_shards",
     "ivf_train_centroids",
     "quality_classifier",
+    "temperature_rebalance",
+    "ann_ivf_trained_topk",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",

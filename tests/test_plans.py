@@ -45,8 +45,13 @@ def test_no_cartesian_product_anywhere(plans):
         "ngram_jaccard",
         "ann_ivf_cells",
         "ann_ivf_topk",
+        # corpus × k TRAINED centroids — same bounded broadcast product
+        # as ann_ivf_topk (the centroid table itself is checkpointed)
+        "ann_ivf_trained_topk",
         "tfidf_topk",
         "lang_rebalance",
+        # 1-row min-count broadcast, same shape as lang_rebalance
+        "temperature_rebalance",
         "unigram_score",
         "cluster_balanced_sample",
     }
