@@ -51,6 +51,8 @@ BUILD_TIMED = {
     # Lloyd iterations checkpoint per round in-build
     "ivf_train_centroids",
     "ann_ivf_trained_topk",
+    # runs a whole availableNow foreachBatch query in-build
+    "streaming_incremental_dedup",
 }
 
 

@@ -3142,6 +3142,66 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(new, idx, threshold=_INCR_THRESHOLD)
 
 
+# Same oracle as incremental_dedup ON PURPOSE (see the indexed variant
+# below for the rationale): per-new-doc verdicts depend ONLY on the
+# static index, so replaying the new batch as a micro-batched STREAM and
+# unioning the per-batch outputs must reproduce the whole-batch answer
+# bit-for-bit — which is exactly what this parity query asserts.
+@q("streaming_incremental_dedup", _incr_dedup_sql())
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup as a REAL Structured Streaming pipeline —
+    the stream-static production shape: new documents arrive through a
+    file source in 3 micro-batches; each batch runs
+    `incremental_dedup_indexed` against the STATIC precomputed index
+    inside ``foreachBatch`` and APPENDS its verdicts to parquet (the
+    nightly-verdict table a crawler pipeline actually lands).  The
+    returned DataFrame reads the written verdicts back, so the gate
+    attests the streamed artifact against the same DuckDB oracle as the
+    batch forms."""
+    import tempfile
+
+    from .streaming.replay import write_replay_chunks
+
+    # bound per-micro-batch shuffle cost on a vanilla 200-partition
+    # session (same save/restore pattern as streaming_session_parity)
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+        u = docs.withColumn("_u", sampling._hash_uniform("doc_id", "incr"))
+        # the static side: materialized once, reused by every micro-batch
+        idx_docs = u.filter(F.col("_u") < _INCR_FRAC).drop("_u").localCheckpoint()
+        index = dedup.build_dedup_index(idx_docs).localCheckpoint()
+        new = u.filter(F.col("_u") >= _INCR_FRAC).drop("_u")
+
+        tmp = tempfile.mkdtemp(prefix="fw_incr_stream_")
+        write_replay_chunks(new, tmp, order_col="doc_id", n_chunks=3)
+        out_dir = f"{tmp}/verdicts"
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+
+        def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            dedup.incremental_dedup_indexed(
+                batch_df, index, idx_docs, threshold=_INCR_THRESHOLD
+            ).write.mode("append").parquet(out_dir)
+
+        query = (
+            stream.writeStream.foreachBatch(run_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        query.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
+    return spark.read.parquet(out_dir)
+
+
 # Same oracle as incremental_dedup ON PURPOSE: the stored-index form is
 # defined by returning bit-identical answers to the stateless form (the
 # i_* CTE chain IS the index build, written once in the WITH clause; the
@@ -4101,6 +4161,7 @@ _HEAD = [
     "quality_classifier",
     "temperature_rebalance",
     "ann_ivf_trained_topk",
+    "streaming_incremental_dedup",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",

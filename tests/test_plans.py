@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from firewatch_spark.queries import registry
 
 SF = "/root/testdata/sf0.001"
-SKIP = {"streaming_session_parity", "streaming_ep2_parity", "video_scan"}
+SKIP = {
+    "streaming_session_parity",
+    "streaming_ep2_parity",
+    "streaming_incremental_dedup",
+    "video_scan",
+}
 
 
 def _plan(spark, name: str) -> str:
