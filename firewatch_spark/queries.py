@@ -4193,15 +4193,24 @@ _HEAD = [
     "stratified_sample",
     "lang_rebalance",
     "cluster_representatives",
-    # round-4 additions: the LLM-pack components that were test-only in
-    # round 3 (VERDICT r3 "Next round" #1), first attested in r4
-    "repetition_stats",
-    "chunk_packing",
-    "dataset_split",
-    "embedding_quantize",
     "near_dup_clusters",
+    # round-6 window pins: the two LIVE-STREAMING parity attestations
+    # (the only driver rows exercising a real micro-batched stateful
+    # query) and the two §2.6 custom-join flagships must stay inside
+    # the 50-query window as the registry grows
+    "streaming_session_parity",
+    "streaming_ep2_parity",
+    "asof_join",
+    "range_join",
 ]
 _TAIL = [
+    # round-6 demotions (all driver-attested green in r05; each is a
+    # strict machinery subset of the WINDOWED llm_pipeline composition,
+    # which runs the same operators in-lineage and one composed oracle):
+    "repetition_stats",  # the llm_pipeline repetition-filter stage
+    "chunk_packing",  # chunking+packing re-executed by llm_pipeline + cross_doc_packing
+    "dataset_split",  # split_by_hash re-executed as llm_pipeline's split stage
+    "embedding_quantize",  # unit-norm + int8 quantize re-executed in llm_pipeline's vec stage
     "video_scan",  # rows-only by design (Python-side deterministic fake)
     "approx_distinct_users",  # rows-only by design (HLL estimate)
     "ann_ivf_cells",  # cell assignment re-executed inside ann_ivf_topk

@@ -77,6 +77,25 @@ def _tail_names():
     return Q._TAIL
 
 
+DRIVER_WINDOW = 50
+
+
+def _unwindowed_mid_names():
+    """Registry entries that are neither inside the external driver's
+    50-query window nor in _TAIL (whose replay is below): the mid-list
+    spillover created when new _HEAD entries push previously-windowed
+    queries past position 50.  They must keep a continuous gate too."""
+    from firewatch_spark import queries as Q
+
+    ordered = list(Q._ordered())
+    return [n for n in ordered[DRIVER_WINDOW:] if n not in Q._TAIL]
+
+
+@pytest.mark.parametrize("name", _unwindowed_mid_names())
+def test_unwindowed_mid_queries_keep_oracle_coverage(spark, sf_dir_mid, name):
+    replay_against_oracle(spark, sf_dir_mid, name)
+
+
 @pytest.mark.parametrize("name", _tail_names())
 def test_tail_queries_keep_oracle_coverage(spark, sf_dir_mid, name):
     """_TAIL entries sit outside the external driver's 50-query window
