@@ -3854,6 +3854,45 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(emb, threshold=0.1)
 
 
+_EMB_KEEP_SQL = f"""
+    WITH RECURSIVE pairs AS ({_NEARDUP_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id,
+           (id = min(r)) AS kept
+    FROM reach GROUP BY id
+    """
+
+
+@q("embedding_dedup_keep", _EMB_KEEP_SQL)
+def embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup DELIVERABLE: cosine near-dup pairs →
+    connected components (the same min-label propagation the text
+    keep-list uses — near_dup_clusters is pair-source-agnostic) →
+    keep one vector per cluster.  The semantic-dedup step embedding
+    curation pipelines (SemDeDup-style) run after text dedup; the
+    oracle closes the pair graph with the same recursive CTE as the
+    text clusters."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup(emb, threshold=0.1)
+    clusters = dedup.near_dup_clusters(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    return clusters.select(
+        "vec_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("kept"),
+    )
+
+
 # ===========================================================================
 # Group D — Structured Streaming parity (the stateful session operator
 # run as a real streaming query, checked against the batch oracle)
@@ -4162,6 +4201,7 @@ _HEAD = [
     "temperature_rebalance",
     "ann_ivf_trained_topk",
     "streaming_incremental_dedup",
+    "embedding_dedup_keep",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",
