@@ -3185,9 +3185,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # idempotent under micro-batch redelivery: each batch OWNS
+            # a batch-id subdir and overwrites it, so a retried batch
+            # replaces its own verdicts instead of appending duplicates
+            # (a bare mode("append") would double-write on retry)
             dedup.incremental_dedup_indexed(
                 batch_df, index, idx_docs, threshold=_INCR_THRESHOLD
-            ).write.mode("append").parquet(out_dir)
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
         query = (
             stream.writeStream.foreachBatch(run_batch)
@@ -3199,7 +3203,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 # Same oracle as incremental_dedup ON PURPOSE: the stored-index form is
