@@ -216,7 +216,7 @@ def banded_capped(
     id_col: str,
     num_hashes: int,
     bands: int,
-    max_bucket: int,
+    max_bucket: int | None,
     keep_sig: bool = True,
 ) -> DataFrame:
     """The shared banding stage of the self-join
@@ -226,6 +226,10 @@ def banded_capped(
     (band_idx, band_hash) bucket at its `max_bucket` lowest ids —
     row_number BEFORE any collect, so per-task state is hard-bounded.
     Output columns: (id_col, [sig,] band_idx, band_hash).
+
+    ``max_bucket=None`` skips the cap window entirely (no bucket-keyed
+    exchange at all) — for callers whose pair count is already bounded
+    per row by the OTHER side's cap (the streaming new-vs-index form).
 
     ``keep_sig=False`` projects the signature array out BEFORE the cap
     window — callers that only need bucket membership (the cross-side
@@ -245,6 +249,8 @@ def banded_capped(
     exploded = sig_df.select(
         F.col(id_col), *carried, F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, *carried, "band.band_idx", "band.band_hash")
+    if max_bucket is None:
+        return exploded
     cap_w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
     return (
         exploded.withColumn("_rn", F.row_number().over(cap_w))
@@ -750,6 +756,31 @@ def incremental_dedup(
         .distinct()
         .localCheckpoint()
     )
+    idx_md5 = index_docs.select(
+        F.md5(F.col(text_col).cast("binary")).alias("content_md5")
+    ).distinct()
+    return _verify_and_assemble(
+        cand, new_docs, index_docs, idx_md5, text_col, id_col, shingle_n, threshold
+    )
+
+
+def _verify_and_assemble(
+    cand: DataFrame,
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    idx_md5: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared back half of the incremental-dedup family (stateless,
+    indexed, streamed): side-aware shingle resolution for the candidate
+    pairs, exact-Jaccard verification, per-new-doc aggregation, and the
+    exact-dup/kept assembly.  Factored so the md5 SOURCE (recomputed
+    from index text vs read from the stored index) is the caller's ONE
+    explicit decision — the round-6 review found the only divergence
+    between the previously copy-pasted variants hiding exactly there."""
 
     def side_shingles(side: DataFrame, pair_col: str) -> DataFrame:
         ids = cand.select(F.col(pair_col).alias(id_col)).distinct()
@@ -776,14 +807,9 @@ def incremental_dedup(
         F.count(F.lit(1)).alias("n_candidates"),
         F.sum((F.col("jaccard") >= threshold).cast("long")).alias("n_dups"),
     )
-    idx_md5 = (
-        index_docs.select(F.md5(F.col(text_col).cast("binary")).alias("content_md5"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
     exact = new_docs.select(
         id_col, F.md5(F.col(text_col).cast("binary")).alias("content_md5")
-    ).join(idx_md5, "content_md5", "left")
+    ).join(idx_md5.withColumn("_hit", F.lit(1)), "content_md5", "left")
     zero = F.lit(0).cast("long")
     return (
         exact.join(per_new.withColumnRenamed("doc_a", id_col), id_col, "left")
@@ -809,26 +835,41 @@ def build_dedup_index(
     max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """The STORED dedup index a daily-ingest pipeline writes at ingest
-    time (the shape `incremental_dedup`'s docstring promises): one row
-    per (doc_id, band_idx, band_hash) from the capped banded minhash,
-    with the doc's content_md5 denormalized onto every row so the
-    exact-dup check never re-reads the corpus text.  Write this
-    partitioned by band_idx (or bucketed by band_hash) and each
-    night's batch joins against it directly — the index side is never
-    re-hashed.
+    time (the shape `incremental_dedup`'s docstring promises):
+
+    * one row per (doc_id, band_idx, band_hash) from the capped banded
+      minhash, with the doc's content_md5 denormalized on;
+    * PLUS one md5-carrier row per doc (band_idx = -1, band_hash NULL).
+      The carrier is load-bearing, not redundancy: the per-bucket cap
+      can evict a doc from EVERY band bucket (a hot bucket of other
+      docs out-ranks it), and an index built from band rows alone would
+      then lose that doc's md5 — flipping is_exact_dup vs the stateless
+      form, which md5-scans ALL index docs (round-6 review, confirmed
+      by live repro).  Carrier rows never join candidates: the band
+      equi-join is on (band_idx, band_hash) and their NULL band_hash
+      matches nothing.
+
+    Write this partitioned by band_idx (carriers land in one slim
+    partition) and each night's batch joins against it directly — the
+    index side is never re-hashed.
 
     Cap note: the per-bucket cap is applied AT BUILD TIME with the
     same (band_idx, band_hash → first max_bucket doc_ids) rule the
     stateless `incremental_dedup` applies, so the two forms return
-    identical answers (tested)."""
+    identical answers (tested, including the cap-eviction case)."""
     sig = with_minhash_signature(docs, text_col, num_hashes, shingle_n)
     banded = banded_capped(
         sig, id_col, num_hashes, bands, max_bucket, keep_sig=False
     ).select(id_col, "band_idx", "band_hash")
+    carriers = docs.select(
+        F.col(id_col),
+        F.lit(-1).alias("band_idx"),
+        F.lit(None).cast("string").alias("band_hash"),
+    )
     md5s = docs.select(
         F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("content_md5")
     )
-    return banded.join(md5s, id_col)
+    return banded.unionByName(carriers).join(md5s, id_col)
 
 
 def incremental_dedup_indexed(
@@ -842,33 +883,48 @@ def incremental_dedup_indexed(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
+    cap_new: bool = True,
 ) -> DataFrame:
     """`incremental_dedup` against a PRECOMPUTED index table — the form
     a daily-ingest pipeline actually runs (VERDICT r5 #4).
 
     `index` carries (doc_id, band_idx, band_hash, content_md5) as
-    written by `build_dedup_index`; only the NEW side is shingled,
-    minhashed and banded here.  Per-batch cost is O(new) signature
-    work + the capped band equi-join + O(candidates) verification:
-    `index_docs` supplies candidate TEXT for the exact-Jaccard check
-    via a semi-join on the candidate ids, so at 100 TB the index
-    corpus is touched only for docs that actually collide.  The
-    exact-dup check reads the index's stored content_md5 — no index
-    text scan at all on that path.  Same output schema and (given
-    `index = build_dedup_index(index_docs)` with matching parameters)
-    bit-identical results to the stateless form."""
+    written by `build_dedup_index` (band rows + md5-carrier rows); only
+    the NEW side is shingled, minhashed and banded here.  Per-batch
+    cost is O(new) signature work + the capped band equi-join +
+    O(candidates) verification: `index_docs` supplies candidate TEXT
+    for the exact-Jaccard check via a semi-join on the candidate ids,
+    so at 100 TB the index corpus is touched only for docs that
+    actually collide.  The exact-dup check reads the index's stored
+    content_md5 — no index text scan at all on that path.  Same output
+    schema and (given `index = build_dedup_index(index_docs)` with
+    matching parameters) bit-identical results to the stateless form.
+
+    ``cap_new=False`` skips the NEW side's per-bucket cap (the index
+    side keeps its build-time cap).  Two reasons to use it: (1) pair
+    count stays bounded anyway — each new doc emits ≤ bands ×
+    max_bucket candidate rows against the capped index, linear in the
+    batch however hot the bucket; (2) it makes every new doc's verdict
+    a pure function of (its own text, the static index) with NO
+    cross-new-doc coupling, which is what lets the STREAMED
+    micro-batched form equal the whole-batch form bit-for-bit (the
+    per-batch cap would keep different survivors than a whole-set cap
+    once a new-side bucket exceeds max_bucket — round-6 review)."""
     new_banded = banded_capped(
         with_minhash_signature(new_docs, text_col, num_hashes, shingle_n),
         id_col,
         num_hashes,
         bands,
-        max_bucket,
+        max_bucket if cap_new else None,
         keep_sig=False,
     ).select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
 
     cand = (
         new_banded.join(
-            index.select(
+            # band rows only; md5-carrier rows (NULL band_hash) cannot
+            # match an equi-join key, the filter just keeps the plan
+            # honest about it
+            index.filter(F.col("band_idx") >= 0).select(
                 F.col(id_col).alias("doc_b"), "band_idx", "band_hash"
             ),
             ["band_idx", "band_hash"],
@@ -877,50 +933,11 @@ def incremental_dedup_indexed(
         .distinct()
         .localCheckpoint()
     )
-
-    def side_shingles(side: DataFrame, pair_col: str) -> DataFrame:
-        ids = cand.select(F.col(pair_col).alias(id_col)).distinct()
-        return (
-            side.join(ids, id_col, "semi")
-            .withColumn("__T__", tokens(F.col(text_col)))
-            .select(
-                F.col(id_col).alias(pair_col),
-                F.array_distinct(word_shingles("__T__", shingle_n)).alias(
-                    f"_s_{pair_col}"
-                ),
-            )
-        )
-
-    joined = cand.join(side_shingles(new_docs, "doc_a"), "doc_a").join(
-        side_shingles(index_docs, "doc_b"), "doc_b"
-    )
-    inter = F.size(F.array_intersect("_s_doc_a", "_s_doc_b")).cast("long")
-    union = (F.size("_s_doc_a") + F.size("_s_doc_b")).cast("long") - inter
-    verified = joined.select(
-        "doc_a", (inter / union.cast("double")).alias("jaccard")
-    )
-    per_new = verified.groupBy("doc_a").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.sum((F.col("jaccard") >= threshold).cast("long")).alias("n_dups"),
-    )
-    idx_md5 = (
-        index.select("content_md5").distinct().withColumn("_hit", F.lit(1))
-    )
-    exact = new_docs.select(
-        id_col, F.md5(F.col(text_col).cast("binary")).alias("content_md5")
-    ).join(idx_md5, "content_md5", "left")
-    zero = F.lit(0).cast("long")
-    return (
-        exact.join(per_new.withColumnRenamed("doc_a", id_col), id_col, "left")
-        .select(
-            id_col,
-            F.col("_hit").isNotNull().alias("is_exact_dup"),
-            F.coalesce(F.col("n_candidates"), zero).alias("n_candidates"),
-            F.coalesce(F.col("n_dups"), zero).alias("n_dups"),
-            (
-                F.col("_hit").isNull() & (F.coalesce(F.col("n_dups"), zero) == 0)
-            ).alias("kept"),
-        )
+    # every doc's md5 is present thanks to the carrier rows — including
+    # docs the build-time cap evicted from all band buckets
+    idx_md5 = index.select("content_md5").distinct()
+    return _verify_and_assemble(
+        cand, new_docs, index_docs, idx_md5, text_col, id_col, shingle_n, threshold
     )
 
 

@@ -755,9 +755,6 @@ def bpe_merge_k(
     )
 
 
-_HEX = "0123456789abcdef"
-
-
 def with_quality_classifier(
     df: DataFrame, text_col: str = "text", salt: str = "qw"
 ) -> DataFrame:
@@ -779,7 +776,16 @@ def with_quality_classifier(
 
     Pure Column algebra: zero shuffle, whole-stage codegen, linear in
     corpus tokens — the 100 TB posture of the rest of this module."""
-    w = f"(instr('{_HEX}', substring(md5(concat('{salt}|', tk)), 1, 1)) - 8)"
+    import re
+
+    from .similarity import HEX
+
+    # the salt lands inside SQL expression text — validate instead of
+    # escaping (same injection class as bpe_merge_round's joiner,
+    # ADVICE r5; a column bind can't reach inside the let-bound fold)
+    if not re.fullmatch(r"[A-Za-z0-9_\-]+", salt):
+        raise ValueError(f"salt must be [A-Za-z0-9_-]+, got {salt!r}")
+    w = f"(instr('{HEX}', substring(md5(concat('{salt}|', tk)), 1, 1)) - 8)"
     fold = (
         f"transform(array(split({text_col}, ' ')), TK -> named_struct("
         "'n', size(TK), "

@@ -23,6 +23,7 @@ query).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -2194,13 +2195,19 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard, n_rows, min_pos, max_pos) — so the gate attests the
     on-disk artifact, not just the lineage that produced it.  The
     oracle derives the same ranges from the global rank directly.
-    The shard dir is a fresh mkdtemp per call (left for the OS tmp
-    reaper — the result DataFrame lazily reads from it)."""
+    The shard dir is ONE deterministic path per sf_dir (overwritten on
+    every call, never accumulated — a fresh mkdtemp per call would
+    leave a corpus-sized parquet copy behind each bench/gate run,
+    round-6 review)."""
+    import hashlib
     import tempfile
 
     docs = _tbl(spark, sf_dir, "documents").select("doc_id")
     shuffled = sampling.corpus_shuffle(docs)
-    out_dir = tempfile.mkdtemp(prefix="fw_training_shards_")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"fw_training_shards_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
     sampling.write_training_shards(shuffled, out_dir, _SHARD_SIZE)
     written = spark.read.parquet(out_dir)
     return written.groupBy(F.col("shard").cast("long").alias("shard")).agg(
@@ -3036,7 +3043,7 @@ def _incr_side_ctes(
     num_hashes: int = 12,
     bands: int = 4,
     shingle_n: int = 3,
-    max_bucket: int = dedup.MAX_BUCKET,
+    max_bucket: int | None = dedup.MAX_BUCKET,
 ) -> str:
     """Signature → band → capped-bucket CTE chain for one side of the
     incremental dedup, with prefixed CTE names so two sides coexist in
@@ -3057,6 +3064,16 @@ def _incr_side_ctes(
         + f")) AS band_hash FROM {prefix}sigs"
         for b in range(bands)
     )
+    capped = (
+        f"""SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS rn
+        FROM {prefix}bands
+      ) WHERE rn <= {max_bucket}"""
+        if max_bucket is not None
+        # cap-free pass-through (mirrors banded_capped(max_bucket=None))
+        else f"SELECT doc_id, band_idx, band_hash FROM {prefix}bands"
+    )
     return f"""
     {prefix}toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {doc_src}),
     {prefix}sh AS (
@@ -3068,20 +3085,19 @@ def _incr_side_ctes(
     ),
     {prefix}sigs AS (SELECT doc_id, {mins} FROM {prefix}sh),
     {prefix}bands AS ({band_selects}),
-    {prefix}capped AS (
-      SELECT doc_id, band_idx, band_hash FROM (
-        SELECT doc_id, band_idx, band_hash,
-               ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash ORDER BY doc_id) AS rn
-        FROM {prefix}bands
-      ) WHERE rn <= {max_bucket}
-    )"""
+    {prefix}capped AS ({capped})"""
 
 
 _INCR_FRAC = 0.8
 _INCR_THRESHOLD = 0.5
 
 
-def _incr_dedup_sql() -> str:
+def _incr_dedup_sql(cap_new: bool = True) -> str:
+    """cap_new=False mirrors incremental_dedup_indexed(cap_new=False):
+    the new side bands WITHOUT a per-bucket cap (the index side keeps
+    its build-time cap) — required for the streamed form, whose
+    per-micro-batch cap would keep different survivors than a
+    whole-set cap once a new-side bucket exceeds max_bucket."""
     val, _ = _split_val_and_case({"x": 1.0})
     return f"""
     WITH hsp AS (
@@ -3090,7 +3106,7 @@ def _incr_dedup_sql() -> str:
     usp AS (SELECT doc_id, text, ({val}) / 4294967296.0 AS uv FROM hsp),
     idxd AS (SELECT doc_id, text FROM usp WHERE uv < {_INCR_FRAC!r}),
     newd AS (SELECT doc_id, text FROM usp WHERE uv >= {_INCR_FRAC!r}),
-    {_incr_side_ctes("n_", "newd")},
+    {_incr_side_ctes("n_", "newd", max_bucket=dedup.MAX_BUCKET if cap_new else None)},
     {_incr_side_ctes("i_", "idxd")},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -3142,12 +3158,16 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(new, idx, threshold=_INCR_THRESHOLD)
 
 
-# Same oracle as incremental_dedup ON PURPOSE (see the indexed variant
-# below for the rationale): per-new-doc verdicts depend ONLY on the
-# static index, so replaying the new batch as a micro-batched STREAM and
-# unioning the per-batch outputs must reproduce the whole-batch answer
-# bit-for-bit — which is exactly what this parity query asserts.
-@q("streaming_incremental_dedup", _incr_dedup_sql())
+# cap_new=False in BOTH the Spark path and the oracle: with the new
+# side uncapped (the static index keeps its build-time cap, so pair
+# count stays ≤ bands × max_bucket per new doc), every new doc's
+# verdict is a pure function of (its text, the static index) with no
+# cross-new-doc coupling — THAT is what makes the union of per-batch
+# outputs reproduce the whole-batch answer bit-for-bit, which this
+# parity query asserts.  A capped new side would break it: the
+# per-micro-batch cap keeps up to max_bucket survivors PER BATCH where
+# the whole-set cap keeps max_bucket total (round-6 review finding).
+@q("streaming_incremental_dedup", _incr_dedup_sql(cap_new=False))
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily-ingest dedup as a REAL Structured Streaming pipeline —
     the stream-static production shape: new documents arrive through a
@@ -3190,7 +3210,11 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # replaces its own verdicts instead of appending duplicates
             # (a bare mode("append") would double-write on retry)
             dedup.incremental_dedup_indexed(
-                batch_df, index, idx_docs, threshold=_INCR_THRESHOLD
+                batch_df,
+                index,
+                idx_docs,
+                threshold=_INCR_THRESHOLD,
+                cap_new=False,  # see the oracle note above the decorator
             ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
         query = (

@@ -562,3 +562,66 @@ def test_incremental_dedup_indexed_equals_stateless(spark, sf_dir):
         ).collect()
     }
     assert indexed == stateless and len(indexed) > 0
+
+
+def test_build_dedup_index_carries_md5_of_cap_evicted_docs(spark):
+    """Round-6 review (confirmed by live repro): a doc evicted from
+    EVERY band bucket by the per-bucket cap must still contribute its
+    content_md5 to the stored index — otherwise the indexed form misses
+    exact duplicates the stateless form catches.  Cyclic-rotation texts
+    share a shingle SET (hence minhash signature and band buckets) while
+    having different md5s, which constructs the eviction."""
+    t1 = "x y z x y z"
+    t2 = "y z x y z x"  # same 3-shingle set as t1, different md5
+    idx_docs = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(100, t2)], "doc_id long, text string")
+
+    stateless = dedup.incremental_dedup(new, idx_docs, max_bucket=2).collect()
+    assert stateless[0]["is_exact_dup"] is True
+
+    index = dedup.build_dedup_index(idx_docs, max_bucket=2)
+    # doc 3 must be cap-evicted from every band bucket (ids 1,2 fill
+    # them) — the carrier row is its ONLY presence in the index
+    band_ids = {
+        r["doc_id"] for r in index.filter(F.col("band_idx") >= 0).collect()
+    }
+    assert 3 not in band_ids
+    indexed = dedup.incremental_dedup_indexed(
+        new, index, idx_docs, max_bucket=2
+    ).collect()
+    assert indexed[0]["is_exact_dup"] is True
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in stateless]
+
+
+def test_incremental_dedup_indexed_cap_new_false_is_batch_invariant(spark):
+    """cap_new=False (the streamed form's setting) must make per-doc
+    verdicts independent of how the new set is batched: splitting the
+    new docs into singleton batches and unioning the outputs equals the
+    whole-set run even when a new-side bucket exceeds the cap — while
+    cap_new=True provably could not (the whole-set cap keeps fewer
+    survivors than per-batch caps)."""
+    t = "a b c a b c"
+    idx_docs = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    index = dedup.build_dedup_index(idx_docs, max_bucket=2)
+    # 4 new docs, all in the same new-side bucket, cap 2 would bind
+    new_rows = [(10, t), (11, t), (12, t), (13, t)]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    whole = {
+        r["doc_id"]: tuple(r)
+        for r in dedup.incremental_dedup_indexed(
+            new, index, idx_docs, max_bucket=2, cap_new=False
+        ).collect()
+    }
+    per_batch = {}
+    for row in new_rows:
+        single = spark.createDataFrame([row], "doc_id long, text string")
+        for r in dedup.incremental_dedup_indexed(
+            single, index, idx_docs, max_bucket=2, cap_new=False
+        ).collect():
+            per_batch[r["doc_id"]] = tuple(r)
+    assert per_batch == whole
+    # every new doc sees the index candidate — nothing was cap-evicted
+    assert all(v[2] >= 1 for v in whole.values())
