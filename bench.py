@@ -197,6 +197,13 @@ def main() -> None:
         # bigram count + argmax broadcast + parity windows — the
         # tokenizer-induction round
         "bpe_merge",
+        # round-6 operators whose caps/buckets should be proven:
+        # stored-index band join + carrier md5 scan
+        "incremental_dedup_indexed",
+        # bucketed cosine self-join + label propagation
+        "embedding_dedup_keep",
+        # pure linear token fold — the slope floor
+        "quality_classifier",
     ]
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope

@@ -330,3 +330,65 @@ def with_int8_quantized(
             f"least({scale}.0, floor(CAST(x AS DOUBLE) * {scale} + 0.5d))) AS TINYINT))"
         ),
     )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "tb",
+) -> DataFrame:
+    """Keep each stratum's documents, in deterministic md5 order, until
+    a cumulative TOKEN budget is exhausted — the per-domain token
+    budgeting mixes actually specify ("≤ N billion tokens from domain
+    X"), the token-weighted companion to `top_k_per_group`'s doc-count
+    cap.  A doc is kept iff the tokens accumulated BEFORE it (in
+    md5(salt|id) order) are still under the budget, so the first doc
+    crossing the line is kept and everything after is dropped —
+    greedy, content-stable, engine-portable.
+
+    Scale shape: the naive form is a running-sum window over each
+    stratum — one task per stratum, the hot-source scale-killer.  This
+    runs the same two-phase trick as `corpus_shuffle`, per stratum:
+    (1) the first two hex nibbles of the key split each stratum into
+    256 ordered buckets whose token totals (a (strata × 256)-row agg)
+    become per-stratum cumulative offsets via a window over ≤ 256 rows
+    per stratum, broadcast back; (2) a running token sum within
+    (stratum, bucket) only.  cumulative = bucket offset + local
+    running sum — bit-identical to the naive window (tested), hot
+    sources spread over 256 tasks."""
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    key = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    keyed = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("_key", key)
+        .withColumn(
+            "_bucket", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
+        )
+    )
+    counts = keyed.groupBy(strata_col, "_bucket").agg(
+        F.sum("n_tokens").alias("_cnt")
+    )
+    off_w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.withColumn(
+        "_off", F.sum("_cnt").over(off_w) - F.col("_cnt")
+    ).select(strata_col, "_bucket", "_off")
+    local_w = (
+        Window.partitionBy(strata_col, "_bucket")
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), [strata_col, "_bucket"])
+        .withColumn("_cum", F.col("_off") + F.sum("n_tokens").over(local_w))
+        .filter(F.col("_cum") - F.col("n_tokens") < F.lit(int(budget)))
+        .drop("_key", "_bucket", "_off", "_cum")
+    )

@@ -1876,6 +1876,43 @@ def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+_TOKEN_BUDGET = 800
+
+_TOKEN_BUDGET_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5('tb|' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens
+    FROM c WHERE cum - n_tokens < {_TOKEN_BUDGET}
+    """
+
+
+@q("token_budget_cap", _TOKEN_BUDGET_SQL)
+def token_budget_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budgeting (operators/sampling.py
+    token_budget_cap): keep each source's docs in deterministic md5
+    order until the cumulative token budget is spent — the
+    "≤ N tokens from domain X" mixture spec, token-weighted where
+    source_cap is doc-count-weighted.  The oracle is the naive
+    per-source running-sum window; the Spark plan computes the SAME
+    cumulative sum scale-safely (256 hash-prefix buckets per source →
+    tiny offset window → per-bucket local running sums — a hot source
+    spreads over 256 tasks, never one)."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return sampling.token_budget_cap(docs, budget=_TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
 _TEMP_REBAL_SQL = f"""
     WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
     t AS (SELECT min(cnt) AS target FROM c),
@@ -4230,6 +4267,7 @@ _HEAD = [
     "ann_ivf_trained_topk",
     "streaming_incremental_dedup",
     "embedding_dedup_keep",
+    "token_budget_cap",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",

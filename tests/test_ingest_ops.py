@@ -625,3 +625,47 @@ def test_incremental_dedup_indexed_cap_new_false_is_batch_invariant(spark):
     assert per_batch == whole
     # every new doc sees the index candidate — nothing was cap-evicted
     assert all(v[2] >= 1 for v in whole.values())
+
+
+def test_token_budget_cap_equals_naive_window(spark):
+    """The two-phase (bucket offsets + local running sums) cumulative
+    token count must keep EXACTLY the docs the naive one-task-per-source
+    running-sum window keeps — including the boundary doc that crosses
+    the budget (kept: its preceding cumulative is still under) — and be
+    invariant to input layout."""
+    import hashlib
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, f"s{i % 3}", " ".join("w" for _ in range(rng.randint(1, 30))))
+        for i in range(1, 201)
+    ]
+    budget = 300
+
+    # naive Python reference
+    def key(i):
+        return hashlib.md5(f"tb|{i}".encode()).hexdigest()
+
+    expect = set()
+    for src in {r[1] for r in rows}:
+        cum = 0
+        for i, s, t in sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (key(r[0]), r[0])
+        ):
+            if cum < budget:
+                expect.add(i)
+            cum += len(t.split(" "))
+
+    for nparts in (1, 7):
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"]).repartition(
+            nparts
+        )
+        got = {
+            r["doc_id"]
+            for r in sampling.token_budget_cap(
+                df, budget=budget, strata_col="source"
+            ).collect()
+        }
+        assert got == expect, nparts
