@@ -3312,6 +3312,62 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_CHUNK = 64
+
+_AUDIO_SQL = f"""
+    WITH a AS (
+      SELECT doc_id AS media_id, text, len(text) // 2 AS n_total FROM documents
+    ),
+    ch AS (
+      SELECT media_id, text, n_total, u.i AS chunk_idx,
+             u.i * {_AUDIO_CHUNK} AS start_sample,
+             LEAST({_AUDIO_CHUNK}, n_total - u.i * {_AUDIO_CHUNK}) AS n_samples
+      FROM a, unnest(generate_series(0,
+             CAST((n_total + {_AUDIO_CHUNK} - 1) // {_AUDIO_CHUNK} AS BIGINT) - 1)) AS u(i)
+      WHERE n_total > 0
+    ),
+    s AS (
+      SELECT media_id, chunk_idx, start_sample, n_samples,
+             list_sum(list_transform(generate_series(0, n_samples - 1), j ->
+               POWER(CASE WHEN (ascii(substr(text, 2 * (start_sample + j) + 1, 1))
+                               + 256 * ascii(substr(text, 2 * (start_sample + j) + 2, 1))) >= 32768
+                          THEN (ascii(substr(text, 2 * (start_sample + j) + 1, 1))
+                                + 256 * ascii(substr(text, 2 * (start_sample + j) + 2, 1))) - 65536
+                          ELSE (ascii(substr(text, 2 * (start_sample + j) + 1, 1))
+                                + 256 * ascii(substr(text, 2 * (start_sample + j) + 2, 1))) END, 2)
+             )) AS sum_sq
+      FROM ch
+    )
+    SELECT media_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_sample AS BIGINT) AS start_sample,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(start_sample * 2 AS BIGINT) AS byte_off,
+           CAST(n_samples * 2 AS BIGINT) AS byte_len,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
+           sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+    FROM s
+    """
+
+
+@q("audio_chunks", _AUDIO_SQL)
+def audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk/feature extraction (sources/multimodal.py
+    audio_chunks) over the documents' bytes as raw little-endian int16
+    PCM: fixed 64-sample chunks with exact sample/byte offsets, exact
+    int64 energy and a bit-portable rms.  The oracle replays the byte
+    pairing and signed decode from the text characters — proving the
+    Arrow audio path's VALUES end to end, like multimodal_decode does
+    for images."""
+    from .sources.multimodal import audio_chunks
+
+    docs = _tbl(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return audio_chunks(media, chunk_samples=_AUDIO_CHUNK)
+
+
 @q(
     "multimodal_decode",
     """
@@ -4268,6 +4324,7 @@ _HEAD = [
     "streaming_incremental_dedup",
     "embedding_dedup_keep",
     "token_budget_cap",
+    "audio_chunks",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -178,3 +179,81 @@ def sample_every_nth(df: DataFrame, seq_col: str, n: int) -> DataFrame:
     from pyspark.sql import functions as F
 
     return df.filter(F.col(seq_col) % n == 0)
+
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("start_sample", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("byte_off", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_chunks(
+    df: DataFrame, chunk_samples: int = 64, sample_width: int = 2
+) -> DataFrame:
+    """Audio frame-sampling/feature stage — the audio member of the
+    multimodal family (image decode and video cadence are covered
+    elsewhere): an opaque PCM byte payload + metadata explodes into
+    fixed-length chunk rows with exact sample/byte offsets and a
+    per-chunk energy feature.
+
+    The "decode" here is REAL for raw little-endian int16 PCM (pairs of
+    payload bytes → signed samples; ``sum_sq`` is the exact int64
+    energy, ``rms = sqrt(sum_sq / n)`` two correctly-rounded IEEE ops —
+    bit-portable).  A compressed codec (mp3/flac via ffmpeg/soundfile,
+    absent in this container) would replace only the frombuffer line;
+    the chunk arithmetic, Arrow batching, payload pruning and schema
+    are the production plumbing and are what this stage proves.
+
+    Input columns: (media_id long, payload binary).  Output one row per
+    chunk; a payload shorter than one sample yields no rows.  Payload
+    never enters a shuffle — chunk rows carry offsets, not bytes
+    (the same pruning discipline as decode_media)."""
+    import numpy as np
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = None if row.payload is None else bytes(row.payload)
+                if not payload:
+                    continue
+                n_total = len(payload) // sample_width
+                if n_total == 0:
+                    continue
+                samples = np.frombuffer(
+                    payload[: n_total * sample_width], dtype="<i2"
+                ).astype(np.int64)
+                for ci in range(0, (n_total + chunk_samples - 1) // chunk_samples):
+                    start = ci * chunk_samples
+                    n = min(chunk_samples, n_total - start)
+                    seg = samples[start : start + n]
+                    ssq = int((seg * seg).sum())
+                    out.append(
+                        (
+                            row.media_id,
+                            ci,
+                            start,
+                            n,
+                            start * sample_width,
+                            n * sample_width,
+                            ssq,
+                            float(np.sqrt(ssq / n)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "chunk_idx", "start_sample", "n_samples",
+                    "byte_off", "byte_len", "sum_sq", "rms",
+                ],
+            )
+
+    return df.mapInPandas(_chunks, schema=AUDIO_CHUNK_SCHEMA)
