@@ -71,25 +71,36 @@ def test_completion_stream_and_manifest_sink(spark, tmp_path):
     )
     q.awaitTermination(120)
     files = sorted(os.listdir(media_dir))
-    # ONE part manifest per video even though the video spans both
-    # micro-batches — no per-batch fragmentation (ADVICE r2); the #bid
-    # header line is the retry-idempotency watermark
+    # one SEGMENT per (video, micro-batch) — batch-id name order is the
+    # cross-batch frame order; finalize compacts them (round 6: O(batch)
+    # write per micro-batch instead of an O(session) manifest rewrite)
     dense = [f for f in files if f.startswith("dense_with_heatmaps")]
-    assert dense == ["dense_with_heatmaps.manifest.part"]
-    part = os.path.join(media_dir, dense[0])
-    assert _frame_lines(part) == 400
+    assert all(".manifest.seg-" in f for f in dense) and len(dense) >= 2
+    assert sum(_frame_lines(os.path.join(media_dir, f)) for f in dense) == 400
 
-    # W3 finalize on a completion row: last-frame rewrite + promote
+    # W3 finalize on a completion row: compact + last-frame rewrite +
+    # promote; segments removed so the next lifecycle starts fresh
     fin = sinks.media_finalize_sink(media_dir)
     fin(spark.createDataFrame([("dense",)], "video_id string"), 0)
     final = os.path.join(media_dir, "dense_with_heatmaps.manifest")
-    assert os.path.exists(final) and not os.path.exists(part)
+    assert os.path.exists(final)
+    assert not [f for f in os.listdir(media_dir) if ".manifest.seg-" in f and f.startswith("dense")]
     lines = open(final).readlines()
     assert len(lines) == 401 and lines[-1] == lines[-2]
+    # frames compacted in order across segments
+    frame_nums = [int(ln.split("\t")[0]) for ln in lines[:-1]]
+    assert frame_nums == sorted(frame_nums)
     # a second session of the same video promotes collision-safe
-    open(os.path.join(media_dir, "dense_with_heatmaps.manifest.part"), "w").write("1\t0\n")
+    open(os.path.join(media_dir, "dense_with_heatmaps.manifest.seg-000000000007"), "w").write("1\t0\n")
     fin(spark.createDataFrame([("dense",)], "video_id string"), 1)
     assert os.path.exists(os.path.join(media_dir, "dense_with_heatmaps_1.manifest"))
+    # an upgrade mid-lifecycle: a legacy .part plus a newer segment
+    # compact together, .part frames first
+    open(os.path.join(media_dir, "up_with_heatmaps.manifest.part"), "w").write("#bid\t0\n1\t0\n")
+    open(os.path.join(media_dir, "up_with_heatmaps.manifest.seg-000000000001"), "w").write("2\t0\n")
+    fin(spark.createDataFrame([("up",)], "video_id string"), 2)
+    up = open(os.path.join(media_dir, "up_with_heatmaps.manifest")).readlines()
+    assert up == ["1\t0\n", "2\t0\n", "2\t0\n"]
 
 
 def test_completion_events_json_shape(spark, tmp_path):
@@ -144,13 +155,16 @@ def test_sinks_idempotent_under_batch_retry(spark, tmp_path):
         "video_id string, frame_number long, has_fire boolean",
     )
     msink(b1, 1)
-    part = os.path.join(media_dir, "v_with_heatmaps.manifest.part")
-    assert _frame_lines(part) == 8  # 5 + 3, retry not re-applied
-    # finalize removes the .part so the next lifecycle starts fresh
+    segs = sinks._seg_glob(media_dir, "v")
+    # one segment per batch id; the retry OVERWROTE batch 0's segment
+    # with identical content instead of appending a duplicate
+    assert [os.path.basename(s)[-3:] for s in segs] == ["000", "001"]
+    assert sum(_frame_lines(s) for s in segs) == 8  # 5 + 3
+    # finalize removes the segments so the next lifecycle starts fresh
     sinks.media_finalize_sink(media_dir)(
         spark.createDataFrame([("v",)], "video_id string"), 2
     )
-    assert not os.path.exists(part)
+    assert sinks._seg_glob(media_dir, "v") == []
 
     ppath = str(tmp_path / "progress_retry.json")
     psink = sinks.progress_file_sink(ppath, {"v": 10})
@@ -165,42 +179,43 @@ def test_sinks_idempotent_under_batch_retry(spark, tmp_path):
 
 
 def test_manifest_append_crash_atomic(spark, tmp_path):
-    """VERDICT r4 #7: frames and batch id commit in ONE os.replace, so
-    a retry after a crash at ANY point re-applies exactly once.
+    """Each batch's frames commit in ONE os.replace of that batch's OWN
+    segment file, so a retry after a crash at ANY point re-applies
+    exactly once — with no read-back or batch-id header at all (the
+    retry rewrites the same segment name with the same content).
 
-    The round-4 design appended frames, then wrote a .bid sidecar — a
-    crash between the two made the retry re-append the same frames.
-    Here both crash sides are simulated: (a) crash BEFORE the rename
-    (a stale .tmp exists, .part untouched) → the retry applies the
-    batch; (b) crash AFTER the rename (commit complete, foreachBatch
-    still re-delivers the batch id) → the retry is a no-op."""
+    Both crash sides are simulated: (a) crash BEFORE the rename (a
+    stale .tmp exists, no segment) → the retry applies the batch;
+    (b) crash AFTER the rename (commit complete, foreachBatch still
+    re-delivers the batch id) → the retry overwrites identically."""
     media_dir = str(tmp_path / "media_crash")
+    os.makedirs(media_dir)
     msink = sinks.media_manifest_sink(media_dir)
-    part = os.path.join(media_dir, "v_with_heatmaps.manifest.part")
+    seg0 = sinks._seg_path(media_dir, "v", 0)
 
     b0 = spark.createDataFrame(
         [("v", i, False) for i in range(5)],
         "video_id string, frame_number long, has_fire boolean",
     )
-    # (a) crash mid-rewrite: a partial temp file exists, no .part yet
-    with open(part + ".tmp", "w") as f:
-        f.write("#bid\t0\n0\t0\n")  # torn write, never renamed
+    # (a) crash mid-write: a partial temp file exists, no segment yet
+    with open(seg0 + ".tmp", "w") as f:
+        f.write("0\t0\n")  # torn write, never renamed
     msink(b0, 0)  # the retry
-    assert _frame_lines(part) == 5
+    assert _frame_lines(seg0) == 5
 
     # (b) crash after the atomic rename: state committed, batch 0
-    # re-delivered once more — the #bid header guard makes it a no-op
+    # re-delivered once more — the rewrite is byte-identical
+    before = open(seg0).read()
     msink(b0, 0)
-    assert _frame_lines(part) == 5
-    lines = [ln for ln in open(part) if not ln.startswith("#")]
-    assert len(set(lines)) == 5  # no duplicated frames, ever
+    assert open(seg0).read() == before
+    assert len(set(open(seg0))) == 5  # no duplicated frames, ever
 
     # normal progress still works after the simulated crashes
     b1 = spark.createDataFrame(
         [("v", 5, True)], "video_id string, frame_number long, has_fire boolean"
     )
     msink(b1, 1)
-    assert _frame_lines(part) == 6
+    assert sum(_frame_lines(s) for s in sinks._seg_glob(media_dir, "v")) == 6
 
 
 def test_streaming_query_listener_progress(spark, tmp_path):

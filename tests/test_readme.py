@@ -15,7 +15,7 @@ def test_readme_quickstart_executes(spark):
     q = ns["q"]
     assert not q.isActive  # availableNow run completed
     media = f"{ns['workdir']}/media"
-    manifests = [f for f in os.listdir(media) if f.endswith(".manifest.part")]
+    manifests = [f for f in os.listdir(media) if ".manifest.seg-" in f]
     assert manifests, "quickstart produced no media manifests"
     lines = open(os.path.join(media, manifests[0])).readlines()
     assert lines and all("\t" in l for l in lines)
