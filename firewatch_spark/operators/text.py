@@ -801,3 +801,19 @@ def with_quality_classifier(
         ),
         (F.col("__Q__.s") > 0).alias("keep"),
     )
+
+
+def with_normalized_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text normalization — the pre-dedup cleaning step that
+    makes near-identical boilerplate hash-equal: lowercase, strip
+    non-alphanumerics, collapse whitespace runs, trim.  Patterns are
+    restricted to character classes that behave identically under Java
+    regex (Spark) and RE2 (DuckDB) — no lookaround, no \\s shorthand
+    ambiguity — so the normalized bytes (and their md5) are
+    engine-portable.  Pure per-row Column algebra: zero shuffle."""
+    norm = F.lower(F.col(text_col))
+    norm = F.regexp_replace(norm, "[^a-z0-9 ]", "")
+    norm = F.regexp_replace(norm, " +", " ")
+    return df.withColumn(out_col, F.trim(norm))

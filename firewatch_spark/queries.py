@@ -1876,6 +1876,39 @@ def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+_NORM_DEDUP_SQL = """
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+      FROM documents
+    ),
+    k AS (SELECT norm_md5, min(doc_id) AS keeper FROM n GROUP BY norm_md5)
+    SELECT n.doc_id, n.norm_md5, (n.doc_id = k.keeper) AS kept
+    FROM n JOIN k USING (norm_md5)
+    """
+
+
+@q("normalized_dedup", _NORM_DEDUP_SQL)
+def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: canonicalize text first
+    (lowercase, strip non-alphanumerics, collapse whitespace —
+    operators/text.py with_normalized_text, RE2/Java-portable
+    patterns), then keep the min-id doc per normalized-md5 group — the
+    boilerplate-insensitive twin of `dedup_exact` that catches
+    case/punctuation variants plain content hashing misses.  First-
+    occurrence rule is a map-side-combinable groupBy + join back (the
+    span_dedup shape), never a window over the hot hash."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    n = text.with_normalized_text(docs).select(
+        "doc_id", F.md5(F.col("norm_text").cast("binary")).alias("norm_md5")
+    )
+    k = n.groupBy("norm_md5").agg(F.min("doc_id").alias("keeper"))
+    return n.join(k, "norm_md5").select(
+        "doc_id", "norm_md5", (F.col("doc_id") == F.col("keeper")).alias("kept")
+    )
+
+
 _TOKEN_BUDGET = 800
 
 _TOKEN_BUDGET_SQL = f"""
@@ -4325,6 +4358,7 @@ _HEAD = [
     "embedding_dedup_keep",
     "token_budget_cap",
     "audio_chunks",
+    "normalized_dedup",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",
