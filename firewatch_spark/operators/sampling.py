@@ -386,9 +386,19 @@ def token_budget_cap(
         .orderBy("_key", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL-SAFE stratum join: groupBy and the windows treat a NULL
+    # stratum as its own group (matching the oracle's PARTITION BY),
+    # but a plain equi-join would silently DROP every NULL-stratum row
+    # (round-6 review) — eqNullSafe keeps the unattributed-source docs
+    # budgeted like any other stratum.
+    k, off = keyed.alias("k"), F.broadcast(offsets).alias("off")
+    joined = k.join(
+        off,
+        F.col(f"k.{strata_col}").eqNullSafe(F.col(f"off.{strata_col}"))
+        & (F.col("k._bucket") == F.col("off._bucket")),
+    ).select(*[F.col(f"k.{c}") for c in keyed.columns], F.col("off._off"))
     return (
-        keyed.join(F.broadcast(offsets), [strata_col, "_bucket"])
-        .withColumn("_cum", F.col("_off") + F.sum("n_tokens").over(local_w))
+        joined.withColumn("_cum", F.col("_off") + F.sum("n_tokens").over(local_w))
         .filter(F.col("_cum") - F.col("n_tokens") < F.lit(int(budget)))
         .drop("_key", "_bucket", "_off", "_cum")
     )

@@ -807,13 +807,17 @@ def with_normalized_text(
     df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
 ) -> DataFrame:
     """Canonical text normalization — the pre-dedup cleaning step that
-    makes near-identical boilerplate hash-equal: lowercase, strip
-    non-alphanumerics, collapse whitespace runs, trim.  Patterns are
+    makes near-identical boilerplate hash-equal: lowercase, map every
+    whitespace char to a space FIRST (so 'foo\\nbar' and 'foo bar'
+    normalize identically — deleting \\n with the punctuation class
+    would glue words together, round-6 review), strip remaining
+    non-alphanumerics, collapse space runs, trim.  Patterns are
     restricted to character classes that behave identically under Java
     regex (Spark) and RE2 (DuckDB) — no lookaround, no \\s shorthand
     ambiguity — so the normalized bytes (and their md5) are
     engine-portable.  Pure per-row Column algebra: zero shuffle."""
     norm = F.lower(F.col(text_col))
+    norm = F.regexp_replace(norm, "[\\t\\n\\r\\f]", " ")
     norm = F.regexp_replace(norm, "[^a-z0-9 ]", "")
     norm = F.regexp_replace(norm, " +", " ")
     return df.withColumn(out_col, F.trim(norm))

@@ -1876,10 +1876,11 @@ def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
-_NORM_DEDUP_SQL = """
+_NORM_DEDUP_SQL = r"""
     WITH n AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text),
+             md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                  '[\t\n\r\f]', ' ', 'g'),
                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
       FROM documents
     ),
@@ -2265,19 +2266,20 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard, n_rows, min_pos, max_pos) — so the gate attests the
     on-disk artifact, not just the lineage that produced it.  The
     oracle derives the same ranges from the global rank directly.
-    The shard dir is ONE deterministic path per sf_dir (overwritten on
-    every call, never accumulated — a fresh mkdtemp per call would
-    leave a corpus-sized parquet copy behind each bench/gate run,
-    round-6 review)."""
-    import hashlib
+    The shard dir is a fresh private mkdtemp (no collision between
+    concurrent gate/bench runs, no predictable world-visible /tmp
+    name) registered for atexit removal — unique AND non-accumulating:
+    the result DataFrame reads it lazily within this process's
+    lifetime, and nothing survives the exit (round-6 reviews, both
+    directions)."""
+    import atexit
+    import shutil
     import tempfile
 
     docs = _tbl(spark, sf_dir, "documents").select("doc_id")
     shuffled = sampling.corpus_shuffle(docs)
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"fw_training_shards_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
-    )
+    out_dir = tempfile.mkdtemp(prefix="fw_training_shards_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     sampling.write_training_shards(shuffled, out_dir, _SHARD_SIZE)
     written = spark.read.parquet(out_dir)
     return written.groupBy(F.col("shard").cast("long").alias("shard")).agg(
@@ -3347,30 +3349,49 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AUDIO_CHUNK = 64
 
-_AUDIO_SQL = f"""
+
+def _audio_sql(chunk: int = _AUDIO_CHUNK) -> str:
+    """BYTE-accurate PCM oracle: the payload is the UTF-8 BYTES of the
+    text (what Spark's text.cast('binary') produces), read through
+    hex(encode(text)) — two hex chars per byte — NOT through character
+    positions (ascii/substr on text counts CODEPOINTS, which diverges
+    from the byte stream on any non-ASCII document — round-6 review)."""
+    hexd = "0123456789ABCDEF"  # DuckDB hex() emits uppercase
+
+    def byte(k: str) -> str:  # 0-based byte index expr -> unsigned int expr
+        return (
+            f"((strpos('{hexd}', substr(hx, 2 * ({k}) + 1, 1)) - 1) * 16"
+            f" + strpos('{hexd}', substr(hx, 2 * ({k}) + 2, 1)) - 1)"
+        )
+
+    lo = byte("2 * (start_sample + j)")
+    hi = byte("2 * (start_sample + j) + 1")
+    return f"""
     WITH a AS (
-      SELECT doc_id AS media_id, text, len(text) // 2 AS n_total FROM documents
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 2 AS n_total
+      FROM documents
     ),
     ch AS (
-      SELECT media_id, text, n_total, u.i AS chunk_idx,
-             u.i * {_AUDIO_CHUNK} AS start_sample,
-             LEAST({_AUDIO_CHUNK}, n_total - u.i * {_AUDIO_CHUNK}) AS n_samples
+      SELECT media_id, hx, n_total, u.i AS chunk_idx,
+             u.i * {chunk} AS start_sample,
+             LEAST({chunk}, n_total - u.i * {chunk}) AS n_samples
       FROM a, unnest(generate_series(0,
-             CAST((n_total + {_AUDIO_CHUNK} - 1) // {_AUDIO_CHUNK} AS BIGINT) - 1)) AS u(i)
+             CAST((n_total + {chunk} - 1) // {chunk} AS BIGINT) - 1)) AS u(i)
       WHERE n_total > 0
     ),
     s AS (
       SELECT media_id, chunk_idx, start_sample, n_samples,
              list_sum(list_transform(generate_series(0, n_samples - 1), j ->
-               POWER(CASE WHEN (ascii(substr(text, 2 * (start_sample + j) + 1, 1))
-                               + 256 * ascii(substr(text, 2 * (start_sample + j) + 2, 1))) >= 32768
-                          THEN (ascii(substr(text, 2 * (start_sample + j) + 1, 1))
-                                + 256 * ascii(substr(text, 2 * (start_sample + j) + 2, 1))) - 65536
-                          ELSE (ascii(substr(text, 2 * (start_sample + j) + 1, 1))
-                                + 256 * ascii(substr(text, 2 * (start_sample + j) + 2, 1))) END, 2)
+               POWER(CASE WHEN ({lo} + 256 * {hi}) >= 32768
+                          THEN ({lo} + 256 * {hi}) - 65536
+                          ELSE ({lo} + 256 * {hi}) END, 2)
              )) AS sum_sq
       FROM ch
-    )
+    )"""
+
+
+_AUDIO_SQL = _audio_sql() + """
     SELECT media_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
            CAST(start_sample AS BIGINT) AS start_sample,
            CAST(n_samples AS BIGINT) AS n_samples,

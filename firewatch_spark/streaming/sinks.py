@@ -53,13 +53,28 @@ def _seg_path(output_dir: str, video_id: str, batch_id: int) -> str:
 
 
 def _seg_glob(output_dir: str, video_id: str) -> list[str]:
+    """Committed segment files for a video, in batch-id order.
+
+    video_id is glob-ESCAPED — an id containing '[', '*' or '?' would
+    otherwise make the pattern miss its own files and finalize would
+    silently never promote the video (round-6 review).  In-flight
+    ``.tmp-``-prefixed temps can never match: they share no suffix
+    with the pattern (see _write_atomic)."""
     import glob as _glob
 
     return sorted(
         _glob.glob(
-            os.path.join(output_dir, f"{video_id}_with_heatmaps.manifest.seg-*")
+            os.path.join(
+                output_dir,
+                _glob.escape(video_id) + "_with_heatmaps.manifest.seg-",
+            )
+            + "[0-9]*"
         )
     )
+
+
+def _seg_batch_id(path: str) -> int:
+    return int(path.rsplit(".seg-", 1)[1])
 
 
 _BID_PREFIX = "#bid\t"
@@ -84,8 +99,15 @@ def _read_part(path: str) -> tuple[int, list[str]]:
 
 
 def _write_atomic(path: str, lines: list[str]) -> None:
-    """fsync'd temp + os.replace — the one commit primitive here."""
-    tmp = path + ".tmp"
+    """fsync'd temp + os.replace — the one commit primitive here.
+
+    The temp lives at ``.tmp-<name>`` (PREFIX, not suffix): a suffixed
+    ``<segment>.tmp`` would match the ``.seg-*`` glob, and a finalize
+    running concurrently with an append (two foreachBatch queries) or
+    after a torn retry would compact the half-written temp into the
+    final manifest (round-6 review)."""
+    d, name = os.path.split(path)
+    tmp = os.path.join(d, f".tmp-{name}")
     with open(tmp, "w") as f:
         f.writelines(lines)
         f.flush()
@@ -163,9 +185,16 @@ def media_finalize_sink(output_dir: str):
         part = _part_path(output_dir, video_id)
         segs = _seg_glob(output_dir, video_id)
         lines: list[str] = []
-        _bid, legacy_lines = _read_part(part)
+        legacy_bid, legacy_lines = _read_part(part)
         lines.extend(legacy_lines)
         for seg in segs:
+            # skip segments the legacy .part already applied: a retry
+            # that straddles the .part→segment upgrade re-delivers a
+            # batch the .part's #bid header committed, and the new
+            # sink writes it as a segment — compacting both would
+            # duplicate that batch's frames (round-6 review)
+            if _seg_batch_id(seg) <= legacy_bid:
+                continue
             with open(seg) as f:
                 lines.extend(f.readlines())
         if not lines:  # verify: an empty session never promotes

@@ -272,3 +272,57 @@ def test_quality_classifier_matches_python_reference(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_normalized_text_whitespace_and_case_variants_collide(spark):
+    """Whitespace-only variants must normalize IDENTICALLY (newline →
+    space, not deletion — deleting would glue words and falsely collide
+    with genuinely-joined text, round-6 review), and case/punctuation
+    variants collapse too."""
+    df = spark.createDataFrame(
+        [
+            (1, "foo bar"),
+            (2, "foo\nbar"),
+            (3, "Foo,  bar!"),
+            (4, "foobar"),
+            (5, "foo\tbar\r"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in text.with_normalized_text(df).collect()}
+    assert out[1] == out[2] == out[3] == out[5] == "foo bar"
+    assert out[4] == "foobar" and out[4] != out[1]
+
+
+def test_audio_chunks_byte_accurate_on_non_ascii(spark):
+    """The audio path decodes the UTF-8 BYTES of the payload — a
+    non-ASCII char ('é' = 0xC3 0xA9) contributes two bytes, not one
+    codepoint (round-6 review: the oracle now reads hex(encode(text))
+    for the same reason).  Pinned against a Python byte reference."""
+    import numpy as np
+
+    from firewatch_spark.sources.multimodal import audio_chunks
+
+    texts = {1: "abcé", 2: "é", 3: "x"}
+    df = spark.createDataFrame(
+        [(i, t.encode()) for i, t in texts.items()],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id"], r["chunk_idx"]): (
+            r["n_samples"], r["sum_sq"], r["byte_len"]
+        )
+        for r in audio_chunks(df, chunk_samples=2).collect()
+    }
+    expect = {}
+    for i, t in texts.items():
+        b = t.encode()
+        n_total = len(b) // 2
+        samples = np.frombuffer(b[: n_total * 2], dtype="<i2").astype(np.int64)
+        for ci in range(0, (n_total + 1) // 2):
+            seg = samples[ci * 2 : ci * 2 + 2]
+            if len(seg):
+                expect[(i, ci)] = (len(seg), int((seg * seg).sum()), len(seg) * 2)
+    assert got == expect
+    # 'x' (1 byte) yields no sample rows at all
+    assert not [k for k in got if k[0] == 3]

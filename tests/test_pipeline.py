@@ -94,9 +94,12 @@ def test_completion_stream_and_manifest_sink(spark, tmp_path):
     open(os.path.join(media_dir, "dense_with_heatmaps.manifest.seg-000000000007"), "w").write("1\t0\n")
     fin(spark.createDataFrame([("dense",)], "video_id string"), 1)
     assert os.path.exists(os.path.join(media_dir, "dense_with_heatmaps_1.manifest"))
-    # an upgrade mid-lifecycle: a legacy .part plus a newer segment
-    # compact together, .part frames first
+    # an upgrade mid-lifecycle: a legacy .part plus newer segments
+    # compact together, .part frames first — and a segment whose batch
+    # id the .part's #bid header already committed is SKIPPED (the
+    # straddling-retry duplication, round-6 review)
     open(os.path.join(media_dir, "up_with_heatmaps.manifest.part"), "w").write("#bid\t0\n1\t0\n")
+    open(os.path.join(media_dir, "up_with_heatmaps.manifest.seg-000000000000"), "w").write("1\t0\n")
     open(os.path.join(media_dir, "up_with_heatmaps.manifest.seg-000000000001"), "w").write("2\t0\n")
     fin(spark.createDataFrame([("up",)], "video_id string"), 2)
     up = open(os.path.join(media_dir, "up_with_heatmaps.manifest")).readlines()
@@ -197,9 +200,13 @@ def test_manifest_append_crash_atomic(spark, tmp_path):
         [("v", i, False) for i in range(5)],
         "video_id string, frame_number long, has_fire boolean",
     )
-    # (a) crash mid-write: a partial temp file exists, no segment yet
-    with open(seg0 + ".tmp", "w") as f:
+    # (a) crash mid-write: a partial temp file exists, no segment yet.
+    # The temp is PREFIX-named (.tmp-<seg>) so finalize's .seg-* glob
+    # can never compact a torn temp (round-6 review)
+    torn = os.path.join(media_dir, ".tmp-" + os.path.basename(seg0))
+    with open(torn, "w") as f:
         f.write("0\t0\n")  # torn write, never renamed
+    assert sinks._seg_glob(media_dir, "v") == []  # invisible to finalize
     msink(b0, 0)  # the retry
     assert _frame_lines(seg0) == 5
 
