@@ -101,6 +101,13 @@ def test_span_dedup_has_no_window_over_span_hash(plans):
     assert "Window" not in plans["span_dedup"]
 
 
+def test_normalized_dedup_has_no_window_over_norm_hash(plans):
+    """First-occurrence-per-normalized-md5 must be the groupBy+join
+    shape — a window over the hot hash would funnel a boilerplate
+    mega-group through one task (the span_dedup rule)."""
+    assert "Window" not in plans["normalized_dedup"]
+
+
 def test_dup_ngram_coverage_has_no_window_over_gram_hash(plans):
     """Duplication counting must be a map-side-combinable groupBy over
     the gram md5 plus a semi-join back — never a window partitioned by
