@@ -821,3 +821,59 @@ def with_normalized_text(
     norm = F.regexp_replace(norm, "[^a-z0-9 ]", "")
     norm = F.regexp_replace(norm, " +", " ")
     return df.withColumn(out_col, F.trim(norm))
+
+
+def with_winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS scheme) — the
+    guarantee-bearing upgrade of `with_fingerprint`'s single min-hash:
+    hash every k-token shingle, slide a w-hash window, select each
+    window's MINIMAL hash (rightmost position on hash ties), dedupe.
+    Any shared substring of >= w + k - 1 tokens between two documents
+    is guaranteed to share at least one selected fingerprint — the
+    property plagiarism/boilerplate detectors build indexes on.
+
+    Selection key encoding: ``md5(shingle) || '|' || lpad(999999 - pos)``
+    — a plain string min realizes (hash asc, pos DESC) = rightmost
+    minimal, so both engines select with one ``min`` and no struct
+    comparisons (DuckDB's list_min can't order structs).  Caps docs at
+    999 999 shingle positions — chunk longer docs upstream.
+
+    The token/shingle/key arrays are LET-BOUND (the module's nested
+    transform-over-1-element-array binders): as plain projected
+    columns, Catalyst substitutes the key-building transform into
+    EVERY window slice — O(positions^2) md5 recomputation per doc,
+    measured as a multi-minute hang at sf0.001 vs sub-second let-bound
+    (the substitution-duplication family SCALE.md records).
+
+    Output: one row per selected fingerprint (doc_id, pos, fp).  Pure
+    array algebra before the explode: zero shuffle, linear in corpus
+    positions (m windows x w-element slices; w is a small constant).
+    A window larger than the doc degrades to one global min — the
+    standard boundary rule."""
+    shingle_parts = ", ".join(f"element_at(TK, i + {j})" for j in range(k))
+    sel_expr = (
+        f"transform(array(split({text_col}, ' ')), TK -> "
+        f"transform(array(CASE WHEN size(TK) >= {k} "
+        f"THEN transform(sequence(1, size(TK) - {k - 1}), "
+        f"i -> concat_ws(' ', {shingle_parts})) "
+        f"ELSE array(concat_ws(' ', TK)) END), SH -> "
+        "transform(array(transform(sequence(1, size(SH)), "
+        "i -> concat(md5(element_at(SH, i)), '|', "
+        "lpad(cast(999999 - i as string), 6, '0')))), KS -> "
+        f"array_distinct(transform(sequence(1, greatest(1, size(KS) - {w - 1})), "
+        f"i -> array_min(slice(KS, i, {w})))))[0])[0])[0]"
+    )
+    out = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.expr(sel_expr)).alias("_k")
+    )
+    return out.select(
+        id_col,
+        (F.lit(999999) - F.substring("_k", 34, 6).cast("int")).cast("long").alias("pos"),
+        F.substring("_k", 1, 32).alias("fp"),
+    )

@@ -1876,6 +1876,51 @@ def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+_WINNOW_K = 4
+_WINNOW_W = 5
+
+_WINNOW_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {_WINNOW_K}
+                  THEN list_transform(generate_series(1, len(toks) - {_WINNOW_K - 1}),
+                       i -> {" || ' ' || ".join(f"list_extract(toks, i + {j})" for j in range(_WINNOW_K))})
+                  ELSE [concat_ws(' ', toks)] END AS sh
+      FROM t
+    ),
+    ks AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(sh)), i ->
+               md5(list_extract(sh, i)) || '|' || lpad(CAST(999999 - i AS VARCHAR), 6, '0')) AS ks
+      FROM sh
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(1, len(ks) - {_WINNOW_W - 1})),
+               i -> list_min(ks[i:i + {_WINNOW_W - 1}]))) AS sel
+      FROM ks
+    )
+    SELECT doc_id,
+           CAST(999999 - CAST(substr(u.k, 34, 6) AS INTEGER) AS BIGINT) AS pos,
+           substr(u.k, 1, 32) AS fp
+    FROM sel, unnest(sel) AS u(k)
+    """
+
+
+@q("winnowing_fingerprints", _WINNOW_SQL)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators/text.py
+    with_winnowing_fingerprints) — the MOSS guarantee: any shared run
+    of ≥ w+k−1 tokens between two docs shares a selected fingerprint.
+    Rightmost-minimal selection realized as a plain string min over
+    ``hash || '|' || lpad(999999 − pos)`` keys, identical in both
+    engines."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_winnowing_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
 _NORM_DEDUP_SQL = r"""
     WITH n AS (
       SELECT doc_id,
@@ -4380,6 +4425,7 @@ _HEAD = [
     "token_budget_cap",
     "audio_chunks",
     "normalized_dedup",
+    "winnowing_fingerprints",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",

@@ -326,3 +326,48 @@ def test_audio_chunks_byte_accurate_on_non_ascii(spark):
     assert got == expect
     # 'x' (1 byte) yields no sample rows at all
     assert not [k for k in got if k[0] == 3]
+
+
+def _py_winnow(text: str, k: int, w: int):
+    """Independent Python mirror: rightmost-minimal per window."""
+    import hashlib
+
+    toks = text.split(" ")
+    if len(toks) >= k:
+        sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        sh = [" ".join(toks)]
+    hs = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+    sel = set()
+    n_win = max(1, len(hs) - w + 1)
+    for i in range(n_win):
+        window = hs[i : i + w]
+        m = min(window)
+        # rightmost occurrence of the minimal hash
+        j = max(idx for idx, h in enumerate(window) if h == m)
+        sel.add((i + j + 1, m))  # 1-based position
+    return sel
+
+
+def test_winnowing_matches_python_reference_and_moss_guarantee(spark):
+    """Selection must equal the sequential rightmost-minimal reference,
+    and the MOSS guarantee must hold: two docs sharing a run of
+    >= w + k - 1 tokens share at least one selected fingerprint."""
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    docs = [
+        (1, "one two " + shared + " three"),
+        (2, shared + " nine ten eleven twelve"),
+        (3, "a b c"),  # shorter than k -> one whole-text shingle
+        (4, "x " * 3 + "x"),  # repeated tokens: hash ties exercise rightmost rule
+    ]
+    from firewatch_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in text_ops.with_winnowing_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for d, t in docs:
+        assert got[d] == _py_winnow(t, k, w), d
+    # MOSS guarantee: docs 1 and 2 share a fingerprint (positions differ)
+    assert {fp for _, fp in got[1]} & {fp for _, fp in got[2]}
