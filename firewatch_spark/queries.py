@@ -4432,7 +4432,6 @@ _HEAD = [
     "mixture_pivot",
     "event_ntile",
     "cluster_balanced_sample",
-    "incremental_dedup",
     "corpus_shuffle",
     "length_histogram",
     "mixture_unpivot",
@@ -4440,7 +4439,6 @@ _HEAD = [
     "udaf_user_peak",
     "dup_ngram_coverage",
     "embedding_gram",
-    "bpe_merge",
     # round-5 additions: the end-to-end pipeline composition (VERDICT
     # r4 "Next round" #5) and cross-document packing — never
     # driver-attested yet
@@ -4475,6 +4473,12 @@ _TAIL = [
     "chunk_packing",  # chunking+packing re-executed by llm_pipeline + cross_doc_packing
     "dataset_split",  # split_by_hash re-executed as llm_pipeline's split stage
     "embedding_quantize",  # unit-norm + int8 quantize re-executed in llm_pipeline's vec stage
+    # round-6 late demotions (r5-attested green; strict subsets of
+    # windowed round-6 queries — the K=1 round of bpe_merge_k3, and the
+    # stateless form whose IDENTICAL oracle gates both the windowed
+    # indexed and streamed variants):
+    "bpe_merge",
+    "incremental_dedup",
     "video_scan",  # rows-only by design (Python-side deterministic fake)
     "approx_distinct_users",  # rows-only by design (HLL estimate)
     "ann_ivf_cells",  # cell assignment re-executed inside ann_ivf_topk
@@ -4522,7 +4526,8 @@ _TAIL = [
     # per-pair minhash-match count is unique here
     "dedup_minhash_lsh",
     # the hyperplane bucket fold is re-executed inside
-    # embedding_near_dup's bucket self-join (windowed)
+    # embedding_near_dup's bucket self-join (sf0.01-pytest-replayed)
+    # and inside the WINDOWED embedding_dedup_keep's pair stage
     "ann_lsh_buckets",
     # P3 threshold + P6 zeroing re-executed inside predict_udf's
     # UDF == column == SQL oracle; the complement column stays
@@ -4551,7 +4556,9 @@ _TAIL = [
     "jpeg_encode_plan",
     # broadcast star-join plan shape is machine-checked by test_plans::
     # test_star_join_broadcasts_dimensions; the floor-scaled revenue
-    # aggregation is the same family pricing_summary (windowed) gates
+    # aggregation is the same family pricing_summary gates (sf0.01
+    # pytest replay — every query outside the 50-window keeps that
+    # continuous gate, see tests/test_registry.py)
     "revenue_by_nation",
     # the profile-hit fold (size(filter(toks, IN list))) is the same
     # machinery as the stopword fold inside llm_pipeline's quality
