@@ -1045,3 +1045,82 @@ def with_dup_ngram_coverage(
             / F.col("n_tokens").cast("double")
         ).alias("dup_frac"),
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    gram_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (FastCDC-style) + chunk-level corpus
+    dedup — the insertion-robust complement to `span_dedup`'s FIXED
+    spans: a token starts a new chunk iff its ``gram_n``-token gram's
+    md5 opens with nibble 0 (probability 1/16 → ~16-token expected
+    chunks).  Because boundaries are functions of LOCAL content, an
+    insertion reshapes only the chunk it lands in — every chunk
+    downstream keeps its exact text and md5 (property-tested), which is
+    why storage/dedup systems chunk this way instead of at fixed
+    offsets.
+
+    Output one row per chunk: (doc_id, chunk_idx, n_tokens, chunk_md5,
+    n_dups = corpus-wide occurrence count of the chunk content).
+
+    Scale shape: boundary flags are computed in let-bound array algebra
+    (O(tokens) per doc), exploded as slim (pos, token, flag) rows via
+    arrays_zip (never duplicating the token array per row), chunk ids
+    are a running flag sum over a PER-DOC window (key-parallel), chunks
+    assemble with one (doc, chunk) groupBy, and the duplicate count is
+    a map-side-combinable groupBy(chunk_md5) joined back — the same
+    no-window-over-the-hot-hash discipline as span_dedup and
+    dup_ngram_coverage.  Everything is linear in corpus tokens."""
+    flags_expr = (
+        f"transform(array(split({text_col}, ' ')), TK -> "
+        f"transform(sequence(1, size(TK)), j -> named_struct("
+        "'tok', element_at(TK, j), "
+        "'flag', CASE WHEN j > 1 AND j <= size(TK) - "
+        f"{gram_n - 1} AND instr('{HEX}', substring("
+        f"md5(concat_ws(' ', slice(TK, j, {gram_n}))), 1, 1)) = 1 "
+        "THEN 1 ELSE 0 END)))[0]"
+    )
+    pos = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(flags_expr)).alias("_j0", "_s"),
+        )
+        .select(
+            id_col,
+            (F.col("_j0") + 1).alias("_j"),
+            F.col("_s.tok").alias("_tok"),
+            F.col("_s.flag").alias("_flag"),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cids = pos.withColumn("_cid", F.sum("_flag").over(w))
+    chunks = (
+        cids.groupBy(id_col, "_cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(_j, _tok))), s -> s._tok)"),
+            ).alias("_ctext"),
+        )
+        .select(
+            id_col,
+            F.col("_cid").cast("long").alias("chunk_idx"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.md5(F.col("_ctext").cast("binary")).alias("chunk_md5"),
+        )
+    )
+    counts = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n_dups")
+    )
+    return chunks.join(counts, "chunk_md5").select(
+        id_col, "chunk_idx", "n_tokens", "chunk_md5", F.col("n_dups").cast("long").alias("n_dups")
+    )

@@ -1876,6 +1876,49 @@ def lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+_CDC_GRAM = 3
+
+_CDC_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    fl AS (
+      SELECT doc_id, u.j AS j, list_extract(toks, u.j) AS tok,
+             CASE WHEN u.j > 1 AND u.j <= len(toks) - {_CDC_GRAM - 1}
+                       AND strpos('0123456789abcdef', substring(
+                             md5({" || ' ' || ".join(f"list_extract(toks, u.j + {i})" for i in range(_CDC_GRAM))}),
+                             1, 1)) = 1
+                  THEN 1 ELSE 0 END AS flag
+      FROM t, unnest(generate_series(1, len(toks))) AS u(j)
+    ),
+    cid AS (
+      SELECT doc_id, j, tok,
+             sum(flag) OVER (PARTITION BY doc_id ORDER BY j
+                             ROWS UNBOUNDED PRECEDING) AS cid
+      FROM fl
+    ),
+    ch AS (
+      SELECT doc_id, CAST(cid AS BIGINT) AS chunk_idx,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY j)) AS chunk_md5
+      FROM cid GROUP BY doc_id, cid
+    ),
+    cnt AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_dups FROM ch GROUP BY chunk_md5)
+    SELECT ch.doc_id, ch.chunk_idx, ch.n_tokens, ch.chunk_md5, cnt.n_dups
+    FROM ch JOIN cnt USING (chunk_md5)
+    """
+
+
+@q("cdc_chunk_dedup", _CDC_SQL)
+def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level corpus dedup
+    (operators/dedup.py cdc_chunk_dedup): rolling-gram-hash boundaries
+    (md5 nibble 0 → ~16-token chunks) make chunk identity robust to
+    insertions — only the touched chunk changes, everything downstream
+    keeps its md5 (property-tested) — the reason storage/dedup systems
+    chunk by content, not offset."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.cdc_chunk_dedup(docs, gram_n=_CDC_GRAM)
+
+
 _WINNOW_K = 4
 _WINNOW_W = 5
 
@@ -4426,6 +4469,7 @@ _HEAD = [
     "audio_chunks",
     "normalized_dedup",
     "winnowing_fingerprints",
+    "cdc_chunk_dedup",
     # round-5 session-4 additions — never driver-attested yet
     "unigram_score",
     "source_cap",

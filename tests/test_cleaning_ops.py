@@ -371,3 +371,43 @@ def test_winnowing_matches_python_reference_and_moss_guarantee(spark):
         assert got[d] == _py_winnow(t, k, w), d
     # MOSS guarantee: docs 1 and 2 share a fingerprint (positions differ)
     assert {fp for _, fp in got[1]} & {fp for _, fp in got[2]}
+
+
+def test_cdc_chunks_are_insertion_robust(spark):
+    """The point of content-defined chunking: inserting a token reshapes
+    only the chunk it lands in — every chunk whose text lies entirely
+    after the insertion keeps its exact content md5 (fixed-offset spans
+    would shift EVERY downstream boundary)."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    base = [rng.choice(vocab) for _ in range(240)]
+    ins = base[:117] + ["INSERTED"] + base[117:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(ins))], ["doc_id", "text"]
+    )
+    out = {}
+    for r in dedup.cdc_chunk_dedup(df).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_md5"]))
+    md5s = {d: [m for _, m in sorted(v)] for d, v in out.items()}
+    # chunks strictly after the insertion point are IDENTICAL: the two
+    # docs' chunk md5 sequences share a common suffix of length >= 1
+    # and (being ~16-token chunks over a 240-token doc) most of the
+    # tail survives — require at least half the base doc's chunks
+    suffix = 0
+    for a, b in zip(reversed(md5s[1]), reversed(md5s[2])):
+        if a != b:
+            break
+        suffix += 1
+    assert suffix >= len(md5s[1]) // 2, (suffix, len(md5s[1]))
+    # and the prefix BEFORE the insertion is untouched too
+    prefix = 0
+    for a, b in zip(md5s[1], md5s[2]):
+        if a != b:
+            break
+        prefix += 1
+    assert prefix >= 1
+    # sanity: per-doc chunks reassemble the doc (token counts add up)
+    n1 = sum(r["n_tokens"] for r in dedup.cdc_chunk_dedup(df).collect() if r["doc_id"] == 1)
+    assert n1 == 240
