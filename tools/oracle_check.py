@@ -38,6 +38,11 @@ def norm_hash(df: pd.DataFrame) -> str:
             cols[c] = s.map(lambda v: repr(float(v)))
         else:
             cols[c] = s.astype(str)
+    if not len(df):
+        # empty frame: agg() degrades to a DataFrame and sort_values()
+        # throws; hash the (sorted) column names so two empty results
+        # still compare by schema
+        return hashlib.md5(("|".join(sorted(df.columns))).encode()).hexdigest()
     joined = pd.DataFrame(cols).agg("|".join, axis=1).sort_values()
     return hashlib.md5("\n".join(joined.tolist()).encode()).hexdigest()
 
