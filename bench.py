@@ -55,6 +55,15 @@ BUILD_TIMED = {
     "streaming_incremental_dedup",
     # label propagation actions in-build (like near_dup_clusters)
     "embedding_dedup_keep",
+    # round-7: localCheckpoints the capped candidates in-build (same
+    # reason as incremental_dedup_indexed)
+    "incremental_dedup_bloom",
+    # residual checkpoint + per-round codebook materializations + dim
+    # probes run in-build
+    "ann_ivf_pq_topk",
+    # stop-rule probes (vocab count, argmax collect) + per-round
+    # checkpoints run in-build
+    "bpe_vocab_induction",
 }
 
 
@@ -204,6 +213,15 @@ def main() -> None:
         "embedding_dedup_keep",
         # pure linear token fold — the slope floor
         "quality_classifier",
+        # round-7 operators: bloom-prefiltered band join (the prefilter
+        # should IMPROVE the slope vs the unfiltered indexed form),
+        # PQ index build + ADC probe (codes/LUT joins must stay
+        # Σ-probed-cell, never corpus²), island-union removal and the
+        # hamming-banded image pairs (both linear by construction)
+        "incremental_dedup_bloom",
+        "ann_ivf_pq_topk",
+        "dup_span_removal",
+        "image_phash_dedup",
     ]
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope

@@ -798,6 +798,65 @@ def image_phash_pairs(
     )
 
 
+AUDIO_FP_BITS = 64
+
+
+def audio_fingerprint_pairs(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    chunk_samples: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Audio near-duplicate pairs by energy-contour fingerprint — the
+    AUDIO member of the multimodal dedup family (text → SimHash,
+    image → dHash, audio → this): chunk the PCM stream
+    (`sources.multimodal.audio_chunks` — REAL int16 decode), resample
+    the per-chunk energy contour to a FIXED 64 comparison points
+    (position i compares chunk 1 + ((i−1)(n−1)) div 64 with its
+    successor — the chromaprint-style duration-invariant trick: no
+    padding artifacts, every clip yields exactly 64 bits), set bit i
+    iff energy rises, then the SAME `hamming_band_pairs` stage as
+    SimHash/dHash.
+
+    Exactness: the rise test cross-multiplies exact int64 energies
+    (ssq_a · n_b < ssq_b · n_a — never a float rms division), so the
+    fingerprint replays bit-for-bit in DuckDB over the byte-decoded
+    oracle.  Clips shorter than 2 chunks fingerprint as all-zeros and
+    collapse among themselves.
+
+    Scale shape: the payload is consumed inside the audio_chunks
+    mapInPandas stage (never shuffled); what shuffles is (media_id,
+    chunk stats) rows into one media-keyed groupBy, then 64-char
+    fingerprints through the banded pair join."""
+    from ..sources.multimodal import audio_chunks
+
+    chunks = audio_chunks(
+        media.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")),
+        chunk_samples,
+    )
+    prof = chunks.groupBy("media_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("chunk_idx", "sum_sq", "n_samples"))
+        ).alias("ch")
+    )
+    bits = []
+    for i in range(1, AUDIO_FP_BITS + 1):
+        # CAST: `div` yields BIGINT and ANSI element_at wants INT
+        a = f"CAST(1 + (({i} - 1) * (size(ch) - 1)) div {AUDIO_FP_BITS} AS INT)"
+        # nested CASE (not AND): ANSI element_at throws out-of-bounds,
+        # and AND operands aren't guaranteed to short-circuit in codegen
+        bits.append(
+            f"CASE WHEN size(ch) >= 2 THEN "
+            f"(CASE WHEN element_at(ch, {a}).sum_sq * element_at(ch, {a} + 1).n_samples < "
+            f"element_at(ch, {a} + 1).sum_sq * element_at(ch, {a}).n_samples "
+            "THEN '1' ELSE '0' END) ELSE '0' END"
+        )
+    fp = prof.withColumn("afp", F.expr("concat(" + ", ".join(bits) + ")"))
+    return hamming_band_pairs(fp, "afp", "media_id", max_hamming, max_bucket)
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup (new corpus vs existing index)
 

@@ -764,6 +764,84 @@ def bpe_merge_k(
     )
 
 
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "_",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Apply a TRAINED merge list to a corpus — the tokenizer-APPLY
+    half of the BPE pair (`bpe_vocab_induction` is the TRAIN half):
+    each (left, right) merge is applied greedily in PRIORITY ORDER
+    with NO recounting, exactly how a shipped tokenizer encodes unseen
+    text (training picks the ranks once; encoding replays them).  This
+    differs from `bpe_merge_k`, which re-argmaxes the CURRENT corpus
+    each round — applying a trained tokenizer to a new crawl must not
+    depend on the new crawl's statistics.
+
+    Per merge: one literal 1-row pair table rides the same
+    `bpe_merge_round(top=...)` machinery (gaps-and-islands parity,
+    per-round materialization).  len(merges) linear jobs; output
+    (doc_id, n_merges, new_text)."""
+    from .util import make_checkpointer
+
+    ckpt = make_checkpointer(df.sparkSession, checkpoint_dir)
+    cur = ckpt(
+        df.select(
+            F.col(id_col), F.col(text_col), F.lit(0).cast("long").alias("_acc")
+        )
+    )
+    for left, right in merges:
+        top = df.sparkSession.createDataFrame(
+            [(left, right)], "pair_left string, pair_right string"
+        )
+        out = bpe_merge_round(
+            cur.select(id_col, text_col), text_col, id_col, joiner, top=top
+        )
+        cur = ckpt(
+            cur.select(id_col, "_acc")
+            .join(out, id_col)
+            .select(
+                id_col,
+                F.col("new_text").alias(text_col),
+                (F.col("_acc") + F.col("n_merges")).alias("_acc"),
+            )
+        )
+    return cur.select(
+        id_col,
+        F.col("_acc").alias("n_merges"),
+        F.col(text_col).alias("new_text"),
+    )
+
+
+def top_adjacent_pairs(
+    df: DataFrame, n: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """The ``n`` most frequent adjacent pairs of the corpus, in merge
+    priority order (count desc, then lexicographic) — the trained
+    merge table `bpe_apply` consumes.  One bigram-keyed count job and
+    an O(n)-row collect."""
+    bigrams = df.select(
+        F.explode(
+            F.expr(
+                f"transform(array(split({text_col}, ' ')), TK -> "
+                "CASE WHEN size(TK) >= 2 THEN "
+                "transform(sequence(1, size(TK) - 1), "
+                "i -> struct(element_at(TK, i) AS l, "
+                "element_at(TK, i + 1) AS r)) "
+                "ELSE array() END)[0]"
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy(
+        F.col("bg.l").alias("l"), F.col("bg.r").alias("r")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rows = counts.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(n).collect()
+    return [(row["l"], row["r"]) for row in rows]
+
+
 def corpus_vocab_size(df: DataFrame, text_col: str = "text") -> int:
     """Distinct token-type count over the corpus — the vocabulary-size
     probe the induction stop rule reads each round.  One explode +

@@ -3044,6 +3044,97 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_RECALL_SQL = f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    n AS MATERIALIZED (
+      SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2 FROM iv
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                      i -> list_extract(q.iv, i) * list_extract(c.iv, i))) AS DOUBLE)
+                   / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) DESC,
+                 c.vec_id ASC) AS rk
+        FROM n q JOIN n c ON q.vec_id % {_IVF_QSAMPLE} = 0 AND c.vec_id <> q.vec_id
+      ) WHERE rk <= 5
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, iv AS civ FROM iv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
+    ),
+    c_assign AS (
+      SELECT vec_id AS neighbor_id, centroid_id, iv AS civ2, n2 AS cn2 FROM (
+        SELECT a.vec_id, c.centroid_id, a.iv, a.n2,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, len(a.iv)),
+                   i -> (list_extract(a.iv, i) - list_extract(c.civ, i))
+                      * (list_extract(a.iv, i) - list_extract(c.civ, i)))) ASC,
+                 c.centroid_id ASC) AS rk
+        FROM n a, cents c
+      ) WHERE rk = 1
+    ),
+    q_probe AS (
+      SELECT vec_id AS query_id, centroid_id, iv AS qiv, n2 AS qn2 FROM (
+        SELECT a.vec_id, c.centroid_id, a.iv, a.n2,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, len(a.iv)),
+                   i -> (list_extract(a.iv, i) - list_extract(c.civ, i))
+                      * (list_extract(a.iv, i) - list_extract(c.civ, i)))) ASC,
+                 c.centroid_id ASC) AS rk
+        FROM n a, cents c WHERE a.vec_id % {_IVF_QSAMPLE} = 0
+      ) WHERE rk <= {_IVF_NPROBE}
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 CAST(list_sum(list_transform(generate_series(1, len(q.qiv)),
+                      i -> list_extract(q.qiv, i) * list_extract(c.civ2, i))) AS DOUBLE)
+                   / sqrt(CAST(q.qn2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC,
+                 c.neighbor_id ASC) AS rank
+        FROM q_probe q JOIN c_assign c ON q.centroid_id = c.centroid_id
+        WHERE q.query_id <> c.neighbor_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@q("ann_recall", _ANN_RECALL_SQL)
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 measurement — the diagnostic a production vector
+    pipeline runs before trusting an approximate index (measure, don't
+    guess): exact brute-force cosine top-5 vs the IVF nprobe search
+    for the same query sample, per-query overlap and recall.  Both
+    sides are the registry's own machinery (cosine_topk, ivf_topk);
+    recall tuning = the nprobe/k_centroids knobs this number feeds.
+    At 100 TB the exact side runs on a SAMPLE of queries only — its
+    corpus scan is the one-off audit cost, never the serving path."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % _IVF_QSAMPLE == 0)
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = (
+        similarity.ivf_topk(emb, q, k=5, nprobe=_IVF_NPROBE, k_centroids=_IVF_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap")
+    ).withColumn("recall", F.col("n_overlap").cast("double") / F.lit(5.0))
+
+
 def _ivf_pq_sql(
     k_cents: int = _IVF_K,
     m: int = 8,
@@ -3457,6 +3548,98 @@ def bpe_vocab_induction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_freq=_BPE_VOCAB_MIN_FREQ,
         max_rounds=_BPE_VOCAB_MAX_ROUNDS,
     )
+
+
+def _bpe_apply_round_ctes(p: str, src: str, rank: int) -> str:
+    """One APPLY round: merge the rank-``rank`` pair of the TRAINED
+    merge table `tr` (computed once over the ORIGINAL corpus) — no
+    recounting, unlike `_bpe_round_ctes`.  Same greedy-parity rebuild."""
+    return f"""
+    {p}t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+    {p}top AS (SELECT l, r FROM tr WHERE rk = {rank}),
+    {p}pos AS (
+      SELECT {p}t.doc_id, u.i
+      FROM {p}t, unnest(generate_series(1, len(toks) - 1)) AS u(i), {p}top
+      WHERE list_extract(toks, u.i) = {p}top.l
+        AND list_extract(toks, u.i + 1) = {p}top.r
+    ),
+    {p}runs AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM {p}pos
+    ),
+    {p}mk AS (
+      SELECT doc_id, i,
+             row_number() OVER (PARTITION BY doc_id, island ORDER BY i) AS k
+      FROM {p}runs
+    ),
+    {p}mpos AS (
+      SELECT doc_id, list_sort(list(i)) AS mp FROM {p}mk WHERE k % 2 = 1 GROUP BY doc_id
+    ),
+    {p}o AS (
+      SELECT {p}t.doc_id, COALESCE({p}mpos.mp, []) AS mp, {p}t.toks
+      FROM {p}t LEFT JOIN {p}mpos USING (doc_id)
+    ),
+    {p}out AS (
+      SELECT doc_id,
+             CAST(len(mp) AS BIGINT) AS n_merges,
+             array_to_string(list_filter(list_transform(generate_series(1, len(toks)),
+               i -> CASE WHEN list_contains(mp, i)
+                         THEN list_extract(toks, i) || '_' || list_extract(toks, i + 1)
+                         WHEN list_contains(mp, i - 1) THEN NULL
+                         ELSE list_extract(toks, i) END),
+               x -> x IS NOT NULL), ' ') AS new_text
+      FROM {p}o
+    )"""
+
+
+def _bpe_apply_sql(n_merges: int) -> str:
+    ctes = [
+        "r0 AS MATERIALIZED (SELECT doc_id, text FROM documents)",
+        # the TRAINED merge table: top-n pairs of the ORIGINAL corpus in
+        # priority order — computed once, never recounted per round
+        f"""tr AS MATERIALIZED (
+      SELECT l, r, row_number() OVER (ORDER BY c DESC, l, r) AS rk
+      FROM (
+        SELECT list_extract(toks, u.i) AS l, list_extract(toks, u.i + 1) AS r,
+               count(*) AS c
+        FROM (SELECT string_split(text, ' ') AS toks FROM r0) t,
+             unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        GROUP BY 1, 2
+      ) QUALIFY rk <= {n_merges}
+    )""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(_bpe_apply_round_ctes(f"a{i}_", f"r{i - 1}", i))
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT doc_id, new_text AS text FROM a{i}_out)"
+        )
+    total = " + ".join(f"a{i}_out.n_merges" for i in range(1, n_merges + 1))
+    joins = "".join(f" JOIN a{i}_out USING (doc_id)" for i in range(1, n_merges))
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT doc_id, CAST({total} AS BIGINT) AS n_merges,
+           a{n_merges}_out.new_text AS new_text
+    FROM a{n_merges}_out{joins}
+    """
+
+
+_BPE_APPLY_N = 3
+
+
+@q("bpe_apply_trained", _bpe_apply_sql(_BPE_APPLY_N))
+def bpe_apply_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (operators/text.py bpe_apply) — the other
+    half of the BPE pair: the top-{_BPE_APPLY_N} merge table is
+    "trained" once on the corpus (priority = count desc, then lexical)
+    and then applied in RANK ORDER with no recounting — how a shipped
+    tokenizer encodes new text, and observably different from
+    bpe_merge_k3's per-round re-argmax whenever round 1's merge
+    changes round 2's best pair.  The oracle computes the same trained
+    table and replays the three literal-rank rounds."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = text.top_adjacent_pairs(docs, _BPE_APPLY_N)
+    return text.bpe_apply(docs, merges)
 
 
 _BPE_SQL = """
@@ -3882,7 +4065,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUDIO_CHUNK = 64
 
 
-def _audio_sql(chunk: int = _AUDIO_CHUNK) -> str:
+def _audio_sql(chunk: int = _AUDIO_CHUNK, src: str = "documents") -> str:
     """BYTE-accurate PCM oracle: the payload is the UTF-8 BYTES of the
     text (what Spark's text.cast('binary') produces), read through
     hex(encode(text)) — two hex chars per byte — NOT through character
@@ -3902,7 +4085,7 @@ def _audio_sql(chunk: int = _AUDIO_CHUNK) -> str:
     WITH a AS (
       SELECT doc_id AS media_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) // 2 AS n_total
-      FROM documents
+      FROM {src}
     ),
     ch AS (
       SELECT media_id, hx, n_total, u.i AS chunk_idx,
@@ -3952,6 +4135,67 @@ def audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return audio_chunks(media, chunk_samples=_AUDIO_CHUNK)
+
+
+def _audio_fp_sql() -> str:
+    """Energy-contour audio fingerprint oracle: the byte-decoded chunk
+    chain (`_audio_sql`, src=media with planted duplicate crawls) →
+    per-clip energy profile → 64 resampled rise/fall bits (exact
+    cross-multiplied int comparisons) → the shared hamming tail."""
+    bits = []
+    for i in range(1, dedup.AUDIO_FP_BITS + 1):
+        a = f"(1 + (({i} - 1) * (len(ch) - 1)) // {dedup.AUDIO_FP_BITS})"
+        bits.append(
+            f"CASE WHEN len(ch) >= 2 THEN "
+            f"(CASE WHEN list_extract(ch, {a}).ss * list_extract(ch, {a} + 1).n < "
+            f"list_extract(ch, {a} + 1).ss * list_extract(ch, {a}).n "
+            "THEN '1' ELSE '0' END) ELSE '0' END"
+        )
+    chain = _audio_sql(src="media").strip()
+    assert chain.startswith("WITH ")
+    inner = chain[len("WITH ") :]
+    return f"""
+    WITH media AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_PHASH_COPY_OFFSET}, text FROM documents
+      WHERE doc_id % {_PHASH_COPY_MOD} = 0
+    ),
+    {inner},
+    prof AS (
+      SELECT media_id AS doc_id,
+             list(struct_pack(ss := CAST(sum_sq AS BIGINT),
+                              n := CAST(n_samples AS BIGINT))
+                  ORDER BY chunk_idx) AS ch
+      FROM s GROUP BY media_id
+    ),
+    sh AS (SELECT doc_id, concat({", ".join(bits)}) AS simhash FROM prof),
+    {_hamming_pairs_tail("sh")}
+    """
+
+
+@q("audio_fingerprint_dedup", _audio_fp_sql())
+def audio_fingerprint_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs (operators/dedup.py
+    audio_fingerprint_pairs) — the audio member of the multimodal
+    dedup family, completing the modality triangle (text SimHash,
+    image dHash, audio energy contour): real int16-PCM chunk energies
+    (the audio_chunks Arrow stage), resampled to a fixed 64-bit
+    duration-invariant rise/fall fingerprint, paired through the SAME
+    hamming banding as the other modalities.  Every 7th doc
+    re-ingested as a duplicate crawl (see _PHASH_COPY_MOD) so the
+    collapse rows are attestable."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pay = F.col("text").cast("binary")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), pay.alias("payload")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % _PHASH_COPY_MOD == 0).select(
+            (F.col("doc_id") + _PHASH_COPY_OFFSET).alias("media_id"),
+            pay.alias("payload"),
+        )
+    )
+    return dedup.audio_fingerprint_pairs(media, chunk_samples=_AUDIO_CHUNK)
 
 
 @q(
@@ -4939,6 +5183,9 @@ _PINNED = [
     "image_phash_dedup",
     "bpe_vocab_induction",
     "ann_ivf_pq_topk",
+    "ann_recall",
+    "audio_fingerprint_dedup",
+    "bpe_apply_trained",
     # permanent pins (see ordering note above)
     "streaming_session_parity",
     "streaming_ep2_parity",

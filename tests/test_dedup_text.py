@@ -480,3 +480,34 @@ def test_image_phash_dedup_collapses_identical_payloads(spark):
     }
     # star edges from the min-id rep; no cross-payload pair at hamming<=3
     assert pairs == {(1, 2): 0, (1, 3): 0}
+
+
+def test_audio_fingerprint_dedup_collapses_identical_clips(spark):
+    """The audio member of the multimodal dedup family: identical PCM
+    payloads share a fingerprint and collapse to hamming-0 stars via
+    the shared banding; clips shorter than two chunks fingerprint as
+    all-zeros and collapse among themselves."""
+    from firewatch_spark.operators import dedup
+
+    import struct
+
+    def pcm(*amps_per_chunk):  # one 64-sample chunk per amplitude
+        return b"".join(struct.pack("<64h", *([a] * 64)) for a in amps_per_chunk)
+
+    rising = pcm(10, 100, 1000, 5000, 10000, 20000, 25000, 30000)
+    # NOT a falling ramp: energy that never rises fingerprints as
+    # all-zeros, same as the too-short clips — alternation gives a
+    # genuinely distinct bit pattern
+    alternating = pcm(10, 30000, 10, 30000, 10, 30000, 10, 30000)
+    tiny1, tiny2 = b"\x01\x02", b"\x03\x04"  # 1 sample each: no contour
+    media = spark.createDataFrame(
+        [(1, rising), (2, rising), (3, alternating), (4, tiny1), (5, tiny2)],
+        "media_id long, payload binary",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.audio_fingerprint_pairs(media).collect()
+    }
+    assert pairs[(1, 2)] == 0          # identical clips collapse
+    assert pairs[(4, 5)] == 0          # all-zero shorts collapse together
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0

@@ -767,3 +767,25 @@ def test_bpe_vocab_induction_stop_rules(spark):
     k3 = {r["doc_id"]: (r["n_merges"], r["new_text"])
           for r in text_ops.bpe_merge_k(df, k=3).collect()}
     assert got3 == k3
+
+
+def test_bpe_apply_uses_trained_ranks_not_recounts(spark):
+    """The apply half must replay the TRAINED merge priorities, not
+    re-argmax the merged corpus: after merging (x,y), the trained
+    rank-2 pair (y,z) no longer occurs — apply merges nothing in round
+    2, while the retraining loop (bpe_merge_k) merges (x_y,z)."""
+    from firewatch_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "x y z x y z x y z")], "doc_id long, text string"
+    )
+    merges = text_ops.top_adjacent_pairs(df, 2)
+    assert merges == [("x", "y"), ("y", "z")]
+
+    applied = text_ops.bpe_apply(df, merges).collect()[0]
+    assert applied["n_merges"] == 3
+    assert applied["new_text"] == "x_y z x_y z x_y z"
+
+    retrained = text_ops.bpe_merge_k(df, k=2).collect()[0]
+    assert retrained["n_merges"] == 6
+    assert retrained["new_text"] == "x_y_z x_y_z x_y_z"

@@ -57,6 +57,10 @@ def test_no_cartesian_product_anywhere(plans):
         # (probe ranking) — the same bounded IVF broadcast products;
         # the PQ stages themselves are equi-joins on s / centroid_id
         "ann_ivf_pq_topk",
+        # the recall audit's EXACT side is ann_topk's corpus ×
+        # broadcast-query-sample scan (the one-off audit cost; the
+        # approx side is the IVF equi-join)
+        "ann_recall",
         "tfidf_topk",
         "lang_rebalance",
         # 1-row min-count broadcast, same shape as lang_rebalance
@@ -180,3 +184,36 @@ def test_media_payload_never_enters_exchange(spark):
     # the projection under that) must already have dropped the payload
     assert "frame_data" not in lines[ex_idx + 1]
     assert "frame_data" not in lines[ex_idx + 2]
+
+
+def test_image_phash_payload_never_enters_exchange(spark):
+    """The image dedup discipline at 100 TB: fingerprints are computed
+    scan-side and only (id, 64-char phash) rows shuffle — the binary
+    payload column must not be among any Exchange's INPUT attributes
+    (checked on the plan tree, not the plan text: the Project feeding
+    the first shuffle legitimately references payload in its
+    expressions while outputting only the fingerprint)."""
+    from firewatch_spark.operators import dedup
+
+    media = spark.createDataFrame(
+        [(i, bytes([i]) * 64) for i in range(8)], "media_id long, payload binary"
+    )
+    jplan = dedup.image_phash_pairs(media)._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in jplan.nodeName():
+        jplan = jplan.initialPlan()  # AQE root hides its children
+
+    carried: list[list[str]] = []
+
+    def walk(node):
+        ch = node.children()
+        for i in range(ch.size()):
+            c = ch.apply(i)
+            if "Exchange" in node.nodeName():
+                outs = c.output()
+                carried.append([outs.apply(j).name() for j in range(outs.size())])
+            walk(c)
+
+    walk(jplan)
+    assert carried, "expected at least one Exchange in the pair plan"
+    for cols in carried:
+        assert "payload" not in cols, cols

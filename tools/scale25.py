@@ -1,0 +1,81 @@
+"""One-off 25x scaling probe (SCALE.md "third point") — re-times
+selected documents-only registry queries on the x1 and x25 replicated
+dirs built by tools/scale_data.py, printing slope_vs_linear per query.
+
+Usage:  python tools/scale25.py [query ...]
+The session mirrors the round-5 sizing lesson: 48g heap, 64 shuffle
+partitions (the default heap GC-thrashed label propagation at 25x).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT = [
+    "dup_span_removal",
+    "incremental_dedup_bloom",
+    "image_phash_dedup",
+    "audio_fingerprint_dedup",
+    "bpe_vocab_induction",
+    "bpe_apply_trained",
+]
+
+# queries whose work happens while building the DataFrame (mirrors
+# bench.py BUILD_TIMED for the subset this probe covers)
+BUILD_TIMED = {"incremental_dedup_bloom", "bpe_vocab_induction", "bpe_apply_trained"}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from firewatch_spark.queries import registry
+
+    names = sys.argv[1:] or DEFAULT
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_scale"
+    )
+    dirs = {1: os.path.join(root, "x1"), 25: os.path.join(root, "x25")}
+    for d in dirs.values():
+        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
+            raise SystemExit(f"missing scaled dir {d} — run bench.py first (x1/x5) "
+                             "and tools/scale_data.py for x25")
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    def run(name: str, sf_dir: str) -> float:
+        if name in BUILD_TIMED:
+            t0 = time.perf_counter()
+            df = reg[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+        df = reg[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warmup
+    reg[names[0]].fn(spark, dirs[1]).write.format("noop").mode("overwrite").save()
+    for name in names:
+        t1 = run(name, dirs[1])
+        t25 = run(name, dirs[25])
+        print(
+            f"{name}: t_1x={t1:.2f}s t_25x={t25:.2f}s "
+            f"slope_vs_linear={(t25 / t1 / 25):.3f}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
