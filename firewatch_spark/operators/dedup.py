@@ -761,18 +761,19 @@ def with_image_phash(
         f" + instr('{HEX}', substring(md5(concat(PM, '|', "
         "CAST(i div 9 AS STRING), '|', CAST(i % 9 AS STRING))), 2, 1)) - 1)"
     )
-    bits = []
-    for r in range(PHASH_ROWS):
-        for c in range(PHASH_COLS - 1):
-            left = r * PHASH_COLS + c + 1  # 1-based cell index
-            bits.append(
-                f"CASE WHEN element_at(CS, {left}) < element_at(CS, {left + 1}) "
-                "THEN '1' ELSE '0' END"
-            )
+    # bit b in 1..64 compares cell (r, c) = ((b-1) div 8, (b-1) % 8)
+    # with its right neighbor — computed as ONE dynamic lambda instead
+    # of 64 concatenated literal CASE blocks, which exceeded janino's
+    # method-size limit and dropped the projection out of whole-stage
+    # codegen (found by the 25× probe on the audio twin)
+    left = "CAST(((b - 1) div 8) * 9 + ((b - 1) % 8) + 1 AS INT)"
     expr = (
         f"transform(array(md5({payload_col})), PM -> "
         f"transform(array(transform(sequence(0, {PHASH_ROWS * PHASH_COLS - 1}), "
-        f"i -> {cell})), CS -> concat({', '.join(bits)}))[0])[0]"
+        f"i -> {cell})), CS -> "
+        f"concat_ws('', transform(sequence(1, {PHASH_ROWS * (PHASH_COLS - 1)}), b -> "
+        f"CASE WHEN element_at(CS, {left}) < element_at(CS, {left} + 1) "
+        "THEN '1' ELSE '0' END)))[0])[0]"
     )
     return ensure_parallelism(df).withColumn(out_col, F.expr(expr))
 
@@ -841,19 +842,22 @@ def audio_fingerprint_pairs(
             F.collect_list(F.struct("chunk_idx", "sum_sq", "n_samples"))
         ).alias("ch")
     )
-    bits = []
-    for i in range(1, AUDIO_FP_BITS + 1):
-        # CAST: `div` yields BIGINT and ANSI element_at wants INT
-        a = f"CAST(1 + (({i} - 1) * (size(ch) - 1)) div {AUDIO_FP_BITS} AS INT)"
-        # nested CASE (not AND): ANSI element_at throws out-of-bounds,
-        # and AND operands aren't guaranteed to short-circuit in codegen
-        bits.append(
-            f"CASE WHEN size(ch) >= 2 THEN "
-            f"(CASE WHEN element_at(ch, {a}).sum_sq * element_at(ch, {a} + 1).n_samples < "
-            f"element_at(ch, {a} + 1).sum_sq * element_at(ch, {a}).n_samples "
-            "THEN '1' ELSE '0' END) ELSE '0' END"
-        )
-    fp = prof.withColumn("afp", F.expr("concat(" + ", ".join(bits) + ")"))
+    # ONE dynamic lambda over the bit index, not 64 literal CASE blocks
+    # concatenated: the literal form exceeded janino's method-size
+    # limit and dropped the whole projection out of whole-stage codegen
+    # (measured in the 25× probe as a compile-fallback ERROR + slower
+    # x1 run).  CAST: `div` yields BIGINT and ANSI element_at wants
+    # INT; nested CASE (not AND) because ANSI element_at throws
+    # out-of-bounds and AND operands may not short-circuit in codegen.
+    a = f"CAST(1 + ((i - 1) * (size(ch) - 1)) div {AUDIO_FP_BITS} AS INT)"
+    fp_expr = (
+        f"concat_ws('', transform(sequence(1, {AUDIO_FP_BITS}), i -> "
+        "CASE WHEN size(ch) >= 2 THEN "
+        f"(CASE WHEN element_at(ch, {a}).sum_sq * element_at(ch, {a} + 1).n_samples < "
+        f"element_at(ch, {a} + 1).sum_sq * element_at(ch, {a}).n_samples "
+        "THEN '1' ELSE '0' END) ELSE '0' END))"
+    )
+    fp = prof.withColumn("afp", F.expr(fp_expr))
     return hamming_band_pairs(fp, "afp", "media_id", max_hamming, max_bucket)
 
 
@@ -1154,9 +1158,19 @@ def incremental_dedup_indexed(
         # the index skip the candidate join entirely.  Semantics-
         # preserving at ANY value (no false negatives), so the same
         # oracle gates both paths (VERDICT r6 #3).
+        #
+        # The bits table is MATERIALIZED before the per-salt broadcasts:
+        # each of the k broadcast builds would otherwise re-execute the
+        # whole index lineage (full minhash signatures when `index` is
+        # an unmaterialized build_dedup_index plan) — the 25× probe
+        # measured exactly that as a 1.24× superlinear slope, restored
+        # to sublinear by this one checkpoint.  Output is bounded by
+        # k × min(index bands, m) rows, so the materialization is
+        # always cheap; in production the bits table is a STORED
+        # artifact beside the index and this is a plain read.
         new_banded = bloom_prefilter_bands(
             new_banded,
-            band_bloom_bits(index, bloom_m, bloom_k),
+            band_bloom_bits(index, bloom_m, bloom_k).localCheckpoint(),
             bloom_m,
             bloom_k,
         )

@@ -672,6 +672,70 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist_k: int = 15,
+    nprobe: int = 2,
+    k_centroids: int = DEFAULT_IVF_K,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + EXACT re-rank — the two-stage serving pattern
+    every production PQ index runs (FAISS's ``IVFPQR`` / re-rank
+    stage): ADC distances are approximations (quantization error is
+    bounded but nonzero), so the search takes an r×k shortlist by ADC
+    and re-scores ONLY those r×k candidates against their full-precision
+    vectors, recovering most of the recall PQ gave up while still never
+    scanning the corpus.
+
+    Plan / 100 TB posture: the shortlist is queries × shortlist_k rows
+    — tiny — and is BROADCAST against the corpus vector table, so the
+    refine stage's only corpus-scale operation is a broadcast inner
+    join that fetches exactly the shortlisted vectors (a point-lookup
+    batch at production widths, never a corpus shuffle).  The query
+    side's vectors broadcast too (the query batch is small by
+    definition).  Exact integer L2² on the scaled grid → the DuckDB
+    oracle replays the whole two-stage pipeline bit-for-bit.
+
+    Output (query_id, neighbor_id, rank, exact_d2) — rank by exact
+    distance within the shortlist."""
+    from pyspark.sql import Window
+
+    shortlist = ivf_pq_topk(
+        corpus, queries, shortlist_k, nprobe, k_centroids, m, ks,
+        train_iters, id_col, vec_col,
+    ).select("query_id", "neighbor_id")
+    qiv = with_scaled_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("iv").alias("qiv")
+    )
+    niv = with_scaled_vec(ensure_parallelism(corpus), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("iv").alias("niv")
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with("qiv", "niv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    cand = (
+        niv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qiv), "query_id")
+        .withColumn("exact_d2", exact_d2)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_d2"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "exact_d2")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

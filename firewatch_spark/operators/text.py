@@ -969,6 +969,84 @@ def with_quality_classifier(
     )
 
 
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    max_top_bigram_frac: float = 0.2,
+    max_run_len: int = 4,
+) -> DataFrame:
+    """Gopher-style HARD rule filter (Rae et al. 2021 §A1.1) — the
+    pass/fail gate production cleaning pipelines run before any
+    model-based scoring, with per-rule flags so the reject reasons are
+    auditable (the Dolma/RedPajama reporting convention):
+
+    * ``r_word_count`` — word count in [min_words, max_words];
+    * ``r_mean_word_len`` — mean word length in [3, 10];
+    * ``r_symbol_ratio`` — '#'/'…' symbols per word ≤ 0.1;
+    * ``r_alpha_words`` — ≥ 80 % of words contain a letter;
+    * ``r_stopwords`` — ≥ 2 DISTINCT stopwords present;
+    * ``r_top_bigram`` — most-frequent 2-gram claims ≤ 20 % of grams;
+    * ``r_max_run`` — longest same-token run ≤ ``max_run_len`` (the
+      keyword-stuffing analog of Gopher's duplicate-line rules, which
+      need line structure this corpus lacks).
+
+    ``keep`` = every rule passes; ``n_failed`` = failed-rule count.
+    All thresholds are the published defaults; ratio comparisons are
+    one IEEE division of exact ints per side — bit-portable, so the
+    DuckDB oracle gates every flag column by hash.
+
+    Pure Column algebra on top of `with_token_stats` /
+    `with_repetition_stats` (let-bound folds, no UDF, no shuffle) —
+    linear in corpus tokens, the module's 100 TB posture."""
+    df = with_repetition_stats(with_token_stats(df, text_col), text_col, 2)
+    toks = f"split({text_col}, ' ')"
+    n_distinct_stop = F.expr(
+        f"size(array_distinct(filter({toks}, t -> t IN {_in_list(STOPWORDS)})))"
+    ).cast("long")
+    alpha_frac = F.expr(
+        f"transform(array({toks}), TK -> "
+        "size(filter(TK, t -> t rlike '[A-Za-z]')) / cast(size(TK) as double))[0]"
+    )
+    sym_cnt = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "[#…]", ""))
+    ).cast("long")
+    df = (
+        df.withColumn("n_distinct_stopwords", n_distinct_stop)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn(
+            "symbol_ratio", sym_cnt / F.col("n_tokens").cast("double")
+        )
+    )
+    rules = {
+        "r_word_count": (F.col("n_tokens") >= min_words)
+        & (F.col("n_tokens") <= max_words),
+        "r_mean_word_len": (F.col("avg_token_len") >= min_mean_word_len)
+        & (F.col("avg_token_len") <= max_mean_word_len),
+        "r_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "r_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "r_stopwords": F.col("n_distinct_stopwords")
+        >= min_distinct_stopwords,
+        "r_top_bigram": F.col("top_ngram_frac") <= max_top_bigram_frac,
+        "r_max_run": F.col("max_run_len") <= max_run_len,
+    }
+    for name, cond in rules.items():
+        df = df.withColumn(name, cond)
+    n_failed = sum(
+        (~F.col(n)).cast("long") for n in rules
+    )
+    return df.withColumn("n_failed", n_failed).withColumn(
+        "keep", F.col("n_failed") == 0
+    )
+
+
 def with_normalized_text(
     df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
 ) -> DataFrame:

@@ -3143,13 +3143,19 @@ def _ivf_pq_sql(
     qsample: int = _IVF_QSAMPLE,
     nprobe: int = _IVF_NPROBE,
     topk: int = 5,
+    refine_k: int | None = None,
 ) -> str:
     """IVF-PQ ADC oracle (operators/similarity.py ivf_pq_topk): coarse
     argmin → residuals → md5-sample codebook seed → ONE Lloyd round per
     subspace (truncating-div means, empty-cell carryover — the
     ivf_train idioms) → encode → per-(query, cell) LUT → ADC sum →
     top-k.  MATERIALIZED CTEs break DuckDB's inline-substitution
-    blowup at the multi-reference stages (the bpe_vocab lesson)."""
+    blowup at the multi-reference stages (the bpe_vocab lesson).
+
+    ``refine_k`` switches to the two-stage re-rank form
+    (ivf_pq_refine_topk): ADC top-``refine_k`` shortlist, then exact
+    scaled-int L2² against the full vectors, final rank by exact
+    distance with ``topk`` kept."""
     d2 = (
         "list_sum(list_transform(generate_series(1, len(a.iv)), "
         "d -> (list_extract(a.iv, d) - list_extract(c.civ, d))"
@@ -3164,7 +3170,7 @@ def _ivf_pq_sql(
         )
 
     pq_ck = "md5('pq|' || CAST(vec_id AS VARCHAR))"
-    return f"""
+    base = f"""
     WITH iv AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
@@ -3249,12 +3255,43 @@ def _ivf_pq_sql(
       JOIN lut l ON l.query_id = qp.query_id AND l.centroid_id = e.centroid_id
                 AND l.s = e.s AND l.j = e.code
       GROUP BY l.query_id, e.vec_id
-    )
+    )"""
+    if refine_k is None:
+        return base + f"""
     SELECT query_id, neighbor_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank,
            adc_d2
     FROM scored
+    QUALIFY rank <= {topk}
+    """
+    # refine form: ADC shortlist → exact re-rank (the scored CTE close
+    # above becomes a comma-chain into the shortlist CTE)
+    return base.replace(
+        "      GROUP BY l.query_id, e.vec_id\n    )",
+        "      GROUP BY l.query_id, e.vec_id\n    ),",
+    ) + f"""
+    shortlist AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= {refine_k}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY exact_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank,
+           exact_d2
+    FROM (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(qi.iv)),
+               d -> (list_extract(qi.iv, d) - list_extract(ni.iv, d))
+                  * (list_extract(qi.iv, d) - list_extract(ni.iv, d)))) AS BIGINT) AS exact_d2
+      FROM shortlist s
+      JOIN iv qi ON qi.vec_id = s.query_id
+      JOIN iv ni ON ni.vec_id = s.neighbor_id
+    )
     QUALIFY rank <= {topk}
     """
 
@@ -3276,6 +3313,32 @@ def ann_ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         queries,
         k=5,
+        nprobe=_IVF_NPROBE,
+        k_centroids=_IVF_K,
+        train_iters=1,
+    )
+
+
+_PQ_REFINE_SHORTLIST = 15
+
+
+@q("ann_ivf_pq_refine", _ivf_pq_sql(refine_k=_PQ_REFINE_SHORTLIST))
+def ann_ivf_pq_refine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving: ADC top-15 shortlist, then EXACT re-rank
+    of only those 15 candidates against their full-precision vectors
+    (operators/similarity.py ivf_pq_refine_topk — FAISS's IVFPQR
+    pattern).  ADC distances carry quantization error; re-scoring the
+    shortlist recovers most of the recall PQ gave up while the refine
+    stage's only corpus-scale op is a broadcast join fetching exactly
+    queries × 15 vectors — a point-lookup batch at 100 TB, never a
+    corpus scan.  Exact scaled-int L2² end to end → hash-gated."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _IVF_QSAMPLE == 0)
+    return similarity.ivf_pq_refine_topk(
+        emb,
+        queries,
+        k=5,
+        shortlist_k=_PQ_REFINE_SHORTLIST,
         nprobe=_IVF_NPROBE,
         k_centroids=_IVF_K,
         train_iters=1,
@@ -3726,6 +3789,102 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_SQL = """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, text, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                       i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))
+                  ELSE [concat_ws(' ', toks)] END AS grams
+      FROM t
+    ),
+    tok_rows AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx FROM t
+    ),
+    runs AS (
+      SELECT doc_id, tok,
+             idx - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY idx) AS grp
+      FROM tok_rows
+    ),
+    runlen AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS rl FROM runs GROUP BY doc_id, tok, grp
+    ),
+    maxrun AS (SELECT doc_id, max(rl) AS max_run_len FROM runlen GROUP BY doc_id),
+    m AS (
+      SELECT g.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS mwl,
+             (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))
+               / CAST(len(toks) AS DOUBLE) AS symr,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alphaf,
+             CAST(len(list_distinct(list_filter(toks,
+                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))) AS BIGINT)
+               AS n_distinct_stopwords,
+             list_max(list_transform(list_distinct(grams),
+                      x -> len(list_filter(grams, y -> y = x))))
+               / CAST(len(grams) AS DOUBLE) AS topg,
+             mr.max_run_len
+      FROM g JOIN maxrun mr ON g.doc_id = mr.doc_id
+    ),
+    f AS (
+      SELECT doc_id, n_tokens, n_distinct_stopwords,
+             (n_tokens >= 50 AND n_tokens <= 100000) AS r_word_count,
+             (mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
+             (symr <= 0.1) AS r_symbol_ratio,
+             (alphaf >= 0.8) AS r_alpha_words,
+             (n_distinct_stopwords >= 2) AS r_stopwords,
+             (topg <= 0.2) AS r_top_bigram,
+             (max_run_len <= 4) AS r_max_run
+      FROM m
+    )
+    SELECT doc_id, n_tokens, n_distinct_stopwords,
+           r_word_count, r_mean_word_len, r_symbol_ratio, r_alpha_words,
+           r_stopwords, r_top_bigram, r_max_run,
+           CAST((CASE WHEN r_word_count THEN 0 ELSE 1 END)
+              + (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)
+              + (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)
+              + (CASE WHEN r_alpha_words THEN 0 ELSE 1 END)
+              + (CASE WHEN r_stopwords THEN 0 ELSE 1 END)
+              + (CASE WHEN r_top_bigram THEN 0 ELSE 1 END)
+              + (CASE WHEN r_max_run THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_alpha_words
+            AND r_stopwords AND r_top_bigram AND r_max_run) AS keep
+    FROM f
+    """
+
+
+@q("gopher_rules", _GOPHER_SQL)
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard rule filter (operators/text.py
+    with_gopher_rules — Rae et al. 2021 §A1.1): word-count band, mean
+    word length band, symbol ratio, alpha-word fraction, ≥2 distinct
+    stopwords, top-bigram share, max same-token run — per-rule boolean
+    flags (the auditable reject-reason convention), failed-rule count,
+    and the conjunctive keep verdict.  Published thresholds; on this
+    corpus the word-count and stopword rules discriminate (277/500 and
+    317/500 pass at sf0.01), the rest attest the clean synthetic text.
+    Pure Column folds over the shared token/repetition machinery — no
+    UDF, no shuffle, linear in corpus tokens."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.with_gopher_rules(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_stopwords",
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_alpha_words",
+        "r_stopwords",
+        "r_top_bigram",
+        "r_max_run",
+        "n_failed",
+        "keep",
+    )
+
+
 @q("bpe_merge_k3", _bpe_k_sql(3))
 def bpe_merge_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THREE rounds of BPE merging — tokenizer induction, not one
@@ -4000,7 +4159,12 @@ def incremental_dedup_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = docs.withColumn("_u", sampling._hash_uniform("doc_id", "incr"))
     idx_docs = u.filter(F.col("_u") < _INCR_FRAC).drop("_u")
     new = u.filter(F.col("_u") >= _INCR_FRAC).drop("_u")
-    index = dedup.build_dedup_index(idx_docs)
+    # the operator's contract says `index` is a precomputed TABLE; the
+    # localCheckpoint is the in-session stand-in for that stored
+    # artifact — without it every downstream consumer (candidate join,
+    # md5 set, Bloom bits) re-runs the full minhash build (the 25×
+    # probe measured the redundancy directly)
+    index = dedup.build_dedup_index(idx_docs).localCheckpoint()
     return dedup.incremental_dedup_indexed(
         new, index, idx_docs, threshold=_INCR_THRESHOLD
     )
@@ -4028,7 +4192,11 @@ def incremental_dedup_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = docs.withColumn("_u", sampling._hash_uniform("doc_id", "incr"))
     idx_docs = u.filter(F.col("_u") < _INCR_FRAC).drop("_u")
     new = u.filter(F.col("_u") >= _INCR_FRAC).drop("_u")
-    index = dedup.build_dedup_index(idx_docs)
+    # stored-table stand-in, same as incremental_dedup_indexed_q: the
+    # bloom path reads the index THREE times (bits build + candidate
+    # join + md5 set) — unmaterialized, that tripled the linear index
+    # build and drove the 25× probe to slope 0.93
+    index = dedup.build_dedup_index(idx_docs).localCheckpoint()
     return dedup.incremental_dedup_indexed(
         new,
         index,
@@ -5178,6 +5346,8 @@ _DRIVER_WINDOW = 50
 _ROTATION_ROUND = 7  # bump each round to advance the rotation
 _PINNED = [
     # round-7 additions — never driver-attested yet
+    "ann_ivf_pq_refine",
+    "gopher_rules",
     "dup_span_removal",
     "incremental_dedup_bloom",
     "image_phash_dedup",

@@ -411,3 +411,36 @@ def test_cdc_chunks_are_insertion_robust(spark):
     # sanity: per-doc chunks reassemble the doc (token counts add up)
     n1 = sum(r["n_tokens"] for r in dedup.cdc_chunk_dedup(df).collect() if r["doc_id"] == 1)
     assert n1 == 240
+
+
+def test_gopher_rules_flags_and_verdict(spark):
+    """Each rule trips on the doc crafted to violate exactly it; the
+    clean doc passes everything; n_failed counts the trips."""
+    good = " ".join((["the", "a"] + [f"word{i}" for i in range(8)]) * 5)  # 50 toks, stopwords, varied
+    short = "the a word1 word2 word3"  # 5 tokens -> r_word_count fails
+    no_stop = " ".join(f"word{i}" for i in range(60))  # no stopwords
+    stuffed = "the a " + " ".join(["spam"] * 60)  # run of 60 + top-bigram heavy
+    symbols = "the a " + " ".join(["w#" + str(i) for i in range(60)])  # 60 '#' / 62 toks
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, short),
+            (3, no_stop),
+            (4, stuffed),
+            (5, symbols),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.with_gopher_rules(df).collect()}
+    assert out[1]["keep"] and out[1]["n_failed"] == 0
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    assert not out[3]["r_stopwords"] and out[3]["r_word_count"]
+    assert not out[4]["r_max_run"] and not out[4]["r_top_bigram"]
+    assert out[4]["n_failed"] >= 2
+    assert not out[5]["r_symbol_ratio"]
+    # mean-word-length band: single-char words avg < 3
+    tiny = spark.createDataFrame(
+        [(9, "the a " + " ".join(["x"] * 60))], ["doc_id", "text"]
+    )
+    t = text.with_gopher_rules(tiny).collect()[0]
+    assert not t["r_mean_word_len"]

@@ -131,3 +131,37 @@ def test_ivf_pq_perfect_reconstruction_on_seed_corpus(spark):
     for (q, n), d in got.items():
         expected = int(((iv[q] - iv[n]) ** 2).sum())
         assert d == expected, (q, n, d, expected)
+
+
+def test_ivf_pq_refine_exact_rerank(spark):
+    """The refine stage's contract: exact_d2 equals the true scaled-int
+    L2² for every returned pair (numpy mirror), and with the shortlist
+    covering the whole probed set the final ranking IS the exact
+    brute-force ranking over those candidates — i.e. refine undoes any
+    ADC quantization error inside the shortlist."""
+    import numpy as np
+
+    from firewatch_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    vecs = rng.uniform(-1, 1, size=(20, 64)).astype("float32")
+    rows_in = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    emb = spark.createDataFrame(rows_in, "vec_id long, embedding array<float>")
+
+    out = S.ivf_pq_refine_topk(
+        emb, emb, k=3, shortlist_k=19, nprobe=4, k_centroids=4, train_iters=1
+    ).collect()
+    iv = np.floor(vecs.astype("float64") * 1_000_000).astype("int64")
+    for r in out:
+        expected = int(((iv[r["query_id"]] - iv[r["neighbor_id"]]) ** 2).sum())
+        assert r["exact_d2"] == expected
+    # with every candidate shortlisted, rank 1 must be the true nearest
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        d2 = ((iv - iv[qid]) ** 2).sum(axis=1)
+        d2[qid] = np.iinfo(np.int64).max  # self excluded
+        true_nn = int(np.argmin(d2))
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["neighbor_id"] == true_nn, (qid, top, true_nn)

@@ -65,9 +65,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # warmup
-    reg[names[0]].fn(spark, dirs[1]).write.format("noop").mode("overwrite").save()
     for name in names:
+        # PER-OP warmup at x1: each query's first execution pays Arrow
+        # worker-pool fork + per-stage codegen once — measured 18.4 s
+        # cold vs 2.4 s warm for the audio fingerprint — which would
+        # otherwise corrupt the slope's x1 denominator
+        run(name, dirs[1])
         t1 = run(name, dirs[1])
         t25 = run(name, dirs[25])
         print(
