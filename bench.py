@@ -61,6 +61,9 @@ BUILD_TIMED = {
     # residual checkpoint + per-round codebook materializations + dim
     # probes run in-build
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_refine",  # wraps ann_ivf_pq_topk's build
+    "ann_pq_recall",  # runs BOTH PQ builds + the exact audit side
+    "jsonl_ingest",  # the JSONL write happens in-build
     # stop-rule probes (vocab count, argmax collect) + per-round
     # checkpoints run in-build
     "bpe_vocab_induction",

@@ -969,6 +969,102 @@ def with_quality_classifier(
     )
 
 
+CMS_DEPTH = 3
+CMS_WIDTH = 16
+
+
+def _cms_pos(salt: int, tok_col: str, width: int):
+    """Portable bucket hash: first 8 md5 nibbles of 'cms{salt}|tok'
+    mod width — the same md5-decode idiom as sampling._hash_uniform,
+    so the DuckDB oracle replays bucket collisions bit-for-bit."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"cms{salt}|"), F.col(tok_col)).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def token_cms(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch TABLE over corpus tokens — the relational
+    sketch form (like `band_bloom_bits`): ``depth`` independent hash
+    rows each owning ``width`` buckets, token count added to one
+    bucket per row.  Output (salt, pos, cnt), ≤ depth × width rows
+    REGARDLESS of corpus size — bounded, broadcastable, and MERGEABLE
+    by plain (salt, pos) sum, which is what makes it the streaming /
+    multi-shard token counter when the exact vocabulary doesn't fit
+    (each executor sketches its shard, sketches add up).
+
+    Build plan: one corpus-token groupBy (map-side combinable, the
+    only corpus-keyed shuffle), then the vocabulary-sized count table
+    fans out to depth bucket rows — sketch aggregation never touches
+    corpus-scale data again."""
+    toks = ensure_parallelism(df).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = tc.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("salt"),
+                        _cms_pos(s, "tok", width).alias("pos"),
+                        F.col("cnt").alias("cnt"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.groupBy("salt", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    tokens: DataFrame,
+    tok_col: str = "tok",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch: est(tok) = min over the depth rows of
+    the token's bucket count (the count-min estimator).  The sketch is
+    ≤ depth × width rows → BROADCAST; the probe side joins it on
+    (salt, pos) without shuffling.  CMS guarantees est ≥ true count —
+    the property the registered query's gate pins per token."""
+    probes = tokens.select(
+        tok_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("salt"),
+                        _cms_pos(s, tok_col, width).alias("pos"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(tok_col, "p.salt", "p.pos")
+    joined = probes.join(F.broadcast(cms), ["salt", "pos"], "left")
+    return joined.groupBy(tok_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt")
+    )
+
+
 def with_gopher_rules(
     df: DataFrame,
     text_col: str = "text",

@@ -658,6 +658,57 @@ def video_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("video_id", "frame_number", "timestamp", "fps", "width", "height")
 
 
+@q(
+    "jsonl_ingest",
+    """
+    SELECT doc_id, md5(text) AS text_md5, FALSE AS is_corrupt FROM documents
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), '', TRUE
+    """,
+)
+def jsonl_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL crawl-dump ingest round-trip — the text-pipeline source
+    format (web crawls ship as JSON lines, not parquet): write the
+    corpus as JSONL with Spark's own json sink, read it back through
+    `spark.read.json` with an EXPLICIT schema (never inferSchema at
+    100 TB — inference is a full extra pass) in PERMISSIVE mode with a
+    corrupt-record column — the dead-letter seam every production
+    ingest needs (one deliberately malformed line is planted; it must
+    surface as is_corrupt=TRUE with sentinel values, never kill the
+    job or silently drop).  The oracle replays from the parquet truth
+    plus the planted dead-letter row, so the gate proves the
+    round-trip is content-lossless."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    # lazily read by the returned DataFrame → can't rmtree eagerly
+    # (the video_scan/training_shards pattern)
+    tmp = tempfile.mkdtemp(prefix="fw_jsonl_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    data_dir = os.path.join(tmp, "data")
+    docs.coalesce(4).write.mode("overwrite").json(data_dir)
+    with open(os.path.join(data_dir, "corrupt.json"), "w") as f:
+        f.write("this is not json at all {{{\n")
+    # schema INCLUDES the corrupt column (Spark drops it otherwise);
+    # fully-unparseable line → data fields null, raw line in _corrupt
+    back = (
+        spark.read.schema("doc_id BIGINT, text STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(data_dir)
+    )
+    return back.select(
+        F.coalesce(F.col("doc_id"), F.lit(-1).cast("long")).alias("doc_id"),
+        F.coalesce(
+            F.md5(F.col("text").cast("binary")), F.lit("")
+        ).alias("text_md5"),
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    )
+
+
 # ===========================================================================
 # Group B — LLM-data-pipeline pack (documents / embeddings)
 # ===========================================================================
@@ -3144,6 +3195,7 @@ def _ivf_pq_sql(
     nprobe: int = _IVF_NPROBE,
     topk: int = 5,
     refine_k: int | None = None,
+    base_only: bool = False,
 ) -> str:
     """IVF-PQ ADC oracle (operators/similarity.py ivf_pq_topk): coarse
     argmin → residuals → md5-sample codebook seed → ONE Lloyd round per
@@ -3256,6 +3308,8 @@ def _ivf_pq_sql(
                 AND l.s = e.s AND l.j = e.code
       GROUP BY l.query_id, e.vec_id
     )"""
+    if base_only:
+        return base
     if refine_k is None:
         return base + f"""
     SELECT query_id, neighbor_id,
@@ -3320,6 +3374,139 @@ def ann_ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_REFINE_SHORTLIST = 15
+
+
+def _pq_recall_sql(
+    qsample: int = _IVF_QSAMPLE,
+    topk: int = 5,
+    refine_k: int = 15,
+) -> str:
+    """Recall@5 of ADC and of ADC+refine vs EXACT scaled-int L2 — the
+    metric PQ actually approximates (the cosine-side audit is
+    ann_recall).  Reuses the full IVF-PQ CTE chain."""
+    d2pair = (
+        "list_sum(list_transform(generate_series(1, len(a.iv)), "
+        "d -> (list_extract(a.iv, d) - list_extract(b.iv, d))"
+        " * (list_extract(a.iv, d) - list_extract(b.iv, d))))"
+    )
+    return _ivf_pq_sql(base_only=True) + f""",
+    adc AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= {topk}
+    ),
+    shortlist AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+        FROM scored
+      ) WHERE rk <= {refine_k}
+    ),
+    refined AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+                 list_sum(list_transform(generate_series(1, len(qi.iv)),
+                   d -> (list_extract(qi.iv, d) - list_extract(ni.iv, d))
+                      * (list_extract(qi.iv, d) - list_extract(ni.iv, d)))) ASC,
+                 s.neighbor_id ASC) AS rk
+        FROM shortlist s
+        JOIN iv qi ON qi.vec_id = s.query_id
+        JOIN iv ni ON ni.vec_id = s.neighbor_id
+      ) WHERE rk <= {topk}
+    ),
+    exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY {d2pair} ASC, b.vec_id ASC) AS rk
+        FROM iv a JOIN iv b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % {qsample} = 0
+      ) WHERE rk <= {topk}
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_overlap_adc,
+           CAST(count(r.neighbor_id) AS BIGINT) AS n_overlap_refine,
+           CAST(count(a.neighbor_id) AS DOUBLE) / {topk}.0 AS recall_adc,
+           CAST(count(r.neighbor_id) AS DOUBLE) / {topk}.0 AS recall_refine
+    FROM exact e
+    LEFT JOIN adc a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    LEFT JOIN refined r ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@q("ann_pq_recall", _pq_recall_sql())
+def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit of the PQ stack under ITS OWN metric (exact
+    scaled-int L2): ADC top-5 vs exact, and ADC-shortlist + exact
+    re-rank top-5 vs exact — the number that proves the refine stage
+    earns its keep (refine recall ≥ ADC recall by construction within
+    the probed cells; the gap IS the quantization error refine
+    removes).  At 100 TB the exact side runs over a query sample as a
+    one-off audit — never in serving (same posture as ann_recall)."""
+    from pyspark.sql import Window
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % _IVF_QSAMPLE == 0)
+    qiv = similarity.with_scaled_vec(qs).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("qiv")
+    )
+    niv = similarity.with_scaled_vec(
+        similarity.ensure_parallelism(emb)
+    ).select(F.col("vec_id").alias("neighbor_id"), F.col("iv").alias("niv"))
+    d2 = F.aggregate(
+        F.zip_with("qiv", "niv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("neighbor_id"))
+    exact = (
+        niv.crossJoin(F.broadcast(qiv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_d2", d2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        similarity.ivf_pq_topk(
+            emb, qs, k=5, nprobe=_IVF_NPROBE, k_centroids=_IVF_K, train_iters=1
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("_a", F.lit(1))
+    )
+    ref = (
+        similarity.ivf_pq_refine_topk(
+            emb,
+            qs,
+            k=5,
+            shortlist_k=_PQ_REFINE_SHORTLIST,
+            nprobe=_IVF_NPROBE,
+            k_centroids=_IVF_K,
+            train_iters=1,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("_r", F.lit(1))
+    )
+    j = exact.join(adc, ["query_id", "neighbor_id"], "left").join(
+        ref, ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_a"), F.lit(0))).cast("long").alias("n_overlap_adc"),
+            F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("long").alias("n_overlap_refine"),
+        )
+        .withColumn("recall_adc", F.col("n_overlap_adc").cast("double") / F.lit(5.0))
+        .withColumn(
+            "recall_refine", F.col("n_overlap_refine").cast("double") / F.lit(5.0)
+        )
+    )
 
 
 @q("ann_ivf_pq_refine", _ivf_pq_sql(refine_k=_PQ_REFINE_SHORTLIST))
@@ -3786,6 +3973,71 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return text.with_quality_classifier(docs).select(
         "doc_id", "n_tokens", "feat_sum", "lin_score", "keep"
+    )
+
+
+def _cms_sql(depth: int = 3, width: int = 16) -> str:
+    """DuckDB twin of text.token_cms / cms_estimate: same md5-nibble
+    bucket hash, same depth×width sketch, same min-estimator — bucket
+    COLLISIONS replay bit-for-bit, so the overcount column is gated
+    too (width 16 is deliberately small: collisions must occur for
+    the min-estimator to be exercised)."""
+
+    def md5u8(expr: str) -> str:
+        h = f"md5({expr})"
+        return " + ".join(
+            f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+
+    pos = md5u8("'cms' || CAST(sp.s AS VARCHAR) || '|' || tok")
+    return f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    rows_tok AS (
+      SELECT sp.s AS salt, tok, ({pos}) % {width} AS pos, cnt
+      FROM tc, (SELECT unnest(range(0, {depth})) AS s) sp
+    ),
+    cms AS (
+      SELECT salt, pos, CAST(sum(cnt) AS BIGINT) AS bcnt
+      FROM rows_tok GROUP BY salt, pos
+    ),
+    est AS (
+      SELECT r.tok, CAST(min(c.bcnt) AS BIGINT) AS est_cnt
+      FROM rows_tok r JOIN cms c ON r.salt = c.salt AND r.pos = c.pos
+      GROUP BY r.tok
+    )
+    SELECT t.tok, t.cnt AS exact_cnt, e.est_cnt,
+           CAST(e.est_cnt - t.cnt AS BIGINT) AS overcount
+    FROM tc t JOIN est e ON t.tok = e.tok
+    """
+
+
+@q("token_cms_counts", _cms_sql())
+def token_cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token counting (operators/text.py token_cms /
+    cms_estimate): a depth×width=3×16 sketch table — bounded and
+    MERGEABLE by (salt, pos) sum, the streaming/multi-shard counter
+    shape when the exact vocabulary doesn't fit — probed for every
+    corpus token and compared against the exact count.  The width is
+    deliberately smaller than the vocabulary so bucket collisions
+    occur and the min-estimator does real work; the CMS guarantee
+    (est ≥ exact, i.e. overcount ≥ 0) is hash-gated per token, and a
+    unit test pins it as an invariant."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    cms = text.token_cms(docs)
+    toks = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    est = text.cms_estimate(cms, toks.select("tok"))
+    return toks.join(est, "tok").select(
+        "tok",
+        F.col("exact_cnt").cast("long"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )
 
 
@@ -5347,7 +5599,10 @@ _ROTATION_ROUND = 7  # bump each round to advance the rotation
 _PINNED = [
     # round-7 additions — never driver-attested yet
     "ann_ivf_pq_refine",
+    "ann_pq_recall",
     "gopher_rules",
+    "token_cms_counts",
+    "jsonl_ingest",
     "dup_span_removal",
     "incremental_dedup_bloom",
     "image_phash_dedup",

@@ -444,3 +444,36 @@ def test_gopher_rules_flags_and_verdict(spark):
     )
     t = text.with_gopher_rules(tiny).collect()[0]
     assert not t["r_mean_word_len"]
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS invariants: est >= exact for every token (count-min can
+    only overcount), and the sketch is MERGEABLE — sketching two
+    halves of the corpus and summing (salt, pos) buckets equals
+    sketching the whole corpus (the property that makes it the
+    multi-shard/streaming counter)."""
+    docs = [(i, " ".join(f"w{j % 7}" for j in range(i, i + 20))) for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cms = text.token_cms(df)
+    toks = (
+        df.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .count()
+    )
+    est = {r["tok"]: r["est_cnt"] for r in text.cms_estimate(cms, toks.select("tok")).collect()}
+    exact = {r["tok"]: r["count"] for r in toks.collect()}
+    assert set(est) == set(exact)
+    for tok, c in exact.items():
+        assert est[tok] >= c, (tok, est[tok], c)
+    # mergeability
+    half_a = df.filter(F.col("doc_id") < 5)
+    half_b = df.filter(F.col("doc_id") >= 5)
+    merged = (
+        text.token_cms(half_a)
+        .unionByName(text.token_cms(half_b))
+        .groupBy("salt", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["salt"], r["pos"]): r["cnt"] for r in cms.collect()}
+    got = {(r["salt"], r["pos"]): r["cnt"] for r in merged.collect()}
+    assert got == whole

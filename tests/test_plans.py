@@ -16,6 +16,7 @@ SKIP = {
     "streaming_ep2_parity",
     "streaming_incremental_dedup",
     "video_scan",
+    "jsonl_ingest",  # building its DataFrame writes the JSONL fixture
 }
 
 
@@ -57,10 +58,15 @@ def test_no_cartesian_product_anywhere(plans):
         # (probe ranking) — the same bounded IVF broadcast products;
         # the PQ stages themselves are equi-joins on s / centroid_id
         "ann_ivf_pq_topk",
+        # wraps ann_ivf_pq_topk's build; the refine stage itself is an
+        # equi-join on neighbor_id/query_id (asserted separately below)
+        "ann_ivf_pq_refine",
         # the recall audit's EXACT side is ann_topk's corpus ×
         # broadcast-query-sample scan (the one-off audit cost; the
         # approx side is the IVF equi-join)
         "ann_recall",
+        # both PQ builds + the same exact audit side as ann_recall
+        "ann_pq_recall",
         "tfidf_topk",
         "lang_rebalance",
         # 1-row min-count broadcast, same shape as lang_rebalance
@@ -125,6 +131,27 @@ def test_dup_ngram_coverage_has_no_window_over_gram_hash(plans):
     for line in plans["dup_ngram_coverage"].split("\n"):
         if "windowspecdefinition" in line:
             assert "_h#" not in line, line
+
+
+def test_gopher_rules_is_shuffle_free(plans):
+    """The hard rule filter is pure per-doc Column algebra — no
+    KEYED exchange at all: at 100 TB it runs entirely map-side in the
+    scan stage, one pass over the corpus.  The only Exchange allowed
+    is ensure_parallelism's RoundRobin scan fan-out (a documented
+    no-op at real scale — SCALE.md 'Known local-mode divergences')."""
+    for line in plans["gopher_rules"].split("\n"):
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
+
+
+def test_pq_refine_never_sort_merge_joins(plans):
+    """The refine stage fetches shortlisted vectors via BROADCAST
+    joins (shortlist and query sides are tiny by construction); a
+    SortMergeJoin would mean the corpus vector table is being
+    shuffled on the join key — the exact shape the two-stage design
+    exists to avoid."""
+    for name in ("ann_ivf_pq_topk", "ann_ivf_pq_refine"):
+        assert "SortMergeJoin" not in plans[name], name
 
 
 def test_hinted_join_uses_shuffle_hash(plans):

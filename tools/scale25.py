@@ -26,7 +26,13 @@ DEFAULT = [
 
 # queries whose work happens while building the DataFrame (mirrors
 # bench.py BUILD_TIMED for the subset this probe covers)
-BUILD_TIMED = {"incremental_dedup_bloom", "bpe_vocab_induction", "bpe_apply_trained"}
+BUILD_TIMED = {
+    "incremental_dedup_bloom",
+    "bpe_vocab_induction",
+    "bpe_apply_trained",
+    "ann_ivf_pq_refine",  # dim probes + residual checkpoint in-build
+    "ann_pq_recall",
+}
 
 
 def main() -> None:
