@@ -1065,6 +1065,78 @@ def cms_estimate(
     )
 
 
+HLL_B = 4  # 2^4 = 16 buckets; alpha_16 is the published constant
+HLL_ALPHA_16 = 0.673
+
+
+def token_hll_sketch(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    b: int = HLL_B,
+) -> DataFrame:
+    """Per-group HyperLogLog sketch TABLE over tokens — the third
+    relational sketch (Bloom = membership, CMS = frequency, HLL =
+    cardinality): (group, bucket, max_rho) rows, ≤ 2^b per group
+    REGARDLESS of token count, mergeable by (group, bucket) MAX —
+    per-shard sketches combine losslessly, the distinct-counter shape
+    when exact per-group vocabularies don't fit (Spark's built-in
+    approx_count_distinct is the opaque-binary form of exactly this;
+    the relational table is storable/versionable and oracle-exact).
+
+    Bucket = low b bits of the 32-bit md5 prefix; rho = leading-zero
+    rank of the remaining 28 bits, computed portably as
+    ``29 - length(bin(w))`` (bin() drops leading zeros in BOTH Spark
+    and DuckDB), 29 for w = 0.  Duplicate tokens are a no-op under
+    max — no distinct pass needed."""
+    m = 1 << b
+    toks = ensure_parallelism(df).select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col("tok")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = toks.withColumn("_h", h).withColumn(
+        "bucket", F.col("_h") % m
+    ).withColumn("_w", F.expr(f"_h div {m}"))
+    rho = F.when(F.col("_w") == 0, F.lit(29)).otherwise(
+        F.lit(29) - F.length(F.bin(F.col("_w")))
+    )
+    return (
+        toks.withColumn("_rho", rho)
+        .groupBy("grp", "bucket")
+        .agg(F.max("_rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, b: int = HLL_B, alpha: float = HLL_ALPHA_16
+) -> DataFrame:
+    """Raw HLL estimator per group: alpha · m² / Σ_j 2^(−M[j]), empty
+    buckets contributing 2^0 = 1.  Every 2^(−M) is an exact dyadic
+    double and the sum/divide are single IEEE ops — bit-portable, so
+    the DuckDB oracle gates the ESTIMATE itself, not just the sketch.
+    (The small-range linear-counting correction needs ln(), whose libm
+    rounding differs across engines — deliberately not applied; the
+    registered query reports the raw estimator and the exact truth
+    side by side, which is what an accuracy audit wants anyway.)"""
+    m = 1 << b
+    agg = sketch.groupBy("grp").agg(
+        F.sum(F.expr("power(2.0d, -max_rho)")).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    denom = F.col("_s") + (F.lit(m) - F.col("_nb")).cast("double")
+    return agg.select(
+        "grp",
+        (F.lit(float(alpha)) * F.lit(float(m * m)) / denom).alias("hll_raw_est"),
+    )
+
+
 def with_gopher_rules(
     df: DataFrame,
     text_col: str = "text",

@@ -4014,6 +4014,73 @@ def _cms_sql(depth: int = 3, width: int = 16) -> str:
     """
 
 
+def _hll_sql(b: int = 4, alpha: str = "0.673") -> str:
+    """DuckDB twin of text.token_hll_sketch / hll_estimate: same md5
+    prefix hash, same bucket/rank split, same raw estimator.  The sum
+    of ≤ 2^b dyadic terms spanning 33 bits is EXACT in IEEE double, so
+    the estimate is bit-portable without ordering care."""
+    m = 1 << b
+    h = "md5('hll|' || tok)"
+    val = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source AS grp, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hv AS (SELECT grp, ({val}) AS h FROM toks),
+    rb AS (SELECT grp, h % {m} AS bucket, h // {m} AS w FROM hv),
+    sk AS (
+      SELECT grp, bucket,
+             CAST(max(CASE WHEN w = 0 THEN 29 ELSE 29 - length(bin(w)) END)
+                  AS BIGINT) AS max_rho
+      FROM rb GROUP BY grp, bucket
+    ),
+    est AS (
+      SELECT grp,
+             {alpha} * {float(m * m)!r} /
+               (sum(power(2.0, -max_rho)) + CAST({m} - count(*) AS DOUBLE))
+               AS hll_raw_est
+      FROM sk GROUP BY grp
+    ),
+    ex AS (
+      SELECT grp, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+      FROM toks GROUP BY grp
+    )
+    SELECT ex.grp AS source, ex.exact_distinct, est.hll_raw_est
+    FROM ex JOIN est ON ex.grp = est.grp
+    """
+
+
+@q("hll_distinct_tokens", _hll_sql())
+def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via a relational
+    HyperLogLog sketch (operators/text.py token_hll_sketch /
+    hll_estimate) vs the exact count — the third sketch of the trio
+    (Bloom membership, CMS frequency, HLL cardinality), all bounded
+    mergeable TABLES: per-shard sketches combine by (group, bucket)
+    max, the distinct-counter shape when per-group vocabularies don't
+    fit.  The raw estimator itself is hash-gated (exact dyadic sums —
+    see the oracle's docstring); Spark's approx_count_distinct is the
+    same algorithm as an opaque binary sketch."""
+    docs = _tbl(spark, sf_dir, "documents").select("source", "text")
+    sk = text.token_hll_sketch(docs, "source")
+    est = text.hll_estimate(sk)
+    exact = (
+        docs.select(
+            F.col("source").alias("grp"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .groupBy("grp")
+        .agg(F.countDistinct("tok").cast("long").alias("exact_distinct"))
+    )
+    return exact.join(est, "grp").select(
+        F.col("grp").alias("source"), "exact_distinct", "hll_raw_est"
+    )
+
+
 @q("token_cms_counts", _cms_sql())
 def token_cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch token counting (operators/text.py token_cms /
@@ -5602,6 +5669,7 @@ _PINNED = [
     "ann_pq_recall",
     "gopher_rules",
     "token_cms_counts",
+    "hll_distinct_tokens",
     "jsonl_ingest",
     "dup_span_removal",
     "incremental_dedup_bloom",

@@ -23,16 +23,25 @@ from pyspark.sql import DataFrame
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    key: str,
+    key: str | list[str],
     num_buckets: int,
     sort_cols: list[str] | None = None,
     path: str | None = None,
 ) -> None:
-    """Write `df` bucketed by `key` into `num_buckets` buckets (and
-    optionally sorted within buckets, which also drops the Sort from
-    later sort-merge joins).  Both sides of a future join must use the
-    SAME key and bucket count to join exchange-free."""
-    w = df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, key)
+    """Write `df` bucketed by `key` (a column or list of columns) into
+    `num_buckets` buckets (and optionally sorted within buckets, which
+    also drops the Sort from later sort-merge joins).  Both sides of a
+    future join must use the SAME key and bucket count to join
+    exchange-free — or, the one-sided form, a computed DataFrame
+    joining a bucketed table shuffles ONLY the computed side (the
+    stored-dedup-index posture: the index never re-shuffles,
+    per-batch cost is one exchange of the new batch)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, *keys)
+    )
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path:

@@ -477,3 +477,30 @@ def test_cms_overestimates_and_merges(spark):
     whole = {(r["salt"], r["pos"]): r["cnt"] for r in cms.collect()}
     got = {(r["salt"], r["pos"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_hll_sketch_merges_and_is_duplicate_insensitive(spark):
+    """HLL invariants: (1) sketching two corpus halves and merging by
+    (grp, bucket) MAX equals sketching the whole corpus; (2) token
+    MULTIPLICITY never changes the sketch (cardinality only) — so the
+    estimate of a corpus and its 3x-repeated copy are identical."""
+    docs = [(i, "g", " ".join(f"w{j % 13}" for j in range(i, i + 9))) for i in range(8)]
+    df = spark.createDataFrame(docs, ["doc_id", "grp", "text"])
+    whole = {
+        (r["grp"], r["bucket"]): r["max_rho"]
+        for r in text.token_hll_sketch(df, "grp").collect()
+    }
+    merged_df = (
+        text.token_hll_sketch(df.filter(F.col("doc_id") < 4), "grp")
+        .unionByName(text.token_hll_sketch(df.filter(F.col("doc_id") >= 4), "grp"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    merged = {(r["grp"], r["bucket"]): r["max_rho"] for r in merged_df.collect()}
+    assert merged == whole
+    tripled = df.withColumn("text", F.concat_ws(" ", "text", "text", "text"))
+    trip = {
+        (r["grp"], r["bucket"]): r["max_rho"]
+        for r in text.token_hll_sketch(tripled, "grp").collect()
+    }
+    assert trip == whole

@@ -126,3 +126,54 @@ def test_salted_agg_random_salt_spreads_identical_duplicates(spark):
     }
     assert out[0] == (4000, 4000 * 7)
     assert len(out) == 6
+
+
+def test_stored_dedup_index_shuffles_only_the_new_batch(spark, tmp_path):
+    """The 100 TB daily-ingest posture for incremental dedup, machine-
+    checked: with the stored band index written BUCKETED on the join
+    key (band_idx, band_hash), the per-batch candidate join reads the
+    index bucket-aligned — the ONLY Exchange in the join plan is the
+    freshly-hashed new batch aligning itself to the index's layout.
+    The index (the 100 TB side) never re-shuffles."""
+    from firewatch_spark.operators import dedup
+
+    docs = spark.range(0, 120).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 30), "
+        "i -> concat('w', CAST((id * 7 + i * 3) % 19 AS STRING)))) AS text",
+    )
+    idx_docs = docs.filter(F.col("doc_id") < 80)
+    new_docs = docs.filter(F.col("doc_id") >= 80)
+    index = dedup.build_dedup_index(idx_docs).filter(F.col("band_idx") >= 0)
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            index,
+            "dedup_index_bucketed",
+            ["band_idx", "band_hash"],
+            8,
+            sort_cols=["band_idx", "band_hash"],
+            path=str(tmp_path / "idx"),
+        )
+        stored = spark.table("dedup_index_bucketed")
+        new_banded = dedup.banded_capped(
+            dedup.with_minhash_signature(new_docs, "text", 12, 3),
+            "doc_id", 12, 4, None, keep_sig=False,
+        ).select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        joined = new_banded.join(
+            stored.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # and the results equal the unbucketed join
+        expect = new_banded.join(
+            index.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        ).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS dedup_index_bucketed")
