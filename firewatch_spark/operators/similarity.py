@@ -704,12 +704,28 @@ def ivf_pq_refine_topk(
 
     Output (query_id, neighbor_id, rank, exact_d2) — rank by exact
     distance within the shortlist."""
-    from pyspark.sql import Window
-
     shortlist = ivf_pq_topk(
         corpus, queries, shortlist_k, nprobe, k_centroids, m, ks,
         train_iters, id_col, vec_col,
     ).select("query_id", "neighbor_id")
+    return exact_rerank(shortlist, corpus, queries, k, id_col, vec_col)
+
+
+def exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The refine stage alone: exact scaled-int re-rank of an
+    arbitrary (query_id, neighbor_id) shortlist against full-precision
+    vectors.  Factored out so an audit can score ONE shortlist several
+    ways without rebuilding the index (ann_pq_recall), and because any
+    candidate generator (PQ, LSH, IVF) feeds the same re-ranker."""
+    from pyspark.sql import Window
+
     qiv = with_scaled_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("iv").alias("qiv")
     )

@@ -89,3 +89,37 @@ def salted_agg(
     return partial.groupBy(key).agg(
         *[merge(F.col(f"_p_{name}")).alias(name) for name, (_, merge) in aggs.items()]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-safe equi-join — the explicit salting form for when
+    neither of the first two levers applies (broadcast: right side too
+    big; AQE skew split: only kicks in for sort-merge with statistics,
+    and cannot split a single monster KEY whose rows must still meet
+    matching rows).
+
+    The LEFT (skewed) side gets a deterministic row-hash salt in
+    [0, salt_buckets); the RIGHT side is replicated once per salt
+    value; the join key becomes (key, salt), so a hot key's rows
+    spread over `salt_buckets` tasks instead of one straggler.  Cost:
+    the right side shuffles salt_buckets× its size — worth it exactly
+    when right ≪ the hot key's row volume.  Only inner and left joins
+    are salt-safe (replicating the right side would duplicate
+    right-outer unmatched rows); anything else raises."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_l = left.withColumn(
+        "_salt", salt_column(left, salt_buckets, False).cast("int")
+    )
+    # ints in the array literal, no cast: a generator expression can't
+    # be wrapped (Cast over explode is an AnalysisException)
+    rep = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(int(i)) for i in range(salt_buckets)]))
+    )
+    return salted_l.join(rep, [key, "_salt"], how).drop("_salt")

@@ -3473,22 +3473,27 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id")
     )
+    # ONE PQ build/search: the ADC top-5 is by definition the first 5
+    # rows of the ADC top-15 shortlist, and the refine side re-ranks
+    # that same shortlist — so the index is trained and probed once,
+    # the (queries × 15)-row shortlist localCheckpoints (it feeds two
+    # consumers), and no lineage replays the Lloyd rounds
+    shortlist = similarity.ivf_pq_topk(
+        emb,
+        qs,
+        k=_PQ_REFINE_SHORTLIST,
+        nprobe=_IVF_NPROBE,
+        k_centroids=_IVF_K,
+        train_iters=1,
+    ).localCheckpoint()
     adc = (
-        similarity.ivf_pq_topk(
-            emb, qs, k=5, nprobe=_IVF_NPROBE, k_centroids=_IVF_K, train_iters=1
-        )
+        shortlist.filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
         .withColumn("_a", F.lit(1))
     )
     ref = (
-        similarity.ivf_pq_refine_topk(
-            emb,
-            qs,
-            k=5,
-            shortlist_k=_PQ_REFINE_SHORTLIST,
-            nprobe=_IVF_NPROBE,
-            k_centroids=_IVF_K,
-            train_iters=1,
+        similarity.exact_rerank(
+            shortlist.select("query_id", "neighbor_id"), emb, qs, k=5
         )
         .select("query_id", "neighbor_id")
         .withColumn("_r", F.lit(1))

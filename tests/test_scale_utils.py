@@ -177,3 +177,48 @@ def test_stored_dedup_index_shuffles_only_the_new_batch(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS dedup_index_bucketed")
+
+
+def test_salted_join_equals_plain_join_and_splits_hot_key(spark):
+    """salted_join must be row-identical to the plain join (inner AND
+    left), and its shuffle key must include the salt so the hot key's
+    rows spread across salt_buckets sub-partitions."""
+    import pytest
+
+    from firewatch_spark.operators.skew import salted_join
+
+    # 90% of left rows share key 0; right is key -> attribute
+    left = spark.range(0, 4000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 37 END AS k",
+        "id AS row_id",
+    )
+    right = spark.range(0, 37).selectExpr("id AS k", "id * 10 AS attr")
+
+    got = salted_join(left, right, "k", salt_buckets=8)
+    plain = left.join(right, "k")
+    assert sorted(r["row_id"] for r in got.collect()) == sorted(
+        r["row_id"] for r in plain.collect()
+    )
+
+    lgot = salted_join(left, right.filter(F.col("k") > 30), "k", how="left")
+    lplain = left.join(right.filter(F.col("k") > 30), "k", "left")
+    assert sorted((r["row_id"], r["attr"]) for r in lgot.collect()) == sorted(
+        (r["row_id"], r["attr"]) for r in lplain.collect()
+    )
+
+    # the join's partitioning includes _salt (the whole point) — checked
+    # with auto-broadcast off, since salted_join exists precisely for
+    # right sides too big to broadcast
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            salted_join(left, right, "k", salt_buckets=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "_salt" in plan.split("Exchange hashpartitioning")[1][:120]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
