@@ -4086,6 +4086,80 @@ def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("streaming_sketch_merge", _cms_sql())
+def streaming_sketch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS sketch built INCREMENTALLY by a real Structured
+    Streaming pipeline — the shape a token counter actually runs at
+    100 TB: documents arrive in 3 micro-batches through a file source,
+    each batch sketches ONLY ITSELF inside ``foreachBatch`` and lands
+    its bounded (salt, pos, cnt) table (overwriting its own batch-id
+    subdir — idempotent under redelivery), and the final sketch is the
+    one-operator merge (bucket sum) of the landed pieces.  Gated by
+    the SAME oracle as the batch `token_cms_counts`: the stream-merged
+    sketch must be bit-identical to sketching the whole corpus at
+    once, which is the mergeability theorem the sketch family rests
+    on — here proven end-to-end through a streaming engine, not just
+    the unit test."""
+    import shutil
+    import tempfile
+
+    from .streaming.replay import write_replay_chunks
+
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    tmp = None
+    try:
+        docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+        tmp = tempfile.mkdtemp(prefix="fw_cms_stream_")
+        write_replay_chunks(docs, tmp, order_col="doc_id", n_chunks=3)
+        out_dir = f"{tmp}/sketches"
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+
+        def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            text.token_cms(batch_df).write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+
+        query = (
+            stream.writeStream.foreachBatch(run_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert query.awaitTermination(300), (
+            "streaming sketch merge did not drain in 300s"
+        )
+        query.stop()
+        merged = (
+            spark.read.parquet(out_dir)
+            .drop("batch_id")
+            .groupBy("salt", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+    toks = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    est = text.cms_estimate(merged, toks.select("tok"))
+    return toks.join(est, "tok").select(
+        "tok",
+        F.col("exact_cnt").cast("long"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
 @q("token_cms_counts", _cms_sql())
 def token_cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch token counting (operators/text.py token_cms /
@@ -5675,6 +5749,7 @@ _PINNED = [
     "gopher_rules",
     "token_cms_counts",
     "hll_distinct_tokens",
+    "streaming_sketch_merge",
     "jsonl_ingest",
     "dup_span_removal",
     "incremental_dedup_bloom",
