@@ -755,11 +755,15 @@ def with_image_phash(
 
     Pure per-row Column algebra, payload read once (the md5 feeding
     every cell is let-bound), no shuffle, no UDF."""
+    # ONE md5 per cell: the first byte decodes via conv() on the
+    # leading two hex chars — numerically identical to the two-nibble
+    # instr() decode but without evaluating md5 twice (higher-order
+    # functions never enter whole-stage codegen, so the two textual
+    # md5() copies of the original form were NOT fused by CSE)
     cell = (
-        f"((instr('{HEX}', substring(md5(concat(PM, '|', "
-        "CAST(i div 9 AS STRING), '|', CAST(i % 9 AS STRING))), 1, 1)) - 1) * 16"
-        f" + instr('{HEX}', substring(md5(concat(PM, '|', "
-        "CAST(i div 9 AS STRING), '|', CAST(i % 9 AS STRING))), 2, 1)) - 1)"
+        "CAST(conv(substring(md5(concat(PM, '|', "
+        "CAST(i div 9 AS STRING), '|', CAST(i % 9 AS STRING))), 1, 2), 16, 10) "
+        "AS INT)"
     )
     # bit b in 1..64 compares cell (r, c) = ((b-1) div 8, (b-1) % 8)
     # with its right neighbor — computed as ONE dynamic lambda instead
@@ -796,6 +800,77 @@ def image_phash_pairs(
         id_col,
         max_hamming,
         max_bucket,
+    )
+
+
+def video_frame_dedup(
+    frames: DataFrame,
+    payload_col: str = "payload",
+    video_col: str = "video_id",
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """VIDEO near-duplicate pairs by frame-fingerprint SET overlap —
+    the video member of the multimodal dedup family (text: minhash /
+    simhash; image: dHash; audio: energy contour), and the scheme
+    production video dedup actually uses (shot/frame-level fingerprint
+    matching): two videos are near-dups when they SHARE frames, robust
+    to re-encodes that drop/insert/alter a few frames — where a
+    majority-vote or sequence hash would drift.
+
+    Stages, all shared machinery: per-frame 64-bit dHash
+    (`with_image_phash` — the fake-decode grid here; a real cv2 kernel
+    swaps only the cell source), distinct (video, phash) sets, a
+    CAPPED bucket self-join on the frame hash (identical frames —
+    intros, black frames — are the hot buckets; the cap bounds any
+    bucket's pair quota exactly like LSH banding), then exact set
+    arithmetic: jaccard = shared / (n_a + n_b − shared) from three
+    exact counts, one IEEE division — bit-portable.
+
+    Output (video_a, video_b, n_shared, n_a, n_b, jaccard) for pairs
+    with jaccard ≥ threshold.  Scale: the only corpus-keyed shuffles
+    are the (video, phash) distinct and the phash bucket join — both
+    carry 64-bit fingerprints, never frames."""
+    ph = (
+        with_image_phash(frames, payload_col, video_col, out_col="phash")
+        .select(video_col, "phash")
+        .distinct()
+    )
+    sizes = ph.groupBy(video_col).agg(F.count(F.lit(1)).alias("n"))
+    cap_w = Window.partitionBy("phash").orderBy(video_col)
+    capped = (
+        ph.withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    shared = (
+        capped.select(F.col(video_col).alias("video_a"), "phash")
+        .join(capped.select(F.col(video_col).alias("video_b"), "phash"), "phash")
+        .filter(F.col("video_a") < F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = shared.join(
+        sizes.select(F.col(video_col).alias("video_a"), F.col("n").alias("n_a")),
+        "video_a",
+    ).join(
+        sizes.select(F.col(video_col).alias("video_b"), F.col("n").alias("n_b")),
+        "video_b",
+    )
+    jac = F.col("n_shared") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        out.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "video_a",
+            "video_b",
+            F.col("n_shared").cast("long"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            "jaccard",
+        )
     )
 
 

@@ -1015,6 +1015,100 @@ def _phash_sql() -> str:
     """
 
 
+_VID_FRAMES = 6
+_VID_COPY_MOD = 11
+_VID_COPY_OFFSET = 10_000_000
+
+
+def _video_dedup_sql(threshold: str = "0.5") -> str:
+    """Frame-set video dedup oracle (operators/dedup.py
+    video_frame_dedup): per-frame dHash over the same fake-decode grid
+    as _phash_sql, distinct frame sets, shared-frame counts, exact
+    Jaccard.  The copy fleet alters exactly ONE of 6 frames, so true
+    pairs sit at jaccard 5/7 — past the 0.5 bar only via set overlap
+    (a whole-signature hash would miss them)."""
+    hexd = "0123456789abcdef"
+    cell = (
+        f"((instr('{hexd}', substring(md5(pm || '|' || CAST((i // 9) AS VARCHAR)"
+        " || '|' || CAST((i % 9) AS VARCHAR)), 1, 1)) - 1) * 16"
+        f" + instr('{hexd}', substring(md5(pm || '|' || CAST((i // 9) AS VARCHAR)"
+        " || '|' || CAST((i % 9) AS VARCHAR)), 2, 1)) - 1)"
+    )
+    bits = []
+    for r in range(8):
+        for c in range(8):
+            left = r * 9 + c + 1
+            bits.append(
+                f"CASE WHEN list_extract(cs, {left}) < list_extract(cs, {left + 1}) "
+                "THEN '1' ELSE '0' END"
+            )
+    return f"""
+    WITH fr AS (SELECT unnest(range(0, {_VID_FRAMES})) AS i),
+    vids AS (
+      SELECT doc_id AS video_id,
+             text || '|f' || CAST(i AS VARCHAR) AS payload
+      FROM documents, fr
+      UNION ALL
+      SELECT doc_id + {_VID_COPY_OFFSET},
+             text || '|f' || CAST(i AS VARCHAR)
+               || (CASE WHEN i = 3 THEN '|X' ELSE '' END)
+      FROM documents, fr WHERE doc_id % {_VID_COPY_MOD} = 0
+    ),
+    cells AS (
+      SELECT video_id, list_transform(range(0, 72), i -> {cell}) AS cs
+      FROM (SELECT video_id, md5(payload) AS pm FROM vids)
+    ),
+    ph AS (SELECT DISTINCT video_id, concat({", ".join(bits)}) AS phash FROM cells),
+    sizes AS (SELECT video_id, CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY video_id),
+    shared AS (
+      SELECT a.video_id AS video_a, b.video_id AS video_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM ph a JOIN ph b ON a.phash = b.phash AND a.video_id < b.video_id
+      GROUP BY a.video_id, b.video_id
+    )
+    SELECT s.video_a, s.video_b, s.n_shared, sa.n AS n_a, sb.n AS n_b,
+           s.n_shared / (sa.n + sb.n - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.video_id = s.video_a
+    JOIN sizes sb ON sb.video_id = s.video_b
+    WHERE s.n_shared / (sa.n + sb.n - s.n_shared) >= {threshold}
+    """
+
+
+@q("video_frame_dedup", _video_dedup_sql())
+def video_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup pairs by frame-fingerprint set overlap
+    (operators/dedup.py video_frame_dedup) — the video member of the
+    multimodal dedup family, completing text/image/audio/video: 6
+    fake-decoded frames per document stand in for a video; every 11th
+    video is re-ingested with ONE altered frame (the re-encode case),
+    landing at jaccard 5/7 — found through SHARED frames, where any
+    whole-signature hash would drift.  Frame payloads never shuffle;
+    only 64-bit fingerprints do."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    fr = F.explode(F.sequence(F.lit(0), F.lit(_VID_FRAMES - 1))).alias("frame_idx")
+    base = docs.select(F.col("doc_id").alias("video_id"), "text", fr).select(
+        "video_id",
+        F.concat(
+            F.col("text"), F.lit("|f"), F.col("frame_idx").cast("string")
+        ).cast("binary").alias("payload"),
+    )
+    copies = (
+        docs.filter(F.col("doc_id") % _VID_COPY_MOD == 0)
+        .select((F.col("doc_id") + _VID_COPY_OFFSET).alias("video_id"), "text", fr)
+        .select(
+            "video_id",
+            F.concat(
+                F.col("text"),
+                F.lit("|f"),
+                F.col("frame_idx").cast("string"),
+                F.when(F.col("frame_idx") == 3, F.lit("|X")).otherwise(F.lit("")),
+            ).cast("binary").alias("payload"),
+        )
+    )
+    return dedup.video_frame_dedup(base.unionByName(copies))
+
+
 @q("image_phash_dedup", _phash_sql())
 def image_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual-hash near-dup pairs (operators/dedup.py
@@ -5750,6 +5844,7 @@ _PINNED = [
     "token_cms_counts",
     "hll_distinct_tokens",
     "streaming_sketch_merge",
+    "video_frame_dedup",
     "jsonl_ingest",
     "dup_span_removal",
     "incremental_dedup_bloom",

@@ -511,3 +511,35 @@ def test_audio_fingerprint_dedup_collapses_identical_clips(spark):
     assert pairs[(1, 2)] == 0          # identical clips collapse
     assert pairs[(4, 5)] == 0          # all-zero shorts collapse together
     assert (1, 3) not in pairs or pairs[(1, 3)] > 0
+
+
+def test_video_frame_dedup_jaccard_and_threshold(spark):
+    """Frame-set semantics pinned: a video sharing 5 of 6 frames with
+    another lands at jaccard 5/7; sharing 2 of 6 (jaccard 2/10) is cut
+    by the 0.5 threshold; duplicate frames within one video collapse
+    (set, not bag, semantics)."""
+    from firewatch_spark.operators import dedup
+
+    def frames(vid, payloads):
+        return [(vid, p.encode()) for p in payloads]
+
+    base = [f"f{i}" for i in range(6)]
+    rows_in = (
+        frames(1, base)
+        + frames(2, base[:5] + ["ALTERED"])       # 5/7 with video 1
+        + frames(3, base[:2] + [f"x{i}" for i in range(4)])  # 2/10 with 1
+        + frames(4, [base[0]] * 3 + base[1:4])    # dup frames collapse -> 4 distinct
+    )
+    df = spark.createDataFrame(rows_in, "video_id long, payload binary")
+    out = {
+        (r["video_a"], r["video_b"]): r
+        for r in dedup.video_frame_dedup(df).collect()
+    }
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert (r12["n_shared"], r12["n_a"], r12["n_b"]) == (5, 6, 6)
+    assert abs(r12["jaccard"] - 5 / 7) < 1e-12
+    assert (1, 3) not in out  # 2/10 below threshold
+    # video 4 has 4 DISTINCT frames, 4 shared with video 1 -> 4/(6+4-4)=2/3
+    assert (1, 4) in out and out[(1, 4)]["n_b"] == 4
+    assert abs(out[(1, 4)]["jaccard"] - 2 / 3) < 1e-12

@@ -228,3 +228,114 @@ def test_dup_span_removal_matches_python_reference(spark):
         for d, (n, rm, clean) in _py_dup_span_removal(docs, gram_n).items()
     }
     assert got == expected
+
+
+def _rand_corpus(seed: int, n_docs: int = 60):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(25)] + ["the", "a", "of", "and"]
+    return [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 90))))
+        for i in range(n_docs)
+    ]
+
+
+def test_cms_matches_python_reference(spark):
+    """Sketch buckets AND min-estimates vs a pure-Python CMS built with
+    the same md5 bucket hash, over a random corpus."""
+    import hashlib
+    from collections import Counter
+
+    from firewatch_spark.operators import text as T
+
+    data = _rand_corpus(7)
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+
+    def pos(s, tok, width=16):
+        h = hashlib.md5(f"cms{s}|{tok}".encode()).hexdigest()
+        return int(h[:8], 16) % width
+
+    counts = Counter(tok for _, t in data for tok in t.split(" "))
+    sketch = Counter()
+    for tok, c in counts.items():
+        for s in range(3):
+            sketch[(s, pos(s, tok))] += c
+    got_sketch = {
+        (r["salt"], r["pos"]): r["cnt"] for r in T.token_cms(df).collect()
+    }
+    assert got_sketch == dict(sketch)
+    est = {
+        r["tok"]: r["est_cnt"]
+        for r in T.cms_estimate(
+            T.token_cms(df),
+            df.select(F.explode(F.split("text", " ")).alias("tok")).distinct(),
+        ).collect()
+    }
+    for tok, c in counts.items():
+        expect = min(sketch[(s, pos(s, tok))] for s in range(3))
+        assert est[tok] == expect and est[tok] >= c, tok
+
+
+def test_hll_matches_python_reference(spark):
+    """Bucket max-ranks AND the raw estimate vs a pure-Python HLL with
+    the same md5 prefix hash."""
+    import hashlib
+
+    from firewatch_spark.operators import text as T
+
+    data = [(i, "g" if i % 2 else "h", t) for i, (_, t) in enumerate(_rand_corpus(11, 30))]
+    df = spark.createDataFrame(data, ["doc_id", "grp", "text"])
+
+    mr = {}
+    for _, g, t in data:
+        for tok in t.split(" "):
+            h = int(hashlib.md5(f"hll|{tok}".encode()).hexdigest()[:8], 16)
+            bucket, w = h % 16, h // 16
+            rho = 29 if w == 0 else 29 - len(bin(w)[2:])
+            mr[(g, bucket)] = max(mr.get((g, bucket), 0), rho)
+    got = {
+        (r["grp"], r["bucket"]): r["max_rho"]
+        for r in T.token_hll_sketch(df, "grp").collect()
+    }
+    assert got == mr
+    est = {r["grp"]: r["hll_raw_est"] for r in T.hll_estimate(T.token_hll_sketch(df, "grp")).collect()}
+    for g in ("g", "h"):
+        denom = sum(2.0 ** -m for (gg, _), m in mr.items() if gg == g)
+        denom += 16 - sum(1 for (gg, _) in mr if gg == g)
+        assert est[g] == 0.673 * 256.0 / denom, g
+
+
+def test_gopher_rules_match_python_reference(spark):
+    """Every rule flag and the keep verdict vs a pure-Python mirror
+    over a random corpus (thresholds as published)."""
+    from firewatch_spark.operators import text as T
+
+    data = _rand_corpus(13)
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in T.with_gopher_rules(df).collect()}
+    stop = {"the", "a", "of", "and", "to", "in"}
+    for doc_id, txt in data:
+        toks = txt.split(" ")
+        n = len(toks)
+        mwl = (len(txt) - (n - 1)) / n
+        grams = (
+            [" ".join(toks[i : i + 2]) for i in range(n - 1)] if n >= 2 else [txt]
+        )
+        topg = max(grams.count(g) for g in set(grams)) / len(grams)
+        runs, best = 1, 1
+        for i in range(1, n):
+            runs = runs + 1 if toks[i] == toks[i - 1] else 1
+            best = max(best, runs)
+        r = got[doc_id]
+        assert r["r_word_count"] == (50 <= n <= 100000), doc_id
+        assert r["r_mean_word_len"] == (3.0 <= mwl <= 10.0), doc_id
+        assert r["r_stopwords"] == (len(stop & set(toks)) >= 2), doc_id
+        assert r["r_top_bigram"] == (topg <= 0.2), doc_id
+        assert r["r_max_run"] == (best <= 4), doc_id
+        n_failed = sum(
+            not r[c]
+            for c in (
+                "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                "r_alpha_words", "r_stopwords", "r_top_bigram", "r_max_run",
+            )
+        )
+        assert r["n_failed"] == n_failed and r["keep"] == (n_failed == 0)
