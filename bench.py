@@ -65,6 +65,7 @@ BUILD_TIMED = {
     "ann_pq_recall",  # runs BOTH PQ builds + the exact audit side
     "jsonl_ingest",  # the JSONL write happens in-build
     "streaming_sketch_merge",  # availableNow foreachBatch run in-build
+    "dedup_index_roll",  # localCheckpoints the stored index in-build
     # stop-rule probes (vocab count, argmax collect) + per-round
     # checkpoints run in-build
     "bpe_vocab_induction",

@@ -1108,6 +1108,46 @@ def build_dedup_index(
     return banded.unionByName(carriers).join(md5s, id_col)
 
 
+def update_dedup_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Nightly index ROLL — merge a new batch into the stored dedup
+    index and re-apply the bucket cap, WITHOUT re-hashing the index
+    side.  Bit-identical to rebuilding from the union corpus (the
+    registered query's gate is literally the full-rebuild oracle).
+
+    Why the incremental form is exact: the build cap keeps each
+    bucket's `max_bucket` LOWEST ids, so every id the old cap evicted
+    is ≥ all ids it kept — the union's lowest `max_bucket` can never
+    include an evicted id, hence
+    ``cap(cap(A) ∪ B) == cap(A ∪ B)``
+    (pinned by test with a forced-eviction bucket).  Per-roll cost is
+    O(new) hashing + a re-cap shuffle that carries 32-byte band keys;
+    carriers and md5s union through untouched.  At 100 TB this is the
+    difference between a nightly job over the batch and one over the
+    corpus."""
+    new_index = build_dedup_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n, max_bucket
+    )
+    merged = index.unionByName(new_index)
+    band_rows = merged.filter(F.col("band_idx") >= 0)
+    carriers = merged.filter(F.col("band_idx") < 0)
+    cap_w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+    capped = (
+        band_rows.withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    return capped.unionByName(carriers)
+
+
 def band_bloom_bits(
     index: DataFrame, m_bits: int = 1 << 18, k_hashes: int = 2
 ) -> DataFrame:

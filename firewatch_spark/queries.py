@@ -4662,6 +4662,60 @@ def incremental_dedup_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_roll_sql() -> str:
+    """Full-rebuild oracle for the incremental index roll: the gate IS
+    the statement that update(build(A), B) == build(A ∪ B) — the
+    oracle simply builds the whole index from all documents (capped
+    bands + md5-carrier rows), and the Spark side must land on it
+    bit-for-bit through the incremental path."""
+    return f"""
+    WITH {_minhash_sig_sql(12, 3, "documents")},
+    {_minhash_bands_sql(12, 4)},
+    capped AS (
+      SELECT doc_id, band_idx, band_hash FROM (
+        SELECT doc_id, band_idx, band_hash,
+               ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+                    ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {dedup.MAX_BUCKET}
+    ),
+    allrows AS (
+      SELECT doc_id, band_idx, band_hash FROM capped
+      UNION ALL
+      SELECT doc_id, -1 AS band_idx, NULL AS band_hash FROM documents
+    )
+    SELECT a.doc_id, CAST(a.band_idx AS BIGINT) AS band_idx,
+           COALESCE(a.band_hash, '') AS band_hash,
+           md5(d.text) AS content_md5
+    FROM allrows a JOIN documents d ON a.doc_id = d.doc_id
+    """
+
+
+@q("dedup_index_roll", _index_roll_sql())
+def dedup_index_roll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly dedup-index maintenance (operators/dedup.py
+    update_dedup_index): merge the day's batch into the STORED band
+    index and re-cap — only the batch is hashed, and the result must
+    equal a full rebuild from the union corpus BIT-FOR-BIT, which is
+    exactly what the oracle checks (it rebuilds from scratch; the
+    Spark side rolls incrementally).  The cap algebra that makes the
+    incremental form exact — cap(cap(A) ∪ B) == cap(A ∪ B) for a
+    lowest-ids cap — is additionally pinned by a forced-eviction unit
+    test."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.withColumn("_u", sampling._hash_uniform("doc_id", "incr"))
+    idx_docs = u.filter(F.col("_u") < _INCR_FRAC).drop("_u")
+    new = u.filter(F.col("_u") >= _INCR_FRAC).drop("_u")
+    index = dedup.build_dedup_index(idx_docs).localCheckpoint()
+    rolled = dedup.update_dedup_index(index, new)
+    return rolled.select(
+        "doc_id",
+        F.col("band_idx").cast("long").alias("band_idx"),
+        F.coalesce(F.col("band_hash"), F.lit("")).alias("band_hash"),
+        "content_md5",
+    )
+
+
 _BLOOM_M = 1 << 18
 _BLOOM_K = 2
 
@@ -5845,6 +5899,7 @@ _PINNED = [
     "hll_distinct_tokens",
     "streaming_sketch_merge",
     "video_frame_dedup",
+    "dedup_index_roll",
     "jsonl_ingest",
     "dup_span_removal",
     "incremental_dedup_bloom",

@@ -543,3 +543,31 @@ def test_video_frame_dedup_jaccard_and_threshold(spark):
     # video 4 has 4 DISTINCT frames, 4 shared with video 1 -> 4/(6+4-4)=2/3
     assert (1, 4) in out and out[(1, 4)]["n_b"] == 4
     assert abs(out[(1, 4)]["jaccard"] - 2 / 3) < 1e-12
+
+
+def test_index_roll_cap_algebra_with_forced_eviction(spark):
+    """cap(cap(A) ∪ B) == cap(A ∪ B) — the theorem that makes the
+    incremental index roll exact.  Forced-eviction setup: identical
+    texts share every band bucket; with max_bucket=2 the old index
+    keeps ids {1,3} and EVICTS {5,7}; the batch brings id 0, which
+    must displace 3 — and the rolled index must equal the full rebuild
+    exactly, evicted ids staying evicted."""
+    from firewatch_spark.operators import dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame([(i, text) for i in (1, 3, 5, 7)], ["doc_id", "text"])
+    new = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    both = old.unionByName(new)
+
+    idx_old = dedup.build_dedup_index(old, max_bucket=2)
+    rolled = dedup.update_dedup_index(idx_old, new, max_bucket=2)
+    rebuilt = dedup.build_dedup_index(both, max_bucket=2)
+
+    key = lambda r: (r["doc_id"], r["band_idx"], r["band_hash"], r["content_md5"])
+    assert sorted(map(key, rolled.collect())) == sorted(map(key, rebuilt.collect()))
+    # the band buckets kept exactly {0, 1}: 0 displaced 3
+    kept = {r["doc_id"] for r in rolled.collect() if r["band_idx"] >= 0}
+    assert kept == {0, 1}
+    # but every doc keeps its md5-carrier row (exact-dup coverage)
+    carriers = {r["doc_id"] for r in rolled.collect() if r["band_idx"] < 0}
+    assert carriers == {0, 1, 3, 5, 7}

@@ -222,3 +222,31 @@ def test_salted_join_equals_plain_join_and_splits_hot_key(spark):
 
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """The last classic scale lever, machine-checked alongside
+    bucketing and salting: a corpus written partitionBy(source) must
+    serve a source-filtered query by PRUNING directories — the filter
+    shows up in the scan's PartitionFilters and the unselected
+    partitions are never listed, so at 100 TB a one-source query reads
+    one source's files, not the corpus."""
+    docs = spark.range(0, 1000).selectExpr(
+        "id AS doc_id",
+        "concat('src', CAST(id % 10 AS STRING)) AS source",
+        "concat('text ', CAST(id AS STRING)) AS text",
+    )
+    path = str(tmp_path / "part_docs")
+    docs.write.partitionBy("source").mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("source") == "src3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "src3" in plan.split("PartitionFilters")[1][:200]
+    # and the result is exactly the one partition's rows
+    assert back.count() == 100
+    # sanity that pruning actually reduced the scan: partition count 1
+    import re
+    m = re.search(r"partition count: (\d+)", plan.lower())
+    if m:  # wording varies across Spark versions; count check above is the hard gate
+        assert m.group(1) == "1", plan
