@@ -1065,6 +1065,59 @@ def cms_estimate(
     )
 
 
+HIST_BIN_WIDTH = 8
+
+
+def length_histogram(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    bin_width: int = HIST_BIN_WIDTH,
+) -> DataFrame:
+    """Per-group token-length HISTOGRAM table — the fourth relational
+    sketch (Bloom membership, CMS frequency, HLL cardinality,
+    histogram distribution): (grp, bin, cnt) rows with bin =
+    n_tokens div bin_width, bounded by max_length/bin_width per group
+    REGARDLESS of corpus size and mergeable by (grp, bin) SUM — the
+    shape length-bucketed batch sizing and sequence-packing planners
+    consume at 100 TB, where an exact per-group length multiset
+    doesn't fit anywhere."""
+    lens = ensure_parallelism(df).select(
+        F.col(group_col).alias("grp"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("v"),
+    )
+    return (
+        lens.withColumn("bin", F.expr(f"v div {bin_width}"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame, q_num: int, q_den: int, bin_width: int = HIST_BIN_WIDTH
+) -> DataFrame:
+    """Quantile ESTIMATE from the histogram sketch: the upper edge of
+    the first bin whose cumulative count reaches ceil(q·n) — pure
+    integer arithmetic (threshold = (q_num·n + q_den − 1) div q_den),
+    so the estimate is engine-exact and the oracle gates it by hash.
+    Resolution is ±bin_width by construction; the registered query
+    reports it next to the exact quantile so the error is measured,
+    not assumed.  The cumulative window runs over ≤ max_len/bin_width
+    rows per group — sketch-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    totals = hist.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(totals, "grp")
+    thr = F.expr(f"(({q_num} * n) + {q_den - 1}) div {q_den}")
+    hit = cum.filter(F.col("cum") >= thr)
+    return hit.groupBy("grp").agg(
+        ((F.min("bin") + 1) * bin_width).cast("long").alias("est")
+    )
+
+
 HLL_B = 4  # 2^4 = 16 buckets; alpha_16 is the published constant
 HLL_ALPHA_16 = 0.673
 

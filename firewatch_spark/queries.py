@@ -39,6 +39,7 @@ from .operators import (
     sampling,
     sessions,
     similarity,
+    skew,
     text,
 )
 from .operators.util import ensure_parallelism, make_checkpointer
@@ -2534,6 +2535,36 @@ def hinted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the SAME oracle as hinted_join on purpose: salting is a physical
+# strategy, not a semantic one — the salted plan must land on the
+# plain join's answer bit-for-bit (the equality salted_join's unit
+# test pins, here re-proven through the driver's value hash)
+@q("salted_join_agg", _HINTED_SQL)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 join strategies, fourth member: the EXPLICIT-SALT form for
+    hot keys (operators/skew.py salted_join) — deterministic row-hash
+    salt on the fact side, salt-replicated dim side, (key, salt)
+    equi-join so a monster key spreads over salt_buckets tasks.  The
+    lever of last resort after broadcast (revenue_by_nation),
+    shuffle-hash (hinted_join), and bucketed sort-merge
+    (sources/bucketed.py): right side too big to broadcast, AQE unable
+    to split a single giant key.  Results bit-equal to the plain
+    join — same oracle as hinted_join."""
+    o = _tbl(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = skew.salted_join(o, c, "custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
 _SHUF_SQL = """
     WITH k AS (
       SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS k FROM documents
@@ -4111,6 +4142,108 @@ def _cms_sql(depth: int = 3, width: int = 16) -> str:
            CAST(e.est_cnt - t.cnt AS BIGINT) AS overcount
     FROM tc t JOIN est e ON t.tok = e.tok
     """
+
+
+_LENQ_SQL = f"""
+    WITH lens AS (
+      SELECT source AS grp, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      FROM documents
+    ),
+    hist AS (
+      SELECT grp, v // {text.HIST_BIN_WIDTH} AS bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM lens GROUP BY grp, v // {text.HIST_BIN_WIDTH}
+    ),
+    totals AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY grp),
+    cum AS (
+      SELECT h.grp, h.bin, t.n,
+             sum(h.cnt) OVER (PARTITION BY h.grp ORDER BY h.bin) AS cum
+      FROM hist h JOIN totals t ON h.grp = t.grp
+    ),
+    est50 AS (
+      SELECT grp, CAST((min(bin) + 1) * {text.HIST_BIN_WIDTH} AS BIGINT) AS est_p50
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY grp
+    ),
+    est90 AS (
+      SELECT grp, CAST((min(bin) + 1) * {text.HIST_BIN_WIDTH} AS BIGINT) AS est_p90
+      FROM cum WHERE cum >= (9 * n + 9) // 10 GROUP BY grp
+    ),
+    vcum AS (
+      SELECT l.grp, l.v, t.n,
+             sum(l.cnt) OVER (PARTITION BY l.grp ORDER BY l.v) AS cum
+      FROM (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
+            FROM lens GROUP BY grp, v) l
+      JOIN totals t ON l.grp = t.grp
+    ),
+    ex50 AS (
+      SELECT grp, CAST(min(v) AS BIGINT) AS exact_p50
+      FROM vcum WHERE cum >= (n + 1) // 2 GROUP BY grp
+    ),
+    ex90 AS (
+      SELECT grp, CAST(min(v) AS BIGINT) AS exact_p90
+      FROM vcum WHERE cum >= (9 * n + 9) // 10 GROUP BY grp
+    )
+    SELECT t.grp AS source, t.n AS n_docs,
+           est50.est_p50, ex50.exact_p50, est90.est_p90, ex90.exact_p90
+    FROM totals t
+    JOIN est50 ON t.grp = est50.grp
+    JOIN ex50 ON t.grp = ex50.grp
+    JOIN est90 ON t.grp = est90.grp
+    JOIN ex90 ON t.grp = ex90.grp
+    """
+
+
+@q("length_quantile_sketch", _LENQ_SQL)
+def length_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length quantiles from the HISTOGRAM sketch
+    (operators/text.py length_histogram / histogram_quantile) next to
+    the exact quantiles — the fourth relational sketch (distribution),
+    the input shape of length-bucketed batch sizing: (grp, bin, cnt)
+    rows, bounded and mergeable by bucket sum, with the quantile
+    estimate read off the cumulative bins in pure integer arithmetic
+    (engine-exact, hash-gated).  The exact side uses the identical
+    smallest-value-reaching-ceil(q·n) rule so estimate vs truth
+    differ only by the bin resolution — measured, not assumed."""
+    from pyspark.sql import Window
+
+    docs = _tbl(spark, sf_dir, "documents").select("source", "text")
+    hist = text.length_histogram(docs, "source").localCheckpoint()
+    p50 = text.histogram_quantile(hist, 1, 2).withColumnRenamed("est", "est_p50")
+    p90 = text.histogram_quantile(hist, 9, 10).withColumnRenamed("est", "est_p90")
+    lens = docs.select(
+        F.col("source").alias("grp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("v"),
+    )
+    totals = lens.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    vc = lens.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vc.withColumn("cum", F.sum("cnt").over(w)).join(totals, "grp")
+    ex50 = (
+        vcum.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("grp")
+        .agg(F.min("v").cast("long").alias("exact_p50"))
+    )
+    ex90 = (
+        vcum.filter(F.col("cum") >= F.expr("(9 * n + 9) div 10"))
+        .groupBy("grp")
+        .agg(F.min("v").cast("long").alias("exact_p90"))
+    )
+    return (
+        totals.select(F.col("grp"), F.col("n").cast("long").alias("n_docs"))
+        .join(p50, "grp")
+        .join(ex50, "grp")
+        .join(p90, "grp")
+        .join(ex90, "grp")
+        .select(
+            F.col("grp").alias("source"),
+            "n_docs",
+            "est_p50",
+            "exact_p50",
+            "est_p90",
+            "exact_p90",
+        )
+    )
 
 
 def _hll_sql(b: int = 4, alpha: str = "0.673") -> str:
@@ -5900,6 +6033,8 @@ _PINNED = [
     "streaming_sketch_merge",
     "video_frame_dedup",
     "dedup_index_roll",
+    "salted_join_agg",
+    "length_quantile_sketch",
     "jsonl_ingest",
     "dup_span_removal",
     "incremental_dedup_bloom",

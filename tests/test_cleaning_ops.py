@@ -504,3 +504,38 @@ def test_hll_sketch_merges_and_is_duplicate_insensitive(spark):
         for r in text.token_hll_sketch(tripled, "grp").collect()
     }
     assert trip == whole
+
+
+def test_length_histogram_merges_and_quantile_bounds(spark):
+    """Histogram-sketch invariants: half-corpus sketches merge by
+    (grp, bin) sum to the whole-corpus sketch, and the quantile
+    estimate is always >= the exact quantile and within one bin width
+    of it (the resolution guarantee)."""
+    import random
+
+    rng = random.Random(3)
+    data = [
+        (i, "g", " ".join("w" for _ in range(rng.randint(1, 100))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "grp", "text"])
+    whole = {
+        (r["grp"], r["bin"]): r["cnt"]
+        for r in text.length_histogram(df, "grp").collect()
+    }
+    merged_df = (
+        text.length_histogram(df.filter(F.col("doc_id") < 25), "grp")
+        .unionByName(text.length_histogram(df.filter(F.col("doc_id") >= 25), "grp"))
+        .groupBy("grp", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = {(r["grp"], r["bin"]): r["cnt"] for r in merged_df.collect()}
+    assert merged == whole
+
+    hist = text.length_histogram(df, "grp")
+    lengths = sorted(len(t.split(" ")) for _, _, t in data)
+    for q_num, q_den in ((1, 2), (9, 10)):
+        est = text.histogram_quantile(hist, q_num, q_den).collect()[0]["est"]
+        thr = (q_num * len(lengths) + q_den - 1) // q_den
+        exact = lengths[thr - 1]
+        assert exact <= est <= exact + text.HIST_BIN_WIDTH, (q_num, est, exact)
