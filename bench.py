@@ -335,15 +335,23 @@ def main() -> None:
             break
         line = compact_line(threshold)
     if len(line) > 1900:
-        # last-resort fallback (round-6 review): if even the >=1s query
-        # map overflows (registry growth / bigger SF), drop the per-
-        # query maps entirely — the headline numbers ALWAYS fit, and
-        # the full detail is in BENCH_FULL.json regardless
-        payload = json.loads(line)
-        payload["queries"] = {}
-        payload["q_omitted"] = payload["n_queries"]
+        # graceful degradation (r7: the registry outgrew even the >=1s
+        # map + slope map, and the old all-or-nothing fallback nuked
+        # the whole per-query record — the r5 evidence-loss failure in
+        # a new coat).  Drop the slope map FIRST (it's verbatim in
+        # BENCH_FULL.json), then truncate the query map slowest-first
+        # until the line fits: the expensive tail is the informative
+        # part and ALWAYS survives.
+        payload = json.loads(compact_line(1.0))
         payload.pop("scaling_slope_vs_linear", None)
-        line = json.dumps(payload, separators=(",", ":"))
+        qs = list(payload["queries"].items())  # already slowest-first
+        while True:
+            payload["queries"] = dict(qs)
+            payload["q_omitted"] = payload["n_queries"] - len(qs)
+            line = json.dumps(payload, separators=(",", ":"))
+            if len(line) <= 1900 or not qs:
+                break
+            qs = qs[:-1]
     print(line)
     spark.stop()
 
