@@ -40,11 +40,14 @@ def main() -> None:
 
     from firewatch_spark.queries import registry
 
+    # SPARK_GRAFT_SCALE_FACTOR=125 probes x1 -> x125 instead (build the
+    # dir first: tools/scale_data.py /root/testdata/sf0.1 .bench_scale/x125 125)
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "25"))
     names = sys.argv[1:] or DEFAULT
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_scale"
     )
-    dirs = {1: os.path.join(root, "x1"), 25: os.path.join(root, "x25")}
+    dirs = {1: os.path.join(root, "x1"), factor: os.path.join(root, f"x{factor}")}
     for d in dirs.values():
         if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS")):
             raise SystemExit(f"missing scaled dir {d} — run bench.py first (x1/x5) "
@@ -78,10 +81,10 @@ def main() -> None:
         # otherwise corrupt the slope's x1 denominator
         run(name, dirs[1])
         t1 = run(name, dirs[1])
-        t25 = run(name, dirs[25])
+        tN = run(name, dirs[factor])
         print(
-            f"{name}: t_1x={t1:.2f}s t_25x={t25:.2f}s "
-            f"slope_vs_linear={(t25 / t1 / 25):.3f}"
+            f"{name}: t_1x={t1:.2f}s t_{factor}x={tN:.2f}s "
+            f"slope_vs_linear={(tN / t1 / factor):.3f}"
         )
     spark.stop()
 
