@@ -546,6 +546,119 @@ def near_dup_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def near_dup_clusters_star(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — same output contract as
+    :func:`near_dup_clusters` (every doc labelled with the smallest
+    reachable id), but rounds needed are O(log n) INDEPENDENT of the
+    graph's diameter.  Min-label propagation pays one round per hop, so
+    a 10,000-hop chain (entirely possible in web-crawl near-dup graphs
+    where page A ~ A' ~ A'' ~ ...) costs 10,000 shuffles; star
+    contraction collapses such chains in ~log2(n) rounds.  This is the
+    100 TB path; the propagation twin stays registered because its
+    per-round plan is cheaper on the shallow star-shaped graphs LSH
+    candidate capping produces.
+
+    Each round rewires edges toward local minima and never disconnects
+    a component:
+
+    * large-star (per node u over its FULL neighborhood Γ(u)):
+      m = min(Γ(u) ∪ {u}); emit (w, m) for every w ∈ Γ(u) with w > u.
+    * small-star (per node u over Γ⁻(u) = neighbors < u):
+      m = min(Γ⁻(u) ∪ {u}); emit (u, m) and (w, m) for w ∈ Γ⁻(u)\\{m}.
+
+    The fixpoint is a star forest whose centers are the component
+    minima; labels read directly off the final edges.  Edges are kept
+    canonically oriented (hi, lo) with hi > lo; the symmetric view
+    large-star needs is a cheap union, and every emitted edge is
+    canonical by construction (m ≤ u < w in large-star, m ≤ lo < hi in
+    small-star), so no per-round re-orientation pass is needed.
+
+    Scale: each round is two groupBy-min + two equi-joins shuffling
+    only (id, id) pairs; per-round lineage truncation via
+    ``make_checkpointer`` (reliable ``checkpoint_dir`` for clusters,
+    as near_dup_clusters).  Convergence = edge-set fixpoint, detected
+    with one symmetric-difference count per round.  Iterative ⇒ not
+    single-query SQL-expressible; pinned against the same union-find
+    and transitive-closure oracles as the propagation twin."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    ckpt = make_checkpointer(docs.sparkSession, checkpoint_dir)
+    e0 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        e0.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+    edges = ckpt(edges)
+
+    def one_round(edges):
+        # large-star over the symmetric view
+        sym = edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).union(
+            edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        mins = mins.select(
+            "src", F.least(F.col("src"), F.col("_mn")).alias("m")
+        )
+        large = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        large = ckpt(large)
+        # small-star directly on the canonical orientation
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        rewired = (
+            large.join(smins, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        center = smins.select(F.col("hi"), F.col("m").alias("lo"))
+        new_edges = ckpt(rewired.union(center).distinct())
+        n_changed = (
+            new_edges.exceptAll(edges).union(edges.exceptAll(new_edges)).count()
+        )
+        return new_edges, n_changed
+
+    for _ in range(max_iter):
+        edges, n_changed = one_round(edges)
+        if not n_changed:
+            break
+    else:
+        # same exactly-max_iter subtlety as near_dup_clusters: the last
+        # budgeted round may have REACHED the fixpoint while still
+        # reporting a change; one confirming probe round decides.
+        edges, n_changed = one_round(edges)
+        if n_changed:
+            raise RuntimeError(
+                f"near_dup_clusters_star did not converge in {max_iter} "
+                f"rounds ({n_changed} edges still rewiring); raise "
+                "max_iter — rounds needed is O(log n), so this signals "
+                "a pathological input, not a deep graph"
+            )
+    # fixpoint: a star forest (hi → component-min lo).  min() guards
+    # the theoretical case of a node still holding two star edges.
+    lab = edges.groupBy("hi").agg(F.min("lo").alias("_lab"))
+    return docs.select(F.col(id_col).alias("id")).join(
+        lab, F.col("id") == F.col("hi"), "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("_lab"), F.col("id")).alias("cluster_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -710,6 +710,62 @@ def jsonl_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "csv_ingest",
+    """
+    SELECT doc_id, md5(text) AS text_md5, FALSE AS is_corrupt FROM documents
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), '', TRUE
+    """,
+)
+def csv_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV crawl-dump ingest round-trip — the other text-delivery
+    staple next to `jsonl_ingest`, same dead-letter contract: write
+    with Spark's csv sink (which quotes embedded delimiters/quotes
+    itself), read back with an EXPLICIT schema (no inferSchema pass at
+    100 TB) in PERMISSIVE mode with a corrupt-record column.  One
+    planted line whose first field can't cast to BIGINT must surface
+    as is_corrupt=TRUE with sentinel values — never kill the job,
+    never be silently dropped (the reference swallows malformed
+    frames, stream.py:421-423; dead-lettering is the §1.3 upgrade).
+    Caveat recorded here because it's a real 100 TB decision: text
+    containing NEWLINES needs multiLine=true, which makes CSV files
+    non-splittable — ship such corpora as JSONL/parquet instead; the
+    oracle replays from the parquet truth, so the gate proves the
+    round-trip content-lossless for delimiter/quote-bearing text."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="fw_csv_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    data_dir = os.path.join(tmp, "data")
+    docs.coalesce(4).write.mode("overwrite").csv(data_dir)
+    with open(os.path.join(data_dir, "corrupt.csv"), "w") as f:
+        f.write("notanumber,this row cannot satisfy the schema\n")
+    back = (
+        spark.read.schema("doc_id BIGINT, text STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(data_dir)
+    )
+    # CSV PERMISSIVE differs from JSON: fields that DO parse on a
+    # corrupt row are kept (text survives even when doc_id fails to
+    # cast), so the sentinel must be explicit, not a coalesce fallback
+    corrupt = F.col("_corrupt").isNotNull()
+    return back.select(
+        F.when(corrupt, F.lit(-1).cast("long"))
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.when(corrupt, F.lit(""))
+        .otherwise(F.md5(F.col("text").cast("binary")))
+        .alias("text_md5"),
+        corrupt.alias("is_corrupt"),
+    )
+
+
 # ===========================================================================
 # Group B — LLM-data-pipeline pack (documents / embeddings)
 # ===========================================================================
@@ -1591,6 +1647,20 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3)
     return dedup.near_dup_clusters(pairs, docs)
+
+
+@q("near_dup_clusters_star", _CLUSTERS_SQL)
+def near_dup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same connected-components deliverable computed by
+    alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC 2014, operators/dedup.py near_dup_clusters_star) instead of
+    min-label propagation: O(log n) rounds independent of graph
+    diameter — the 100 TB path for deep near-dup chains.  Identical
+    oracle to near_dup_clusters: the label set is a function of the
+    pair graph, not the algorithm."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3)
+    return dedup.near_dup_clusters_star(pairs, docs)
 
 
 # ---------------------------------------------------------------------------
@@ -2999,6 +3069,67 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids(emb, k=_IVF_K)
     return similarity.ivf_assign(emb, cents)
+
+
+@q(
+    "ann_ivf_upsert",
+    f"""
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    base AS (SELECT * FROM iv WHERE vec_id % 10 <> 7),
+    cents AS (
+      SELECT vec_id AS centroid_id, iv AS civ FROM base
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
+    ),
+    scored AS (
+      SELECT a.vec_id, c.centroid_id,
+             CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                  i -> (list_extract(a.iv, i) - list_extract(c.civ, i))
+                     * (list_extract(a.iv, i) - list_extract(c.civ, i)))) AS BIGINT) AS d2
+      FROM iv a, cents c
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rk
+      FROM scored
+    )
+    SELECT vec_id, centroid_id, d2, vec_id % 10 = 7 AS is_new
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index UPSERT — the ANN index lifecycle (the family's twin of
+    `dedup_index_roll`): centroids are FROZEN at index-build time and
+    the base cell table is a STORED parquet artifact; a new vector
+    batch enters by assign-only against the frozen centroids — O(new
+    batch × k) work, zero retrain, zero recompute of the base index
+    (the gate replays the stored parquet, so the written artifact is
+    what's attested).  Assignment is a pure per-vector function of the
+    centroid table, so delta-assign ≡ full-assign restricted to the
+    batch (batch-invariance pinned in tests) and searches probe the
+    unioned cell table unchanged.  Centroid drift accumulating across
+    many upserts is when a production index schedules a RETRAIN + full
+    roll — that path is `ann_ivf_trained_topk`'s train machinery over
+    the unioned corpus."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    newb = emb.filter(F.col("vec_id") % 10 == 7)
+    cents = similarity.ivf_centroids(base, k=_IVF_K)
+    tmp = tempfile.mkdtemp(prefix="fw_ivf_index_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    index_path = os.path.join(tmp, "cells.parquet")
+    similarity.ivf_assign(base, cents).write.mode("overwrite").parquet(index_path)
+    stored = spark.read.parquet(index_path).withColumn("is_new", F.lit(False))
+    delta = similarity.ivf_assign(newb, cents).withColumn("is_new", F.lit(True))
+    return stored.unionByName(delta)
 
 
 def _ivf_train_ctes(k: int = _IVF_K, iters: int = 2) -> tuple[str, str]:
@@ -6025,6 +6156,9 @@ _DRIVER_WINDOW = 50
 _ROTATION_ROUND = 7  # bump each round to advance the rotation
 _PINNED = [
     # round-7 additions — never driver-attested yet
+    "near_dup_clusters_star",
+    "csv_ingest",
+    "ann_ivf_upsert",
     "ann_ivf_pq_refine",
     "ann_pq_recall",
     "gopher_rules",

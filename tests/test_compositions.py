@@ -220,6 +220,119 @@ def test_near_dup_clusters_raises_when_not_converged(spark):
     assert set(labels.values()) == {"d00"}
 
 
+@_pytest.mark.parametrize("seed", [3, 11, 42])
+def test_star_contraction_matches_union_find(spark, seed):
+    """Alternating large-star/small-star contraction vs union-find on
+    the same random graphs the propagation twin is pinned against —
+    both algorithms must land on identical (doc, component-min)
+    labels."""
+    import random
+
+    rng = random.Random(seed)
+    n = 40
+    ids = list(range(n))
+    edges = sorted({tuple(sorted(rng.sample(ids, 2))) for _ in range(25)})
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters_star(pairs, docs).collect()
+    }
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for i in ids:
+        comp_min.setdefault(find(i), i)  # ids ascending -> first is min
+    expected = {i: comp_min[find(i)] for i in ids}
+    assert labels == expected
+
+
+def test_star_contraction_deep_chain_logarithmic_rounds(spark):
+    """The reason the star variant exists: a 64-hop string-id chain
+    needs 64 propagation rounds but must collapse within a
+    max_iter=10 star budget (~log2 rounds, diameter-independent).
+    Duplicate/reversed pair rows and isolated docs ride along."""
+    ids = [f"doc{i:03d}" for i in range(65)]
+    chain = [(ids[i], ids[i + 1]) for i in range(64)]
+    chain += [(b, a) for a, b in chain[:5]] + chain[:3]  # noise dups
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    docs = spark.createDataFrame(
+        [(i,) for i in ids + ["isolated"]], "doc_id string"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters_star(pairs, docs, max_iter=10).collect()
+    }
+    assert labels["isolated"] == "isolated"
+    assert all(labels[i] == "doc000" for i in ids)
+    with pytest.raises(ValueError):
+        dedup.near_dup_clusters_star(pairs, docs, max_iter=0)
+
+
+def test_star_contraction_agrees_with_propagation_on_lsh_pairs(spark, docs):
+    """On the real sf0.001 LSH candidate graph both algorithms are the
+    same function: identical label maps (and thus identical keep-lists
+    downstream).  Empty pair sets degrade to all-self labels."""
+    cand = dedup.lsh_candidate_pairs(docs)
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(cand, docs).collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters_star(cand, docs).collect()
+    }
+    assert star == prop
+
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters_star(empty, docs).collect()
+    }
+    assert all(k == v for k, v in out.items())
+
+
+def test_ivf_upsert_batch_invariance(spark):
+    """The property that makes assign-only IVF upsert correct: with
+    FROZEN centroids, assigning a delta batch alone produces exactly
+    the rows a full re-assignment would produce for those vectors —
+    regardless of how the corpus is split into batches."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = emb.filter(F.col("vec_id") % 5 != 2)
+    newb = emb.filter(F.col("vec_id") % 5 == 2)
+    cents = similarity.ivf_centroids(base, k=4)
+    full = {
+        r["vec_id"]: (r["centroid_id"], r["d2"])
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    delta = {
+        r["vec_id"]: (r["centroid_id"], r["d2"])
+        for r in similarity.ivf_assign(newb, cents).collect()
+    }
+    assert delta == {k: v for k, v in full.items() if k % 5 == 2}
+    # and singleton batches land identically (the streaming-ingest case)
+    one = newb.limit(1)
+    (row,) = similarity.ivf_assign(one, cents).collect()
+    assert (row["centroid_id"], row["d2"]) == delta[row["vec_id"]]
+
+
 def _topk_sets(df):
     out = {}
     for r in df.collect():
