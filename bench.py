@@ -227,6 +227,9 @@ def main() -> None:
         "ann_ivf_pq_topk",
         "dup_span_removal",
         "image_phash_dedup",
+        # int8 brute-force scan — linear by construction like ann_topk;
+        # hard_negative_mining shares the identical scan shape
+        "ann_sq8_topk",
     ]
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope

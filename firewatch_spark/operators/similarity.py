@@ -62,6 +62,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    neq_col: str | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, one pass over
     the corpus, per-partition partial top-k, then a window on the
@@ -84,16 +85,35 @@ def cosine_topk(
     plan times the same warm and has no Python dependency.  The
     phase-one exchange carries the same corpus×queries (int,int,
     double) rows the Arrow transfer did, but spread over queries×S
-    groups — never one task per query."""
+    groups — never one task per query.
+
+    ``neq_col``: optionally exclude candidates sharing the query's
+    value in this column (e.g. ``label``) — the hard-negative-mining
+    form: nearest neighbors among OTHER classes only.  NULL values
+    never satisfy ``<>``, so NULL-labeled rows are excluded from both
+    sides of the restriction (document-level filtering belongs
+    upstream)."""
     from pyspark.sql import Window
 
-    c = with_norm2(with_scaled_vec(ensure_parallelism(corpus), vec_col)).select(
-        F.col(id_col).alias("neighbor_id"), F.col("iv").alias("civ"), F.col("n2").alias("cn2")
-    )
-    q = with_norm2(with_scaled_vec(queries, vec_col)).select(
-        F.col(id_col).alias("query_id"), F.col("iv").alias("qiv"), F.col("n2").alias("qn2")
-    )
-    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    c_cols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col("iv").alias("civ"),
+        F.col("n2").alias("cn2"),
+    ]
+    q_cols = [
+        F.col(id_col).alias("query_id"),
+        F.col("iv").alias("qiv"),
+        F.col("n2").alias("qn2"),
+    ]
+    if neq_col is not None:
+        c_cols.append(F.col(neq_col).alias("_c_neq"))
+        q_cols.append(F.col(neq_col).alias("_q_neq"))
+    c = with_norm2(with_scaled_vec(ensure_parallelism(corpus), vec_col)).select(*c_cols)
+    q = with_norm2(with_scaled_vec(queries, vec_col)).select(*q_cols)
+    cond = F.col("query_id") != F.col("neighbor_id")
+    if neq_col is not None:
+        cond = cond & (F.col("_q_neq") != F.col("_c_neq"))
+    joined = c.join(F.broadcast(q), cond)
     scored = joined.withColumn("_dot", _dot("qiv", "civ")).withColumn(
         "cos_sim",
         F.col("_dot").cast("double")
@@ -115,6 +135,60 @@ def cosine_topk(
         survivors.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def int_dot_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "q8",
+) -> DataFrame:
+    """Brute-force top-k by EXACT integer dot product over quantized
+    vectors — the scalar-quantization (SQ) serving tier between
+    full-precision floats (`cosine_topk`) and PQ codes
+    (`ivf_pq_topk`): int8 vectors are 4× smaller than float32 (the
+    memory lever that decides whether a corpus fits executor RAM), dot
+    products stay in exact int64 arithmetic (no float-tie ambiguity
+    anywhere: rank order dot desc, id asc is fully deterministic and
+    engine-portable), and unit-normalization BEFORE quantization makes
+    the dot a cosine approximation with no per-pair norm division.
+
+    Same two-phase salted-window plan as `cosine_topk` (broadcast
+    queries, one corpus pass, per-(query, salt) partial top-k, tiny
+    final window) — all-JVM whole-stage codegen, no Python workers."""
+    from pyspark.sql import Window
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    joined = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    # int8 × int8 must widen BEFORE multiplying: ANSI mode overflows
+    # tinyint products otherwise
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = joined.withColumn("dot_q8", dot).select(
+        "query_id", "neighbor_id", "dot_q8"
+    )
+    num_salts = max(2, corpus.sparkSession.sparkContext.defaultParallelism)
+    ws = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("dot_q8"), F.asc("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("_salt", F.pmod(F.hash("neighbor_id"), F.lit(num_salts)))
+        .withColumn("_pr", F.row_number().over(ws))
+        .filter(F.col("_pr") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q8"), F.asc("neighbor_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_q8")
     )
 
 

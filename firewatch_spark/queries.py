@@ -2997,6 +2997,177 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+# unit-norm → symmetric int8 quantize (mirrors sampling.with_unit_norm
+# + with_int8_quantized: IEEE left-fold norm, floor(x·127+0.5) clamp) —
+# shared by the SQ serving query and its recall audit
+_SQ8_QZ_CTES = """
+    n AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (a, b) -> a + b) AS n2
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+               floor((CASE WHEN n2 = 0.0 THEN 0.0
+                      ELSE CAST(x AS DOUBLE) / sqrt(n2) END) * 127 + 0.5))) AS BIGINT)) AS qv
+      FROM n
+    ),
+    sq8_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                  i -> list_extract(q.qv, i) * list_extract(c.qv, i))) AS BIGINT) AS dot_q8
+      FROM qz q JOIN qz c ON q.vec_id % {sample} = 0 AND c.vec_id <> q.vec_id
+    ),
+    sq8_top AS (
+      SELECT query_id, neighbor_id, rank, dot_q8 FROM (
+        SELECT query_id, neighbor_id, dot_q8,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dot_q8 DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM sq8_scored
+      ) WHERE rank <= 5
+    )"""
+
+
+@q(
+    "ann_sq8_topk",
+    "WITH "
+    + _SQ8_QZ_CTES.format(sample=_ANN_SAMPLE)
+    + """
+    SELECT query_id, neighbor_id, rank, dot_q8 FROM sq8_top
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) brute-force top-5 — the SQ serving tier
+    between float (`ann_topk`, 256 B/vec at d=64) and PQ codes
+    (`ann_ivf_pq_topk`, 4 B/vec): unit-norm → symmetric int8 (64 B/vec,
+    4× smaller than float32) → EXACT int64 dot-product ranking, no
+    norm division per pair and no float ties.  The whole pipeline —
+    IEEE left-fold norm, floor(x·127+0.5) quantize, integer dot — is
+    bit-portable, so the oracle hash-pins every rank (the recall-vs-
+    float question is `ann_recall`'s pattern; here the gate proves the
+    quantized serving path itself)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qz = sampling.with_int8_quantized(sampling.with_unit_norm(emb)).select(
+        "vec_id", "q8"
+    )
+    queries = qz.filter(F.col("vec_id") % _ANN_SAMPLE == 0)
+    return similarity.int_dot_topk(qz, queries, k=5)
+
+
+@q(
+    "ann_sq8_recall",
+    "WITH "
+    + _SQ8_QZ_CTES.format(sample=_ANN_SAMPLE)
+    + f""",
+    fiv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    fn AS (
+      SELECT vec_id, iv,
+             CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS fn2
+      FROM fiv
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                      i -> list_extract(q.iv, i) * list_extract(c.iv, i))) AS DOUBLE)
+                   / sqrt(CAST(q.fn2 AS DOUBLE) * CAST(c.fn2 AS DOUBLE)) DESC,
+                 c.vec_id ASC) AS rk
+        FROM fn q JOIN fn c ON q.vec_id % {_ANN_SAMPLE} = 0 AND c.vec_id <> q.vec_id
+      ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(s.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(s.neighbor_id) AS DOUBLE) / 5.0 AS recall
+    FROM exact e LEFT JOIN sq8_top s
+      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_sq8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ recall@5 vs exact float cosine — completes the
+    quantization-ladder audit family (`ann_recall` audits IVF,
+    `ann_pq_recall` audits PQ codes, this audits the int8 SQ serving
+    tier): per-query overlap between float top-5 and int8-dot top-5.
+    Both sides are the registry's own machinery and bit-portable, so
+    the recall NUMBERS themselves are hash-pinned — the audit a vector
+    platform runs before demoting float storage (measure, don't
+    guess).  At 100 TB the exact side runs on the query SAMPLE only —
+    one-off audit cost, never the serving path."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % _ANN_SAMPLE == 0)
+    exact = similarity.cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id")
+    qz = sampling.with_int8_quantized(sampling.with_unit_norm(emb)).select(
+        "vec_id", "q8"
+    )
+    sq = (
+        similarity.int_dot_topk(qz, qz.filter(F.col("vec_id") % _ANN_SAMPLE == 0), k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(sq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap")
+        )
+        .withColumn("recall", F.col("n_overlap").cast("double") / F.lit(5.0))
+    )
+
+
+@q(
+    "hard_negative_mining",
+    f"""
+    WITH iv AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, iv,
+             CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2
+      FROM iv
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                  i -> list_extract(q.iv, i) * list_extract(c.iv, i))) AS BIGINT) AS dot,
+             q.n2 AS qn2, c.n2 AS cn2
+      FROM n q JOIN n c
+        ON q.vec_id % {_ANN_SAMPLE} = 0 AND c.vec_id <> q.vec_id
+       AND q.label <> c.label
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)) DESC,
+                           neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training — for
+    each sampled anchor, the top-5 most-similar vectors of a DIFFERENT
+    label (the near-miss negatives that make InfoNCE/triplet batches
+    informative; random negatives are trivially easy).  Same broadcast
+    corpus-scan + salted two-phase window as `ann_topk` with the label
+    inequality fused into the broadcast join condition — the class
+    restriction costs nothing extra at scale.  NULL labels never
+    satisfy `<>` and drop out of both sides (mirrored by the oracle)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % _ANN_SAMPLE == 0)
+    return similarity.cosine_topk(emb, qs, k=5, neq_col="label")
+
+
 def _ann_lsh_sql(num_planes: int = 8) -> str:
     bits = []
     for p in range(num_planes):
@@ -6159,6 +6330,9 @@ _PINNED = [
     "near_dup_clusters_star",
     "csv_ingest",
     "ann_ivf_upsert",
+    "ann_sq8_topk",
+    "ann_sq8_recall",
+    "hard_negative_mining",
     "ann_ivf_pq_refine",
     "ann_pq_recall",
     "gopher_rules",

@@ -84,6 +84,43 @@ def test_cosine_excludes_self(spark):
     assert all(r["query_id"] != r["neighbor_id"] for r in out)
 
 
+def test_cosine_topk_neq_col_excludes_same_label(spark):
+    """Hard-negative form: candidates sharing the anchor's label (and
+    NULL-labeled rows on either side) never appear."""
+    vecs = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.99, 0.1, 0.0], "a"),   # nearest overall, but same label
+        (3, [0.9, 0.2, 0.0], "b"),    # the hard negative
+        (4, [0.0, 1.0, 0.0], "b"),
+        (5, [0.5, 0.5, 0.0], None),   # NULL label: excluded
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label string"
+    )
+    q = emb.filter(F.col("vec_id") == 1)
+    out = rows(similarity.cosine_topk(emb, q, k=3, neq_col="label"), "rank")
+    assert [r["neighbor_id"] for r in out] == [3, 4]
+    # a NULL-labeled ANCHOR matches nothing either
+    qn = emb.filter(F.col("vec_id") == 5)
+    assert rows(similarity.cosine_topk(emb, qn, k=3, neq_col="label")) == []
+
+
+def test_int_dot_topk_matches_float_ranking_here(spark):
+    """On well-separated vectors the int8 serving tier reproduces the
+    float ranking; dots are exact int64 (no float ties by design)."""
+    from firewatch_spark.operators import sampling
+
+    emb = _emb(spark)
+    qz = sampling.with_int8_quantized(sampling.with_unit_norm(emb)).select(
+        "vec_id", "q8"
+    )
+    out = rows(similarity.int_dot_topk(qz, qz.filter(F.col("vec_id") == 1), k=3), "rank")
+    assert [r["neighbor_id"] for r in out] == [2, 3, 4]
+    assert all(isinstance(r["dot_q8"], int) for r in out)
+    # unit-norm × 127 ⇒ self-dot bound 127²·(1+d·quantization slack)
+    assert out[0]["dot_q8"] <= 127 * 127 + 127
+
+
 def test_lsh_bucket_collision_for_identical_vectors(spark):
     vecs = spark.createDataFrame(
         [(1, [0.5, -0.25, 0.75]), (2, [0.5, -0.25, 0.75]), (3, [-0.5, 0.25, -0.75])],

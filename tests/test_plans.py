@@ -18,6 +18,9 @@ SKIP = {
     "streaming_sketch_merge",
     "video_scan",
     "jsonl_ingest",  # building its DataFrame writes the JSONL fixture
+    "csv_ingest",  # same: builds by writing the CSV fixture
+    "ann_ivf_upsert",  # builds by writing the stored base index; its
+    # join shape is ivf_assign's, already swept via ann_ivf_cells
 }
 
 
@@ -49,6 +52,14 @@ def test_no_cartesian_product_anywhere(plans):
     # the ONE-row min cell count — all 1 × small or k × corpus products
     allowed_bnlj = {
         "ann_topk",
+        # same corpus × broadcast-query-sample scan as ann_topk, on the
+        # int8-quantized vectors
+        "ann_sq8_topk",
+        # both audit sides are the same broadcast corpus scan
+        "ann_sq8_recall",
+        # ann_topk's scan with the label inequality fused into the
+        # broadcast join condition
+        "hard_negative_mining",
         "ngram_jaccard",
         "ann_ivf_cells",
         "ann_ivf_topk",
@@ -176,23 +187,28 @@ def test_ann_topk_reduces_exchange_with_partial_topk(plans):
     corpus row — and the whole reduction stays JVM-side (no Python
     stage: the round-5 Arrow fold's worker cold-start was the ann_topk
     bench regression)."""
-    plan = plans["ann_topk"]
-    lines = plan.split("\n")
-    ex_final = [
-        i
-        for i, l in enumerate(lines)
-        if "Exchange hashpartitioning(query_id" in l and "_salt" not in l
-    ]
-    ex_salted = [
-        i
-        for i, l in enumerate(lines)
-        if "Exchange hashpartitioning(query_id" in l and "_salt" in l
-    ]
-    assert ex_final and ex_salted, "expected salted + final query_id exchanges"
-    # the tree prints top-down: the salted phase sits BELOW (after)
-    # the final exchange line, i.e. it executes before that shuffle
-    assert min(ex_salted) > min(ex_final)
-    assert "MapInPandas" not in plan, "top-k reduction must stay JVM-side"
+    for name in ("ann_topk", "ann_sq8_topk"):
+        plan = plans[name]
+        lines = plan.split("\n")
+        ex_final = [
+            i
+            for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(query_id" in l and "_salt" not in l
+        ]
+        ex_salted = [
+            i
+            for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(query_id" in l and "_salt" in l
+        ]
+        assert ex_final and ex_salted, (
+            f"{name}: expected salted + final query_id exchanges"
+        )
+        # the tree prints top-down: the salted phase sits BELOW (after)
+        # the final exchange line, i.e. it executes before that shuffle
+        assert min(ex_salted) > min(ex_final)
+        assert "MapInPandas" not in plan, (
+            f"{name}: top-k reduction must stay JVM-side"
+        )
 
 
 def test_media_payload_never_enters_exchange(spark):
