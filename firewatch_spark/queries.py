@@ -41,6 +41,7 @@ from .operators import (
     similarity,
     skew,
     text,
+    web,
 )
 from .operators.util import ensure_parallelism, make_checkpointer
 
@@ -763,6 +764,188 @@ def csv_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.md5(F.col("text").cast("binary")))
         .alias("text_md5"),
         corrupt.alias("is_corrupt"),
+    )
+
+
+# Deterministic raw-URL synthesis for the crawl-frontier queries — one
+# SQL snippet that parses IDENTICALLY in Spark and DuckDB (CASE / concat
+# / CAST AS STRING / % are common syntax), so both engines derive the
+# same raw URLs and the gate pins the CANONICALIZER, not the fixture.
+# Variation axes (all canonicalized away): scheme case (%3), WWW. (%2),
+# host case (%5), default :443 (%4), trailing slash (%2), param order +
+# tracking noise (%2/%9/%11), fragment (%6).  Surviving identity:
+# source host, page path doc_id%40, and the PRESERVED non-default :8080
+# port (%7) — so every canonical group at sf0.01 collapses ~6-13 raw
+# spellings, exercising both collapse and preservation.
+_URL_SYNTH = """
+    concat(
+      CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'Https' ELSE 'https' END,
+      '://',
+      CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END,
+      '.Example.COM',
+      CASE WHEN doc_id % 7 = 0 THEN ':8080' WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+      '/Articles/', CAST(doc_id % 40 AS STRING),
+      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 2 = 0
+           THEN concat('?b=2&utm_source=feed&a=1&fbclid=fb', CAST(doc_id % 9 AS STRING))
+           ELSE concat('?a=1&utm_campaign=c', CAST(doc_id % 11 AS STRING), '&b=2') END,
+      '#sec-', CAST(doc_id % 6 AS STRING)
+    )"""
+
+# DuckDB twin of web.with_canonical_url (same split_part/list-lambda
+# pipeline, CTE-staged like the Spark let-bound columns)
+_URL_CANON_CTES = f"""
+    urls AS (
+      SELECT doc_id, {_URL_SYNTH} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(split_part(url, '://', 1)) AS scheme,
+             split_part(split_part(url, '://', 2), '#', 1) AS rest
+      FROM urls
+    ),
+    fields AS (
+      SELECT *,
+             split_part(lower(split_part(rest, '/', 1)), ':', 1) AS hname,
+             split_part(lower(split_part(rest, '/', 1)), ':', 2) AS hport,
+             substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+      FROM parts
+    ),
+    pq AS (
+      SELECT *, split_part(pathq, '?', 1) AS p,
+             array_to_string(list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
+               x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
+                    AND NOT list_contains(['fbclid','gclid','ref','mc_eid','igshid'],
+                                          split_part(x, '=', 1)))), '&') AS cq
+      FROM fields
+    ),
+    canon AS (
+      SELECT doc_id, url,
+        concat(scheme, '://',
+          CASE WHEN substr(hname, 1, 4) = 'www.' THEN substr(hname, 5) ELSE hname END,
+          CASE WHEN hport = '' OR (scheme = 'https' AND hport = '443')
+                    OR (scheme = 'http' AND hport = '80') THEN ''
+               ELSE concat(':', hport) END,
+          CASE WHEN p IN ('', '/') THEN '/'
+               WHEN substr(p, length(p), 1) = '/' THEN substr(p, 1, length(p) - 1)
+               ELSE p END,
+          CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END
+        ) AS canonical_url
+      FROM pq
+    )"""
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("url", F.expr(_URL_SYNTH))
+    )
+
+
+@q(
+    "url_canonicalize",
+    "WITH " + _URL_CANON_CTES + "\n    SELECT doc_id, url, canonical_url FROM canon",
+)
+def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization (operators/web.py
+    with_canonical_url) — scheme/host lowercasing, www- and
+    default-port-stripping (non-default ports PRESERVED), fragment
+    drop, tracking-param removal, bytewise param sort, trailing-slash
+    normalization.  Row-wise hash gate: every (raw, canonical) pair is
+    value-pinned, so any rule drift in either engine fails loudly.
+    Pure projection — a free rider on the ingest scan at 100 TB."""
+    return web.with_canonical_url(_docs_with_urls(spark, sf_dir)).select(
+        "doc_id", "url", "canonical_url"
+    )
+
+
+@q(
+    "url_dedup",
+    "WITH "
+    + _URL_CANON_CTES
+    + """
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (operators/web.py url_dedup): the fetch-side
+    twin of content dedup_exact — collapse every raw spelling of a page
+    to one keeper (lowest id) BEFORE fetching/cleaning it again.  The
+    synthetic frontier guarantees multi-variant groups (~6-13 raw
+    spellings per canonical at sf0.01), so the aggregation is exercised,
+    not vacuous.  Shuffle carries (canonical_url, doc_id) only."""
+    return web.url_dedup(_docs_with_urls(spark, sf_dir))
+
+
+# Deterministic HTML page synthesis (same engine-portable-snippet idea
+# as _URL_SYNTH): the doc's text becomes the entity-escaped <p> body,
+# wrapped in title/nav/script/style/footer boilerplate.  The operator
+# under test is the EXTRACTOR — script/style removal with contents,
+# block-break insertion, tag strip, entity decode (incl. the &amp;-last
+# double-decode rule), whitespace collapse.
+_HTML_SYNTH = """
+    concat('<html><head><title>', source, '</title>',
+      '<style>body { color: #333; }</style>',
+      '<script type="text/javascript">var t = 1 < 2 && x > 0;</script>',
+      '</head><body>',
+      '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>',
+      '<h1>', source, ' &amp; Friends</h1>',
+      '<p>', replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '</p>',
+      '<div class="footer">Copyright&nbsp;2026 &quot;Example&quot; Inc.</div>',
+      '</body></html>')"""
+
+
+@q(
+    "html_extract",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_HTML_SYNTH} AS html FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, html,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?i)</(p|div|h[1-6]|li|tr|section|article|nav|header|footer|title|ul|ol|blockquote|pre)>|<[bh]r */?>', ' ', 'g'),
+              '<[^>]*>', '', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          '[ \t\n\r\f]+', ' ', 'g')) AS extracted
+      FROM pages
+    )
+    SELECT doc_id, md5(extracted) AS extracted_md5,
+           CAST(length(html) AS BIGINT) AS html_len,
+           CAST(length(extracted) AS BIGINT) AS text_len,
+           CAST(length(extracted) AS DOUBLE) / CAST(length(html) AS DOUBLE) AS extraction_ratio
+    FROM ex
+    """,
+)
+def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text main-content extraction (operators/web.py
+    html_to_text_expr) — the stage-zero transform of every web-crawl
+    training corpus: script/style elements removed WITH contents,
+    block closers become breaks, tags stripped, entities decoded
+    (&amp; last — the double-decode trap is pinned by the escaped
+    body), whitespace collapsed.  The md5 + length gate pins the whole
+    chain byte-for-byte; extraction_ratio is the boilerplate-density
+    quality signal downstream filters read.  Per-row regexp chain —
+    embarrassingly parallel, and it PRUNES: later stages see ~30 % of
+    the raw bytes."""
+    pages = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("html", F.expr(_HTML_SYNTH))
+    )
+    return web.html_extract(pages).select(
+        "doc_id", "extracted_md5", "html_len", "text_len", "extraction_ratio"
     )
 
 
@@ -6333,6 +6516,9 @@ _PINNED = [
     "ann_sq8_topk",
     "ann_sq8_recall",
     "hard_negative_mining",
+    "url_canonicalize",
+    "url_dedup",
+    "html_extract",
     "ann_ivf_pq_refine",
     "ann_pq_recall",
     "gopher_rules",
