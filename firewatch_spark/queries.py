@@ -949,6 +949,140 @@ def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic OUT-LINKED page synthesis for the link-graph queries
+# (same engine-portable-snippet idea as _URL_SYNTH / _HTML_SYNTH): each
+# page lives on host h{doc_id % 97}.example.com and carries 3 absolute
+# article anchors to hosts h{(31·doc_id + k) % 97} — a dense 97-node
+# expander-ish digraph once distinct'd — plus the variation the
+# EXTRACTOR and EDGE rules must handle: an uppercase HREF (case rule),
+# a :8443 port on one target (port-strip rule), mixed host case
+# (lowercase rule), two relative nav links (absolute-only rule), and
+# self-loops whenever 30·doc_id + k ≡ 0 (mod 97) (self-loop drop).
+_LINK_HTML_SYNTH = """
+    concat('<html><body>',
+      '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>',
+      '<h1>Article ', CAST(doc_id AS STRING), '</h1>',
+      '<p><a href="https://h', CAST((doc_id * 31 + 1) % 97 AS STRING),
+         '.Example.COM/articles/', CAST(doc_id % 40 AS STRING), '">rel</a></p>',
+      '<p><A HREF="https://h', CAST((doc_id * 31 + 7) % 97 AS STRING),
+         '.example.com:8443/articles/', CAST((doc_id + 1) % 40 AS STRING), '">rel</A></p>',
+      '<p><a href="http://h', CAST((doc_id * 31 + 13) % 97 AS STRING),
+         '.example.com/">rel</a></p>',
+      '</body></html>')"""
+
+_LINK_SRC_HOST = "concat('h', CAST(doc_id % 97 AS STRING), '.example.com')"
+
+# DuckDB twin of web.extract_links + web.host_edges on the synth pages
+_LINK_GRAPH_CTES = f"""
+    pages AS (
+      SELECT doc_id, {_LINK_SRC_HOST} AS src_host, {_LINK_HTML_SYNTH} AS html
+      FROM documents
+    ),
+    links AS (
+      SELECT doc_id, src_host,
+             unnest(regexp_extract_all(html, '(?i)href="([^"]+)"', 1)) AS href
+      FROM pages
+    ),
+    lcand AS (
+      SELECT src_host,
+             lower(split_part(href, '://', 1)) AS scheme,
+             split_part(lower(split_part(split_part(href, '://', 2), '/', 1)), ':', 1) AS dst_host
+      FROM links
+    ),
+    edges AS (
+      SELECT DISTINCT src_host, dst_host FROM lcand
+      WHERE scheme IN ('http', 'https') AND src_host <> dst_host
+    )"""
+
+
+@q(
+    "link_extract",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_LINK_HTML_SYNTH} AS html FROM documents
+    )
+    SELECT doc_id,
+           unnest(regexp_extract_all(html, '(?i)href="([^"]+)"', 1)) AS href
+    FROM pages
+    """,
+)
+def link_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-href extraction (operators/web.py extract_links) — the
+    crawl-frontier DISCOVERY operator: every href in every fetched
+    page, relative links included (5/page here: 2 relative nav + 3
+    absolute articles).  Case-insensitive attribute match pinned by
+    the synthesized uppercase HREF.  Row-wise value hash gates the
+    exact multiset of (doc_id, href) pairs.  Scan-side extract +
+    explode, no shuffle."""
+    pages = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("html", F.expr(_LINK_HTML_SYNTH))
+    )
+    return web.extract_links(pages)
+
+
+def _pagerank_sql(iterations: int = 5, damping_pct: int = 85) -> str:
+    scale = web.PAGERANK_SCALE
+    tele = 100 - damping_pct
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    it{i} AS (
+      SELECT h.host,
+             CAST(({tele} * ({scale} // n.c) + {damping_pct} * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+      FROM hosts h CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst_host AS host, CAST(SUM(r.pr // o.outdeg) AS BIGINT) AS m
+        FROM edges e
+        JOIN {prev} r ON r.host = e.src_host
+        JOIN outd o ON o.src_host = e.src_host
+        GROUP BY e.dst_host
+      ) s ON s.host = h.host
+    )""")
+        prev = f"it{i}"
+    return f"""
+    WITH {_LINK_GRAPH_CTES},
+    hosts AS (
+      SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM hosts),
+    outd AS (
+      SELECT src_host, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src_host
+    ),
+    r0 AS (
+      SELECT host, CAST({scale} // c AS BIGINT) AS pr FROM hosts CROSS JOIN n
+    ),{",".join(its)}
+    SELECT host, pr FROM {prev}
+    """
+
+
+@q("host_pagerank", _pagerank_sql())
+def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (operators/web.py extract_links →
+    host_edges → pagerank) — the crawl-prioritization signal: 5
+    damped rounds over the distinct host-host link graph, EXACT
+    int64 scaled arithmetic (micro-units of mass 10^12, floor
+    division everywhere) so the DuckDB chained-CTE oracle reproduces
+    every bit — the scaled-int pattern (embedding_gram, ivf_train)
+    applied to an iterative graph algorithm.  Pins the whole chain:
+    case-insensitive href extract, absolute-only + port-strip +
+    lowercase edge rules, self-loop drop, dangling-mass evaporation,
+    per-round teleport floor.  Each round is one edges⋈ranks hash
+    join + one map-side-combinable integer sum — K linear jobs,
+    lineage cut per round via make_checkpointer (reliable checkpoint
+    at cluster scale)."""
+    pages = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("src_host", F.expr(_LINK_SRC_HOST))
+        .withColumn("html", F.expr(_LINK_HTML_SYNTH))
+    )
+    edges = web.host_edges(web.extract_links(pages).drop("doc_id"))
+    return web.pagerank(edges)
+
+
 # ===========================================================================
 # Group B — LLM-data-pipeline pack (documents / embeddings)
 # ===========================================================================
@@ -1844,6 +1978,123 @@ def near_dup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tbl(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3)
     return dedup.near_dup_clusters_star(pairs, docs)
+
+
+_LEAK_THRESHOLD = 0.5
+
+
+def _split_leakage_sql() -> str:
+    val, case_expr = _split_val_and_case(_SPLIT_FRACTIONS)
+    return f"""
+    WITH {_MINHASH_CAND_CTES},
+    vsh AS (SELECT doc_id, list_distinct(sh) AS vs FROM sh),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.vs, b.vs)) /
+               CAST(len(a.vs) + len(b.vs) - len(list_intersect(a.vs, b.vs)) AS DOUBLE) AS jaccard
+      FROM cand c
+      JOIN vsh a ON a.doc_id = c.doc_a
+      JOIN vsh b ON b.doc_id = c.doc_b
+    ),
+    hsp AS (
+      SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    usp AS (SELECT doc_id, ({val}) / 4294967296.0 AS u FROM hsp),
+    sp AS (SELECT doc_id, {case_expr} AS split FROM usp),
+    leaked AS (
+      SELECT v.doc_a, v.doc_b, sa.split AS split_a, sb.split AS split_b, v.jaccard
+      FROM ver v
+      JOIN sp sa ON sa.doc_id = v.doc_a
+      JOIN sp sb ON sb.doc_id = v.doc_b
+      WHERE v.jaccard >= {_LEAK_THRESHOLD!r} AND sa.split <> sb.split
+    )
+    SELECT doc_a, doc_b, split_a, split_b, jaccard FROM leaked
+    """
+
+
+@q("split_leakage_audit", _split_leakage_sql())
+def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit — the QA gate every benchmark-
+    grade split needs: verified near-duplicate pairs (MinHash-LSH
+    candidates → exact shingle Jaccard ≥ {thr}) that STRADDLE split
+    boundaries.  A hash-random split deliberately ignores content, so
+    near-dup pairs land across train/test at ~2·p·(1−p) rate — this
+    query emits exactly those pairs (the remediation worklist: move
+    both sides to train, or drop the eval side).  Pure composition of
+    two driver-gated stages (lsh_verify × dataset_split); the split
+    join adds two hash-equi-joins on doc_id, nothing corpus-keyed.  At
+    100 TB this is the same O(candidates) cost as lsh_verify itself.
+    """
+    docs = _tbl(spark, sf_dir, "documents")
+    verified = dedup.verify_candidates(
+        dedup.lsh_candidate_pairs(docs, num_hashes=12, bands=4, shingle_n=3),
+        docs,
+    ).filter(F.col("jaccard") >= _LEAK_THRESHOLD)
+    splits = sampling.split_by_hash(docs.select("doc_id"), _SPLIT_FRACTIONS)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        verified.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
+split_leakage_audit_q.__doc__ = split_leakage_audit_q.__doc__.format(
+    thr=_LEAK_THRESHOLD
+)
+
+
+def _split_repair_sql() -> str:
+    # the audit SQL ends in `SELECT ... FROM leaked`; swap that tail for
+    # the remediation projection so both queries share one CTE chain
+    base = _split_leakage_sql()
+    head, _, _ = base.rpartition("SELECT doc_a, doc_b")
+    return (
+        head
+        + """, moved AS (
+      SELECT doc_a AS doc_id FROM leaked UNION SELECT doc_b FROM leaked
+    )
+    SELECT m.doc_id, sp.split AS old_split, 'train' AS new_split
+    FROM moved m JOIN sp ON sp.doc_id = m.doc_id
+    WHERE sp.split <> 'train'
+    """
+    )
+
+
+@q("split_leakage_repair", _split_repair_sql())
+def split_leakage_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remediation of the split_leakage_audit worklist under the
+    leak-safe policy: EVERY member of a cross-split near-dup pair is
+    reassigned to train (contaminated content may train, never
+    evaluate — moving both sides is idempotent and needs no
+    transitive propagation, unlike drop-the-eval-side which can
+    re-leak through chains).  Emits exactly the docs whose assignment
+    changes: (doc_id, old_split, new_split='train').  Cost on top of
+    the audit: one distinct over 2·|leaked pairs| ids and one
+    broadcast-sized join back to the split table."""
+    docs = _tbl(spark, sf_dir, "documents")
+    audit = split_leakage_audit_q(spark, sf_dir)
+    moved = (
+        audit.select(F.col("doc_a").alias("doc_id"))
+        .union(audit.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    splits = sampling.split_by_hash(docs.select("doc_id"), _SPLIT_FRACTIONS)
+    return (
+        moved.join(splits, "doc_id")
+        .filter(F.col("split") != "train")
+        .select(
+            "doc_id",
+            F.col("split").alias("old_split"),
+            F.lit("train").alias("new_split"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6510,6 +6761,9 @@ _DRIVER_WINDOW = 50
 _ROTATION_ROUND = 7  # bump each round to advance the rotation
 _PINNED = [
     # round-7 additions — never driver-attested yet
+    "host_pagerank",
+    "link_extract",
+    "split_leakage_repair",
     "near_dup_clusters_star",
     "csv_ingest",
     "ann_ivf_upsert",
@@ -6519,6 +6773,7 @@ _PINNED = [
     "url_canonicalize",
     "url_dedup",
     "html_extract",
+    "split_leakage_audit",
     "ann_ivf_pq_refine",
     "ann_pq_recall",
     "gopher_rules",

@@ -124,3 +124,87 @@ def test_html_extract_metrics(spark):
     out = rows(web.html_extract(df))[0]
     assert out["text_len"] == 4 and out["html_len"] == 11
     assert abs(out["extraction_ratio"] - 4 / 11) < 1e-12
+
+
+# --- link graph: extract_links / host_edges / pagerank ---------------------
+
+
+def test_extract_links_case_multiplicity_and_carry(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "s1", '<a href="/rel">r</a><A HREF="https://A.com/x">u</A>'),
+            (2, "s2", "<p>no links</p>"),
+        ],
+        "doc_id long, src string, html string",
+    )
+    out = rows(web.extract_links(df), "doc_id", "href")
+    # doc 2 vanishes (explode, not explode_outer: no-link pages carry
+    # no frontier information); non-html columns ride along
+    assert [(r["doc_id"], r["src"], r["href"]) for r in out] == [
+        (1, "s1", "/rel"),
+        (1, "s1", "https://A.com/x"),
+    ]
+
+
+def test_host_edges_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("a.com", "https://B.com:8443/x"),   # lowercase + port strip
+            ("a.com", "http://b.com/y"),         # same edge after normalize
+            ("a.com", "/relative"),              # dropped: not absolute
+            ("a.com", "mailto:x@b.com"),         # dropped: not http(s)
+            ("a.com", "https://a.com/self"),     # dropped: self-loop
+            ("b.com", "https://a.com/z"),
+        ],
+        "src_host string, href string",
+    )
+    out = rows(web.host_edges(df), "src_host", "dst_host")
+    assert [(r["src_host"], r["dst_host"]) for r in out] == [
+        ("a.com", "b.com"),
+        ("b.com", "a.com"),
+    ]
+
+
+def _pagerank_mirror(edges, iterations=5, damping=85):
+    """Pure-Python integer mirror of web.pagerank's round formula."""
+    scale = web.PAGERANK_SCALE
+    hosts = sorted({h for e in edges for h in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(hosts)
+    r = {h: scale // n for h in hosts}
+    for _ in range(iterations):
+        in_mass = {h: 0 for h in hosts}
+        for s, d in edges:
+            in_mass[d] += r[s] // out[s]
+        r = {
+            h: ((100 - damping) * (scale // n) + damping * in_mass[h]) // 100
+            for h in hosts
+        }
+    return r
+
+
+def _pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    return {r["host"]: r["pr"] for r in rows(web.pagerank(df, **kw))}
+
+
+def test_pagerank_symmetric_cycle_is_fixed_point(spark):
+    # A<->B: uniform mass is the exact fixed point of the integer update
+    out = _pr(spark, [("a", "b"), ("b", "a")], iterations=3)
+    assert out == {"a": web.PAGERANK_SCALE // 2, "b": web.PAGERANK_SCALE // 2}
+
+
+def test_pagerank_dangling_and_asymmetry_match_mirror(spark):
+    # b is dangling (its mass evaporates); c has two in-edges
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")][:3] + [("c", "a")]
+    assert _pr(spark, edges) == _pagerank_mirror(edges)
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    # the operator distinct's its input: a duplicated edge changes nothing
+    edges = [("a", "b"), ("b", "a")]
+    assert _pr(spark, edges + edges, iterations=2) == _pr(
+        spark, edges, iterations=2
+    )
