@@ -963,11 +963,13 @@ _LINK_HTML_SYNTH = """
       '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>',
       '<h1>Article ', CAST(doc_id AS STRING), '</h1>',
       '<p><a href="https://h', CAST((doc_id * 31 + 1) % 97 AS STRING),
-         '.Example.COM/articles/', CAST(doc_id % 40 AS STRING), '">rel</a></p>',
+         '.Example.COM/articles/', CAST(doc_id % 40 AS STRING),
+         '">topic <b>', CAST(doc_id % 23 AS STRING), '</b></a></p>',
       '<p><A HREF="https://h', CAST((doc_id * 31 + 7) % 97 AS STRING),
-         '.example.com:8443/articles/', CAST((doc_id + 1) % 40 AS STRING), '">rel</A></p>',
+         '.example.com:8443/articles/', CAST((doc_id + 1) % 40 AS STRING),
+         '">read  more</A></p>',
       '<p><a href="http://h', CAST((doc_id * 31 + 13) % 97 AS STRING),
-         '.example.com/">rel</a></p>',
+         '.example.com/">topic ', CAST((doc_id + 7) % 23 AS STRING), '</a></p>',
       '</body></html>')"""
 
 _LINK_SRC_HOST = "concat('h', CAST(doc_id % 97 AS STRING), '.example.com')"
