@@ -1012,8 +1012,11 @@ def audio_fingerprint_pairs(
     Exactness: the rise test cross-multiplies exact int64 energies
     (ssq_a · n_b < ssq_b · n_a — never a float rms division), so the
     fingerprint replays bit-for-bit in DuckDB over the byte-decoded
-    oracle.  Clips shorter than 2 chunks fingerprint as all-zeros and
-    collapse among themselves.
+    oracle.  Clips shorter than 2 chunks have no contour to compare —
+    they are FILTERED OUT before pairing (ADVICE r7 #2: they used to
+    fingerprint as identical all-zeros, so every pair of unrelated
+    sub-second clips surfaced as a hamming-0 "duplicate" a downstream
+    dedup would delete on).
 
     Scale shape: the payload is consumed inside the audio_chunks
     mapInPandas stage (never shuffled); what shuffles is (media_id,
@@ -1040,12 +1043,15 @@ def audio_fingerprint_pairs(
     a = f"CAST(1 + ((i - 1) * (size(ch) - 1)) div {AUDIO_FP_BITS} AS INT)"
     fp_expr = (
         f"concat_ws('', transform(sequence(1, {AUDIO_FP_BITS}), i -> "
-        "CASE WHEN size(ch) >= 2 THEN "
-        f"(CASE WHEN element_at(ch, {a}).sum_sq * element_at(ch, {a} + 1).n_samples < "
+        f"CASE WHEN element_at(ch, {a}).sum_sq * element_at(ch, {a} + 1).n_samples < "
         f"element_at(ch, {a} + 1).sum_sq * element_at(ch, {a}).n_samples "
-        "THEN '1' ELSE '0' END) ELSE '0' END))"
+        "THEN '1' ELSE '0' END))"
     )
-    fp = prof.withColumn("afp", F.expr(fp_expr))
+    # < 2 chunks → no contour to fingerprint; pairing them would emit
+    # systematic hamming-0 false positives (ADVICE r7 #2).  The filter
+    # also lets the bit lambda drop its per-bit size guard (element_at
+    # is now always in bounds).
+    fp = prof.filter(F.size("ch") >= 2).withColumn("afp", F.expr(fp_expr))
     return hamming_band_pairs(fp, "afp", "media_id", max_hamming, max_bucket)
 
 

@@ -539,6 +539,20 @@ def ivf_residuals(
     )
 
 
+def _residual_dim(res: DataFrame) -> int:
+    """Vector width of a residual corpus, probed ONCE (ADVICE r7 #4:
+    pq_train/pq_encode/ivf_pq_topk each fired their own driver-side
+    first() job mid-plan-construction, and an empty corpus raised an
+    opaque ``None`` subscript TypeError).  Callers compute this once
+    and thread ``dim`` through; an empty corpus fails loudly."""
+    row = res.select("rs").first()
+    if row is None:
+        raise ValueError(
+            "empty residual corpus: PQ vector dimension cannot be inferred"
+        )
+    return len(row["rs"])
+
+
 def _explode_subvectors(
     res: DataFrame, m: int, sub_dim: int, keep: list[str]
 ) -> DataFrame:
@@ -563,6 +577,7 @@ def pq_train(
     ks: int = PQ_KS,
     iters: int = 1,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Train the per-subspace PQ codebook over the residual corpus
     (VERDICT r6 #1): seed with the ``ks`` residuals of smallest
@@ -577,8 +592,10 @@ def pq_train(
     bit-for-bit.
 
     Input: `ivf_residuals` output.  Output (s, j, csub): subspace,
-    centroid index 1..ks, sub_dim-length int64 centroid."""
-    dim = len(res.select("rs").first()["rs"])
+    centroid index 1..ks, sub_dim-length int64 centroid.  ``dim`` is
+    probed from the corpus when not supplied (compute it once with
+    `_residual_dim` when chaining PQ stages)."""
+    dim = _residual_dim(res) if dim is None else dim
     sub_dim = dim // m
     ck = F.md5(
         F.concat(F.lit("pq|"), F.col(id_col).cast("string")).cast("binary")
@@ -634,12 +651,13 @@ def pq_encode(
     cb: DataFrame,
     m: int = PQ_M,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Encode every residual as ``m`` codebook indices — the 4-bit/
     subspace representation an IVF-PQ index stores instead of vectors.
     Broadcast-argmin per (vector, subspace); ties → lower j (pinned in
     both engines).  Output (id, centroid_id, s, code)."""
-    dim = len(res.select("rs").first()["rs"])
+    dim = _residual_dim(res) if dim is None else dim
     sub_rows = _explode_subvectors(res, m, dim // m, [id_col, "centroid_id"])
     return (
         sub_rows.join(F.broadcast(cb), "s")
@@ -694,10 +712,9 @@ def ivf_pq_topk(
 
     cents = ivf_centroids(corpus, k_centroids, id_col, vec_col)
     res = ivf_residuals(corpus, cents, id_col, vec_col).localCheckpoint()
-    cb = pq_train(res, m, ks, train_iters, id_col)
-    codes = pq_encode(res, cb, m, id_col)
-
-    dim = len(res.select("rs").first()["rs"])
+    dim = _residual_dim(res)  # ONE probe job, threaded through (ADVICE r7 #4)
+    cb = pq_train(res, m, ks, train_iters, id_col, dim)
+    codes = pq_encode(res, cb, m, id_col, dim)
     sub_dim = dim // m
     # probe list: nprobe nearest coarse cells per query, with the
     # query's residual AGAINST EACH probed cell (ADC is cell-relative)

@@ -65,7 +65,11 @@ def with_canonical_url(
     df = (
         df.withColumn("_scheme", F.expr(f"lower(split_part({url_col}, '://', 1))"))
         .withColumn("_rest", F.expr(f"split_part(split_part({url_col}, '://', 2), '#', 1)"))
-        .withColumn("_hostport", F.expr("lower(split_part(_rest, '/', 1))"))
+        # authority = prefix before the FIRST of '/' or '?': a URL with
+        # a query but no path (http://h?utm_x=1) must not absorb the
+        # query into the host (ADVICE r7 #1) — split on '?' first, then
+        # '/', so either delimiter ends the authority
+        .withColumn("_hostport", F.expr("lower(split_part(split_part(_rest, '?', 1), '/', 1))"))
         .withColumn("_hname", F.expr("split_part(_hostport, ':', 1)"))
         .withColumn("_hport", F.expr("split_part(_hostport, ':', 2)"))
         # ASCII lower() preserves length, so the offset into _rest holds
@@ -199,10 +203,19 @@ def host_edges(
     http(s) URL, with self-loops dropped (intra-host navigation says
     nothing about inter-host endorsement — the PageRank convention).
     Host parsing reuses the canonicalizer's rules: lowercase, port
-    stripped off the authority.  The distinct is the only shuffle and
-    it carries two short strings per row."""
+    stripped off the authority, leading ``www.`` stripped (ADVICE r7
+    #3: without the strip, www.b.com and b.com split PageRank mass and
+    a.com → www.a.com survives the self-loop filter — src hosts come
+    canonicalized, so dst must match).  The authority ends at the
+    first of '/' or '?' (the canonicalizer's path-less-query rule).
+    The distinct is the only shuffle and it carries two short strings
+    per row."""
+    hp = (
+        f"split_part(lower(split_part(split_part("
+        f"split_part({href_col}, '://', 2), '?', 1), '/', 1)), ':', 1)"
+    )
     dst = F.expr(
-        f"split_part(lower(split_part(split_part({href_col}, '://', 2), '/', 1)), ':', 1)"
+        f"CASE WHEN substr({hp}, 1, 4) = 'www.' THEN substr({hp}, 5) ELSE {hp} END"
     )
     return (
         links.filter(F.expr(f"lower(split_part({href_col}, '://', 1)) IN ('http', 'https')"))

@@ -773,10 +773,13 @@ def csv_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same raw URLs and the gate pins the CANONICALIZER, not the fixture.
 # Variation axes (all canonicalized away): scheme case (%3), WWW. (%2),
 # host case (%5), default :443 (%4), trailing slash (%2), param order +
-# tracking noise (%2/%9/%11), fragment (%6).  Surviving identity:
-# source host, page path doc_id%40, and the PRESERVED non-default :8080
-# port (%7) — so every canonical group at sf0.01 collapses ~6-13 raw
-# spellings, exercising both collapse and preservation.
+# tracking noise (%2/%9/%11), fragment (%6), and — ADVICE r7 #1 — a
+# PATH-LESS query form (%13: `scheme://host?query#frag`, no '/'), whose
+# authority must end at the '?', not absorb the query into the host.
+# Surviving identity: source host, page path doc_id%40 (or '/' for the
+# path-less rows), and the PRESERVED non-default :8080 port (%7) — so
+# every canonical group at sf0.01 collapses ~6-13 raw spellings,
+# exercising collapse, preservation and the path-less-query rule.
 _URL_SYNTH = """
     concat(
       CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'Https' ELSE 'https' END,
@@ -785,8 +788,9 @@ _URL_SYNTH = """
       CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END,
       '.Example.COM',
       CASE WHEN doc_id % 7 = 0 THEN ':8080' WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
-      '/Articles/', CAST(doc_id % 40 AS STRING),
-      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 13 = 0 THEN ''
+           ELSE concat('/Articles/', CAST(doc_id % 40 AS STRING),
+                       CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) END,
       CASE WHEN doc_id % 2 = 0
            THEN concat('?b=2&utm_source=feed&a=1&fbclid=fb', CAST(doc_id % 9 AS STRING))
            ELSE concat('?a=1&utm_campaign=c', CAST(doc_id % 11 AS STRING), '&b=2') END,
@@ -807,9 +811,9 @@ _URL_CANON_CTES = f"""
     ),
     fields AS (
       SELECT *,
-             split_part(lower(split_part(rest, '/', 1)), ':', 1) AS hname,
-             split_part(lower(split_part(rest, '/', 1)), ':', 2) AS hport,
-             substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+             split_part(lower(split_part(split_part(rest, '?', 1), '/', 1)), ':', 1) AS hname,
+             split_part(lower(split_part(split_part(rest, '?', 1), '/', 1)), ':', 2) AS hport,
+             substr(rest, length(split_part(split_part(rest, '?', 1), '/', 1)) + 1) AS pathq
       FROM parts
     ),
     pq AS (
@@ -957,7 +961,10 @@ def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXTRACTOR and EDGE rules must handle: an uppercase HREF (case rule),
 # a :8443 port on one target (port-strip rule), mixed host case
 # (lowercase rule), two relative nav links (absolute-only rule), and
-# self-loops whenever 30·doc_id + k ≡ 0 (mod 97) (self-loop drop).
+# self-loops whenever 30·doc_id + k ≡ 0 (mod 97) (self-loop drop), and
+# a WWW.-prefixed target on the third anchor (ADVICE r7 #3: dst hosts
+# must get the same www-strip as the canonicalized src hosts, merging
+# www.b.com into b.com and making www-prefixed self-links drop).
 _LINK_HTML_SYNTH = """
     concat('<html><body>',
       '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>',
@@ -968,7 +975,7 @@ _LINK_HTML_SYNTH = """
       '<p><A HREF="https://h', CAST((doc_id * 31 + 7) % 97 AS STRING),
          '.example.com:8443/articles/', CAST((doc_id + 1) % 40 AS STRING),
          '">read  more</A></p>',
-      '<p><a href="http://h', CAST((doc_id * 31 + 13) % 97 AS STRING),
+      '<p><a href="http://WWW.h', CAST((doc_id * 31 + 13) % 97 AS STRING),
          '.example.com/">topic ', CAST((doc_id + 7) % 23 AS STRING), '</a></p>',
       '</body></html>')"""
 
@@ -988,11 +995,16 @@ _LINK_GRAPH_CTES = f"""
     lcand AS (
       SELECT src_host,
              lower(split_part(href, '://', 1)) AS scheme,
-             split_part(lower(split_part(split_part(href, '://', 2), '/', 1)), ':', 1) AS dst_host
+             split_part(lower(split_part(split_part(split_part(href, '://', 2), '?', 1), '/', 1)), ':', 1) AS dh
       FROM links
     ),
+    lhost AS (
+      SELECT src_host, scheme,
+             CASE WHEN substr(dh, 1, 4) = 'www.' THEN substr(dh, 5) ELSE dh END AS dst_host
+      FROM lcand
+    ),
     edges AS (
-      SELECT DISTINCT src_host, dst_host FROM lcand
+      SELECT DISTINCT src_host, dst_host FROM lhost
       WHERE scheme IN ('http', 'https') AND src_host <> dst_host
     )"""
 
@@ -5731,10 +5743,9 @@ def _audio_fp_sql() -> str:
     for i in range(1, dedup.AUDIO_FP_BITS + 1):
         a = f"(1 + (({i} - 1) * (len(ch) - 1)) // {dedup.AUDIO_FP_BITS})"
         bits.append(
-            f"CASE WHEN len(ch) >= 2 THEN "
-            f"(CASE WHEN list_extract(ch, {a}).ss * list_extract(ch, {a} + 1).n < "
+            f"CASE WHEN list_extract(ch, {a}).ss * list_extract(ch, {a} + 1).n < "
             f"list_extract(ch, {a} + 1).ss * list_extract(ch, {a}).n "
-            "THEN '1' ELSE '0' END) ELSE '0' END"
+            "THEN '1' ELSE '0' END"
         )
     chain = _audio_sql(src="media").strip()
     assert chain.startswith("WITH ")
@@ -5754,7 +5765,8 @@ def _audio_fp_sql() -> str:
                   ORDER BY chunk_idx) AS ch
       FROM s GROUP BY media_id
     ),
-    sh AS (SELECT doc_id, concat({", ".join(bits)}) AS simhash FROM prof),
+    sh AS (SELECT doc_id, concat({", ".join(bits)}) AS simhash
+           FROM prof WHERE len(ch) >= 2),
     {_hamming_pairs_tail("sh")}
     """
 

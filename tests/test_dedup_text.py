@@ -485,8 +485,9 @@ def test_image_phash_dedup_collapses_identical_payloads(spark):
 def test_audio_fingerprint_dedup_collapses_identical_clips(spark):
     """The audio member of the multimodal dedup family: identical PCM
     payloads share a fingerprint and collapse to hamming-0 stars via
-    the shared banding; clips shorter than two chunks fingerprint as
-    all-zeros and collapse among themselves."""
+    the shared banding; clips shorter than two chunks have no contour
+    and are EXCLUDED from pairing (ADVICE r7 #2: pairing them emitted
+    every unrelated sub-second clip pair as a hamming-0 duplicate)."""
     from firewatch_spark.operators import dedup
 
     import struct
@@ -509,7 +510,8 @@ def test_audio_fingerprint_dedup_collapses_identical_clips(spark):
         for r in dedup.audio_fingerprint_pairs(media).collect()
     }
     assert pairs[(1, 2)] == 0          # identical clips collapse
-    assert pairs[(4, 5)] == 0          # all-zero shorts collapse together
+    # too-short clips never pair — with anything (ADVICE r7 #2)
+    assert not any(4 in p or 5 in p for p in pairs)
     assert (1, 3) not in pairs or pairs[(1, 3)] > 0
 
 

@@ -144,6 +144,18 @@ def test_lsh_topk_finds_in_bucket_neighbor(spark):
     assert out and out[0]["neighbor_id"] == 2
 
 
+def test_pq_empty_corpus_raises_clear_error(spark):
+    """ADVICE r7 #4: an empty residual corpus must raise a clear
+    ValueError from the single dim probe, not an opaque TypeError."""
+    import pytest
+
+    from firewatch_spark.operators import similarity as S
+
+    empty = spark.createDataFrame([], "vec_id long, rs array<bigint>")
+    with pytest.raises(ValueError, match="empty residual corpus"):
+        S.pq_train(empty)
+
+
 def test_ivf_pq_perfect_reconstruction_on_seed_corpus(spark):
     """VERDICT r6 #1: when the corpus has exactly ks=16 vectors, every
     vector is its own PQ seed, each residual subvector quantizes to

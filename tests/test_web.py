@@ -69,6 +69,23 @@ def test_canonical_query_filter_sort_drop(spark):
     ]
 
 
+def test_canonical_pathless_query(spark):
+    # ADVICE r7 #1: a query with no path must not absorb '?query' into
+    # the host — the authority ends at the first of '/' or '?'
+    assert _canon(
+        spark,
+        [
+            "http://example.com?utm_source=x",
+            "https://Example.com:8080?b=2&a=1",
+            "https://www.example.com:443?a=1#f",
+        ],
+    ) == [
+        "http://example.com/",
+        "https://example.com:8080/?a=1&b=2",
+        "https://example.com/?a=1",
+    ]
+
+
 def test_canonical_null_passthrough(spark):
     assert _canon(spark, [None]) == [None]
 
@@ -154,6 +171,9 @@ def test_host_edges_rules(spark):
             ("a.com", "/relative"),              # dropped: not absolute
             ("a.com", "mailto:x@b.com"),         # dropped: not http(s)
             ("a.com", "https://a.com/self"),     # dropped: self-loop
+            ("a.com", "https://WWW.a.com/s2"),    # dropped: www self-loop (ADVICE r7 #3)
+            ("a.com", "http://www.b.com/w"),      # www strip -> same b.com edge
+            ("a.com", "https://c.com?x=1"),       # path-less query: host ends at '?'
             ("b.com", "https://a.com/z"),
         ],
         "src_host string, href string",
@@ -161,6 +181,7 @@ def test_host_edges_rules(spark):
     out = rows(web.host_edges(df), "src_host", "dst_host")
     assert [(r["src_host"], r["dst_host"]) for r in out] == [
         ("a.com", "b.com"),
+        ("a.com", "c.com"),
         ("b.com", "a.com"),
     ]
 
