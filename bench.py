@@ -121,9 +121,24 @@ def main() -> None:
     run("session_stats")
     flagship_runs = sorted(run("session_stats") for _ in range(5))
 
+    # Per-query table is MIN-OF-2 for fast queries (VERDICT r7 #1): the
+    # single-run table under driver load manufactured 12 phantom ≥1.4×
+    # "regressions" in round 7 (class_filter 1.08→2.77 s on identical
+    # code; idle rerun 0.13 s).  min is the noise-robust statistic for
+    # fixed work — the flagship's min-of-5 proved the pattern in r6.
+    # Queries whose first run takes ≥ 3 s stay single-run: they are the
+    # build-timed iterative ones where a rerun doubles bench wall for
+    # little variance reduction.  BENCH_FULL.json keeps BOTH runs per
+    # query ({"t": min, "t1": first}) so machine weather is visible in
+    # the committed artifact itself.
+    MIN_OF_2_BELOW_SEC = 3.0
     times: dict[str, float] = {}
+    times_detail: dict[str, dict[str, float]] = {}
     for name in sorted(reg):
-        times[name] = round(run(name), 4)
+        t1 = run(name)
+        t = min(t1, run(name)) if t1 < MIN_OF_2_BELOW_SEC else t1
+        times[name] = round(t, 4)
+        times_detail[name] = {"t": round(t, 4), "t1": round(t1, 4)}
 
     # Batched-inference demonstration — the reference's explicitly
     # deferred win (docs/PERFORMANCE.md:148-150): same surrogate model
@@ -285,6 +300,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_runs": times_detail,
         "sf": float(sf),
         "rows_per_sec_flagship": flagship_rps,
         "flagship_min_sec": flagship_min,

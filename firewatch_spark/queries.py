@@ -6251,13 +6251,33 @@ def iso_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("approx_distinct_users", None)  # HLL sketches are engine-specific → rows-only
+@q("approx_distinct_users", None)  # rows-only BY DESIGN — see docstring
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the sketch the reference
-    lacks; no oracle (DuckDB's approx sketch differs by construction)."""
+    """approx_count_distinct (HyperLogLog++) beside the EXACT distinct
+    per group, plus their relative error.
+
+    The driver row stays rows-only because Spark's HLL++ register
+    layout is engine-specific — DuckDB's approx sketch produces a
+    different estimate by construction, so a value-hash oracle would
+    pin nothing real.  The VALUE gate lives in pytest instead
+    (VERDICT r7 #2): tests/test_registry.py asserts
+    |approx − exact| / exact ≤ the configured rsd (0.05) on every
+    group at two scale factors — a real accuracy contract without
+    pretending two engines share one sketch.  At 100 TB the approx
+    column is the point: one pass, fixed-size registers, map-side
+    combinable; the exact column here is the audit arm."""
     ev = _tbl(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users").cast("double"),
+        )
     )
 
 
@@ -6772,41 +6792,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT r5 #6), so rotation never drops coverage — it only decides
 # which slice additionally gets the external driver's hash row.
 _DRIVER_WINDOW = 50
-_ROTATION_ROUND = 7  # bump each round to advance the rotation
+_ROTATION_ROUND = 8  # bump each round to advance the rotation
 _PINNED = [
-    # round-7 additions — never driver-attested yet
-    "host_pagerank",
-    "link_extract",
-    "split_leakage_repair",
-    "near_dup_clusters_star",
-    "csv_ingest",
-    "ann_ivf_upsert",
-    "ann_sq8_topk",
-    "ann_sq8_recall",
-    "hard_negative_mining",
-    "url_canonicalize",
-    "url_dedup",
-    "html_extract",
-    "split_leakage_audit",
-    "ann_ivf_pq_refine",
-    "ann_pq_recall",
-    "gopher_rules",
-    "token_cms_counts",
-    "hll_distinct_tokens",
-    "streaming_sketch_merge",
-    "video_frame_dedup",
-    "dedup_index_roll",
-    "salted_join_agg",
-    "length_quantile_sketch",
-    "jsonl_ingest",
-    "dup_span_removal",
-    "incremental_dedup_bloom",
-    "image_phash_dedup",
-    "bpe_vocab_induction",
-    "ann_ivf_pq_topk",
-    "ann_recall",
-    "audio_fingerprint_dedup",
-    "bpe_apply_trained",
+    # round-8 additions — never driver-attested yet
+    "dsir_importance_sample",
+    "warc_ingest",
+    "streaming_ann_serve",
+    "video_segment_dedup",
+    # VERDICT r7 #3: the one query with zero driver attestations after
+    # 7 rounds (green in every local replay; plan machine-asserted in
+    # tests/test_plans.py) — pinned rather than waiting for rotation
+    "hinted_join",
     # permanent pins (see ordering note above)
     "streaming_session_parity",
     "streaming_ep2_parity",
