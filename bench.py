@@ -245,6 +245,10 @@ def main() -> None:
         # int8 brute-force scan — linear by construction like ann_topk;
         # hard_negative_mining shares the identical scan shape
         "ann_sq8_topk",
+        # round-8: two bounded gram-count aggs + broadcast ≤10⁴-row
+        # log-ratio table + two-phase rank — should track the linear
+        # token-fold floor (quality_classifier), never the pair ops
+        "dsir_importance_sample",
     ]
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope

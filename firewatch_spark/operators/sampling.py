@@ -409,3 +409,167 @@ def token_budget_cap(
         .filter(F.col("_cum") - F.col("n_tokens") < F.lit(int(budget)))
         .drop("_key", "_bucket", "_off", "_cum")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection toward a target
+# distribution — Xie et al. 2023, "Data Selection for Language Models
+# via Importance Resampling"; VERDICT r7 ask #4)
+
+DSIR_BUCKETS = 10_000
+DSIR_LOG_SCALE = 1_000_000
+
+
+def _ilog(expr: str) -> str:
+    """floor-scaled natural log of a POSITIVE INTEGER SQL expression —
+    the fixed-point trick that keeps DSIR's log-likelihood-ratio on an
+    exact int64 grid.  Engine parity: floor(1e6·ln(n)) was measured
+    bit-identical between Spark and DuckDB for every n in [1, 2·10⁶]
+    (this container, round 8) — the flip risk is a last-ulp ln
+    difference landing within ~1e-10 of an integer, which no count in
+    range does.  Only ever applied to counts, never to ratios, so the
+    argument set stays small and integer."""
+    return f"CAST(floor(ln(CAST({expr} AS DOUBLE)) * {DSIR_LOG_SCALE}.0) AS BIGINT)"
+
+
+def _hashed_grams(
+    df: DataFrame,
+    text_col: str,
+    keep: list[str],
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """One row per word unigram AND bigram occurrence, hashed into
+    ``n_buckets`` via the house md5 idiom (first 8 nibbles of
+    md5('dsir|'||gram) — the same portable bucket hash as
+    text._cms_pos, so the DuckDB oracle replays collisions exactly).
+    The gram arrays are built column-side (no join for bigrams); the
+    explode output carries only (keep…, bucket int) — grams
+    themselves never shuffle."""
+    toks = "split(" + text_col + ", ' ')"
+    bigrams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"zip_with(slice({toks}, 1, size({toks}) - 1), "
+        f"slice({toks}, 2, size({toks}) - 1), (a, b) -> concat(a, ' ', b)) "
+        "ELSE array() END"
+    )
+    grams = f"concat({toks}, {bigrams})"
+    bucket = (
+        "CAST(conv(substring(md5(CAST(concat('dsir|', _gram) AS BINARY)), 1, 8), 16, 10) "
+        f"AS BIGINT) % {n_buckets}"
+    )
+    return (
+        df.select(*keep, F.explode(F.expr(grams)).alias("_gram"))
+        .select(*keep, F.expr(bucket).alias("bucket"))
+    )
+
+
+def dsir_importance(
+    pool: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance: the log-likelihood ratio of the
+    doc's hashed n-gram features under a TARGET vs SOURCE bag-of-grams
+    model, on the exact scaled-int grid.
+
+    Model: unigram+bigram occurrences hash into ``n_buckets``; each
+    distribution is the add-1-smoothed bucket frequency, so a gram in
+    bucket b contributes
+
+        lr_b = [ILOG(tc_b+1) − ILOG(T+B)] − [ILOG(sc_b+1) − ILOG(S+B)]
+
+    (ILOG = floor(1e6·ln); tc/sc = target/source bucket counts, T/S
+    their totals, B = n_buckets) and a doc's importance is the exact
+    int64 Σ lr over its gram occurrences — log p_target(x)/p_source(x)
+    up to the shared 1e-6 quantization.
+
+    Scale shape: two gram-count aggregations (map-side combinable;
+    shuffles carry (bucket, count) ints), the ≤ B-row log-ratio table
+    BROADCAST, one corpus pass joining exploded grams to it, one
+    map-side-combinable per-doc sum.  The corpus text never shuffles;
+    at 100 TB the only corpus-keyed exchange is (doc_id, lr) pairs
+    into the final sum.  Output (doc_id, n_grams, importance)."""
+    tc = _hashed_grams(target, text_col, [], n_buckets).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    doc_grams = _hashed_grams(pool, text_col, [id_col], n_buckets)
+    sc = doc_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("sc"))
+    tot = (
+        sc.agg(F.sum("sc").alias("_s"))
+        .crossJoin(F.broadcast(tc.agg(F.sum("tc").alias("_t"))))
+    )  # 1-row broadcast of both totals
+    lr = (
+        sc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                f"({_ilog('coalesce(tc, 0) + 1')} - {_ilog(f'_t + {n_buckets}')})"
+                f" - ({_ilog('sc + 1')} - {_ilog(f'_s + {n_buckets}')})"
+            ).alias("lr"),
+        )
+    )
+    return (
+        doc_grams.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr").alias("importance"),
+        )
+    )
+
+
+def dsir_importance_sample(
+    pool: DataFrame,
+    target: DataFrame,
+    keep_frac: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Select the top ``keep_frac`` of the pool by DSIR importance —
+    the selection operator the quality_classifier lacks (it scores
+    intrinsically; this selects toward a TARGET distribution).
+
+    The global rank is the corpus_shuffle two-phase trick generalized
+    to a VALUE key: (1) each doc's descending sort key
+    ``kv = max_importance − importance`` lands in one of 256 ordered
+    range buckets (width = span DIV 256 + 1 — a prefix of the sort
+    order, so bucket order ++ in-bucket order IS the global order);
+    bucket counts (≤ 257 rows) become cumulative offsets via a tiny
+    window and broadcast back; (2) each bucket ranks locally by
+    (kv, id).  rank = offset + local rank — bit-identical to the
+    one-task ``row_number() OVER (ORDER BY importance DESC, id)`` at
+    any scale.  Caveat vs the hash-keyed form: range buckets inherit
+    the score distribution's shape, so a pathologically spiked score
+    column concentrates tasks — acceptable because importance is a
+    Σ of thousands of lr terms (CLT-spread), and AQE re-splits hot
+    buckets.  Output: kept docs with (n_grams, importance, rank)."""
+    imp = dsir_importance(pool, target, text_col, id_col, n_buckets)
+    stats = imp.agg(
+        F.max("importance").alias("_max"),
+        F.min("importance").alias("_min"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    keyed = (
+        imp.crossJoin(F.broadcast(stats))
+        .withColumn("_kv", F.col("_max") - F.col("importance"))
+        .withColumn("_bucket", F.expr("_kv DIV ((_max - _min) DIV 256 + 1)"))
+        .withColumn("_keep", F.expr(f"CAST(ceil(_n * {keep_frac}) AS BIGINT)"))
+    )
+    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.withColumn(
+        "_off", F.sum("_cnt").over(off_w) - F.col("_cnt")
+    ).select("_bucket", "_off")
+    local_w = Window.partitionBy("_bucket").orderBy("_kv", id_col)
+    return (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .withColumn("rank", (F.col("_off") + F.row_number().over(local_w)).cast("long"))
+        .filter(F.col("rank") <= F.col("_keep"))
+        .select(id_col, "n_grams", "importance", "rank")
+    )

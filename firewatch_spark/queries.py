@@ -3105,6 +3105,92 @@ def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.corpus_shuffle(docs).select("doc_id", "shuffle_pos")
 
 
+_DSIR_TARGET_SOURCES = "('src0', 'src1', 'src2', 'src3')"
+_DSIR_KEEP_FRAC = 0.25
+
+
+def _dsir_sql(n_buckets: int = 10_000, keep_frac: float = _DSIR_KEEP_FRAC) -> str:
+    """DuckDB twin of sampling.dsir_importance_sample: same md5-nibble
+    gram bucket hash (the _cms_sql md5u8 decode), same floor-scaled
+    ln() log-ratio grid (measured bit-identical across engines for
+    every count in range — see sampling._ilog), plain one-task global
+    window for the rank (oracles don't need the two-phase trick)."""
+    md5u8 = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5('dsir|' || g), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+    def ilog(expr: str) -> str:
+        return f"CAST(floor(ln(CAST({expr} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
+    grams = (
+        "unnest(list_concat(t, list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i + 1]))) AS g"
+    )
+    return f"""
+    WITH tg AS (
+      SELECT {grams}
+      FROM (SELECT string_split(text, ' ') AS t FROM documents
+            WHERE source IN {_DSIR_TARGET_SOURCES})
+    ),
+    pg AS (
+      SELECT doc_id, {grams}
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    tb AS (
+      SELECT ({md5u8}) % {n_buckets} AS bucket, CAST(count(*) AS BIGINT) AS tc
+      FROM tg GROUP BY 1
+    ),
+    pbg AS (SELECT doc_id, ({md5u8}) % {n_buckets} AS bucket FROM pg),
+    sb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS sc FROM pbg GROUP BY 1),
+    tot AS (
+      SELECT (SELECT sum(sc) FROM sb) AS s, (SELECT sum(tc) FROM tb) AS t
+    ),
+    lr AS (
+      SELECT sb.bucket,
+             ({ilog("coalesce(tb.tc, 0) + 1")} - {ilog(f"tot.t + {n_buckets}")})
+             - ({ilog("sb.sc + 1")} - {ilog(f"tot.s + {n_buckets}")}) AS lr
+      FROM sb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+    ),
+    imp AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(lr) AS BIGINT) AS importance
+      FROM pbg JOIN lr USING (bucket) GROUP BY doc_id
+    ),
+    rk AS (
+      SELECT doc_id, n_grams, importance,
+             CAST(row_number() OVER (ORDER BY importance DESC, doc_id) AS BIGINT) AS rank
+      FROM imp
+    )
+    SELECT doc_id, n_grams, importance, rank FROM rk
+    WHERE rank <= CAST(ceil((SELECT count(*) FROM imp) * {keep_frac}) AS BIGINT)
+    """
+
+
+@q("dsir_importance_sample", _dsir_sql())
+def dsir_importance_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (operators/sampling.py
+    dsir_importance_sample; Xie et al. 2023) — the data-SELECTION
+    operator the LLM pack lacked (VERDICT r7 ask #4):
+    quality_classifier scores documents intrinsically, this selects
+    them toward a TARGET distribution.  Target = the src0-src3 slice
+    of the corpus (the "curated" 20 %), pool = everything; hashed
+    unigram+bigram features (md5 → 10⁴ buckets), add-1-smoothed
+    target-vs-source log-likelihood-ratio per bucket on the exact
+    floor(1e6·ln) int64 grid, per-doc importance = Σ lr over gram
+    occurrences, top 25 % kept by two-phase (no one-task window)
+    global rank.  Every stage — bucket collisions, the log grid, the
+    rank — replays bit-for-bit in the oracle."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = docs.filter(
+        F.expr(f"source IN {_DSIR_TARGET_SOURCES}")
+    ).select("text")
+    return sampling.dsir_importance_sample(
+        docs, target, keep_frac=_DSIR_KEEP_FRAC
+    )
+
+
 _SHARD_SIZE = 64
 
 _SHARDS_SQL = f"""

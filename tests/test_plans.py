@@ -85,6 +85,10 @@ def test_no_cartesian_product_anywhere(plans):
         "temperature_rebalance",
         "unigram_score",
         "cluster_balanced_sample",
+        # 1-row broadcasts only: the (S, T) gram-total pair into the
+        # ≤10⁴-row log-ratio table, and the (max, min, n) stats row
+        # into the rank keying — never a corpus × corpus product
+        "dsir_importance_sample",
     }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name

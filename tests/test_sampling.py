@@ -51,3 +51,48 @@ def test_unit_norm_and_int8_quantization(spark):
     q1, q3 = out[1]["q8"], out[3]["q8"]
     approx_cos = sum(x * y for x, y in zip(q1, q3)) / (127 * 127)
     assert math.isclose(approx_cos, 0.6, rel_tol=0.02)
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR contract: docs sharing the target's vocabulary out-rank
+    docs that don't, and exactly ceil(frac·N) rows survive with ranks
+    1..n_keep."""
+    target = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("beta gamma alpha beta",)], "text string"
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),        # target-like
+            (2, "beta gamma delta alpha"),  # target-like
+            (3, "xray yankee zulu zulu"),   # off-distribution
+            (4, "quebec romeo sierra"),     # off-distribution
+        ],
+        "doc_id long, text string",
+    )
+    out = rows(sampling.dsir_importance_sample(pool, target, keep_frac=0.5), "rank")
+    assert [r["doc_id"] for r in out] in ([1, 2], [2, 1])
+    assert [r["rank"] for r in out] == [1, 2]
+
+
+def test_dsir_two_phase_rank_matches_naive_window(spark):
+    """The range-bucket two-phase global rank is bit-identical to the
+    one-task row_number() OVER (ORDER BY importance DESC, doc_id)."""
+    from pyspark.sql import Window
+
+    target = spark.createDataFrame(
+        [("common words here",), ("more common words",)], "text string"
+    )
+    pool = spark.createDataFrame(
+        [(i, f"common words tok{i % 7} tok{i % 5} here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    imp = sampling.dsir_importance(pool, target)
+    w = Window.orderBy(F.desc("importance"), F.asc("doc_id"))
+    naive = {
+        r["doc_id"]: r["rk"]
+        for r in rows(imp.withColumn("rk", F.row_number().over(w)))
+    }
+    two_phase = rows(sampling.dsir_importance_sample(pool, target, keep_frac=1.0))
+    assert len(two_phase) == 40
+    for r in two_phase:
+        assert r["rank"] == naive[r["doc_id"]]
