@@ -64,6 +64,7 @@ BUILD_TIMED = {
     "ann_ivf_pq_refine",  # wraps ann_ivf_pq_topk's build
     "ann_pq_recall",  # runs BOTH PQ builds + the exact audit side
     "jsonl_ingest",  # the JSONL write happens in-build
+    "warc_ingest",  # the WARC-shaped dump write happens in-build
     "streaming_sketch_merge",  # availableNow foreachBatch run in-build
     "dedup_index_roll",  # localCheckpoints the stored index in-build
     # stop-rule probes (vocab count, argmax collect) + per-round

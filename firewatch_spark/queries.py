@@ -953,6 +953,98 @@ def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted malformed WARC records — one per dead-letter reason the
+# parser distinguishes (sources/warc.py), each with deterministic
+# sentinel output pinned in the oracle.
+_WARC_BAD_RECORDS = (
+    # WARC-Target-URI header absent
+    "WARC/1.0\nWARC-Type: response\nContent-Length: 3\n\nabc\n\n",
+    # declared length exceeds the payload actually present
+    "WARC/1.0\nWARC-Type: response\n"
+    "WARC-Target-URI: http://bad.example/trunc\nContent-Length: 100\n\nshort\n\n",
+    # header block never terminated by a blank line
+    "WARC/1.0\nWARC-Type: response\n"
+    "WARC-Target-URI: http://bad.example/nosep\nContent-Length: 5\n",
+    # Content-Length header absent
+    "WARC/1.0\nWARC-Type: response\n"
+    "WARC-Target-URI: http://bad.example/nolen\n\nx\n\n",
+)
+
+
+@q(
+    "warc_ingest",
+    f"""
+    WITH {_URL_CANON_CTES},
+    pages AS (SELECT doc_id, {_HTML_SYNTH} AS html FROM documents)
+    SELECT c.url, c.canonical_url, 'response' AS warc_type,
+           CAST(length(p.html) AS BIGINT) AS declared_len,
+           CAST(length(p.html) AS BIGINT) AS payload_len,
+           md5(p.html) AS payload_md5,
+           FALSE AS is_malformed, '' AS reason
+    FROM canon c JOIN pages p USING (doc_id)
+    UNION ALL SELECT '', '', 'response', -1, -1, '', TRUE, 'missing_uri'
+    UNION ALL SELECT 'http://bad.example/trunc', '', 'response', -1, -1, '', TRUE, 'length_mismatch'
+    UNION ALL SELECT 'http://bad.example/nosep', '', 'response', -1, -1, '', TRUE, 'missing_separator'
+    UNION ALL SELECT 'http://bad.example/nolen', '', 'response', -1, -1, '', TRUE, 'missing_length'
+    """,
+)
+def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-shaped crawl-dump ingest (sources/warc.py; VERDICT r7 ask
+    #5) — completes the crawl family: the stage-zero pack started at
+    (url, html) COLUMNS, but real dumps arrive as concatenated
+    record-framed text.  The corpus is written as a WARC-shaped dump
+    (WARC/1.0 sentinel, header block, Content-Length-framed payload),
+    split record-per-row by the lineSep reader (split-boundary-safe —
+    Hadoop stitches records across input splits, so a 100 TB dump
+    parallelizes by byte range), header-parsed with anchored regex,
+    and the four planted malformed records surface as dead-letter rows
+    with their diagnosing reason — counts, sentinels and reasons all
+    value-hash-gated.  Good records chain straight into
+    with_canonical_url, proving url_canonicalize -> html_extract ->
+    link_extract is runnable FROM A RAW DUMP."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import warc as warc_src
+
+    pages = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("url", F.expr(_URL_SYNTH))
+        .withColumn("html", F.expr(_HTML_SYNTH))
+    )
+    record = F.expr(
+        "concat('WARC/1.0\n', 'WARC-Type: response\n', "
+        "'WARC-Target-URI: ', url, '\n', "
+        "'Content-Length: ', CAST(length(html) AS STRING), '\n\n', html, '\n\n')"
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_warc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    data_dir = os.path.join(tmp, "data")
+    pages.select(record.alias("value")).coalesce(4).write.mode(
+        "overwrite"
+    ).text(data_dir)
+    with open(os.path.join(data_dir, "bad.warc"), "w") as f:
+        for rec in _WARC_BAD_RECORDS:
+            f.write(rec)
+    parsed = warc_src.read_warc(spark, data_dir)
+    out = web.with_canonical_url(parsed, "url")
+    return out.select(
+        "url",
+        F.when(F.col("is_malformed"), F.lit(""))
+        .otherwise(F.col("canonical_url"))
+        .alias("canonical_url"),
+        "warc_type",
+        "declared_len",
+        "payload_len",
+        "payload_md5",
+        "is_malformed",
+        "reason",
+    )
+
+
 # Deterministic OUT-LINKED page synthesis for the link-graph queries
 # (same engine-portable-snippet idea as _URL_SYNTH / _HTML_SYNTH): each
 # page lives on host h{doc_id % 97}.example.com and carries 3 absolute
