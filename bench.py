@@ -53,6 +53,8 @@ BUILD_TIMED = {
     "ann_ivf_trained_topk",
     # runs a whole availableNow foreachBatch query in-build
     "streaming_incremental_dedup",
+    # index store + availableNow foreachBatch serving run in-build
+    "streaming_ann_serve",
     # label propagation actions in-build (like near_dup_clusters)
     "embedding_dedup_keep",
     # round-7: localCheckpoints the capped candidates in-build (same

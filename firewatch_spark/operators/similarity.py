@@ -867,26 +867,38 @@ def ivf_topk(
     `centroids` overrides the md5-sample seed table — pass
     `ivf_train(...)`'s output to search a Lloyd-refined index; the
     probe math and join shapes are identical."""
-    from pyspark.sql import Window
-
     cents = (
         centroids
         if centroids is not None
         else ivf_centroids(corpus, k_centroids, id_col, vec_col)
     )
+    cells = ivf_index_cells(corpus, cents, id_col, vec_col)
+    return ivf_serve(cells, cents, queries, k, nprobe, id_col, vec_col)
 
-    def d2_col():
-        return F.aggregate(
-            F.zip_with("iv", "civ", lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
 
-    # corpus cell assignment, carrying the scaled vector + norm through
+def _d2_col():
+    return F.aggregate(
+        F.zip_with("iv", "civ", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def ivf_index_cells(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The STORABLE index half of `ivf_topk`: cell assignment carrying
+    the scaled vector + norm — (neighbor_id, centroid_id, civ2, cn2).
+    Written to parquet once at index-build time, this is the artifact
+    `ivf_serve` probes without ever rescanning the raw corpus (the
+    serving lifecycle: build → store → upsert → serve)."""
     c = with_norm2(with_scaled_vec(ensure_parallelism(corpus), vec_col))
-    c_assigned = (
+    return (
         c.crossJoin(F.broadcast(cents))
-        .withColumn("d2", d2_col())
+        .withColumn("d2", _d2_col())
         .groupBy(id_col)
         .agg(
             F.min(F.struct(F.col("d2"), F.col("centroid_id"))).alias("b"),
@@ -900,12 +912,32 @@ def ivf_topk(
             F.col("cn2"),
         )
     )
-    # query probe list: nprobe nearest centroids each
+
+
+def ivf_serve(
+    cells: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SERVING half of `ivf_topk`: probe-rank the frozen centroid
+    table per query, equi-join the probed cells to the STORED cell
+    table, exact-cosine top-k.  Per-batch work is O(queries × nprobe ×
+    cell) regardless of corpus size, and the only corpus-scale input
+    is the pre-built `cells` parquet — the micro-batch serving shape
+    (`streaming_ann_serve`) reuses this verbatim, which is what makes
+    union-of-batches ≡ whole-batch bit-for-bit (per-query results are
+    functions of (query, index) only)."""
+    from pyspark.sql import Window
+
     q = with_norm2(with_scaled_vec(queries, vec_col))
     probe_w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("centroid_id"))
     q_probe = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("d2", d2_col())
+        .withColumn("d2", _d2_col())
         .withColumn("_rk", F.row_number().over(probe_w))
         .filter(F.col("_rk") <= nprobe)
         .select(
@@ -915,7 +947,7 @@ def ivf_topk(
             F.col("n2").alias("qn2"),
         )
     )
-    cand = c_assigned.join(F.broadcast(q_probe), "centroid_id").filter(
+    cand = cells.join(F.broadcast(q_probe), "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.withColumn(

@@ -15,6 +15,7 @@ SKIP = {
     "streaming_session_parity",
     "streaming_ep2_parity",
     "streaming_incremental_dedup",
+    "streaming_ann_serve",
     "streaming_sketch_merge",
     "video_scan",
     "jsonl_ingest",  # building its DataFrame writes the JSONL fixture
