@@ -987,6 +987,83 @@ def video_frame_dedup(
     )
 
 
+def video_segment_dedup(
+    frames: DataFrame,
+    payload_col: str = "payload",
+    video_col: str = "video_id",
+    frame_col: str = "frame_idx",
+    min_run: int = 2,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Sequence-ALIGNED shared-frame segments between video pairs — the
+    session-window twin of `video_frame_dedup` (VERDICT r7 ask #8):
+    frame-SET overlap is order-blind, so it cannot tell "same clip
+    re-encoded" (one long aligned run covering most of both videos)
+    from "same intro stitched onto different content" (one short run
+    at a fixed position) — the production distinction that decides
+    whether to drop a video or just trim its intro.
+
+    Mechanics: matched frames (equal dHash, the capped bucket join
+    shared with `video_frame_dedup`) carry their frame indices
+    ``(ia, ib)``; a shared SEGMENT is a maximal diagonal run —
+    consecutive in BOTH videos, i.e. consecutive ``ia`` within one
+    alignment offset ``ia − ib``.  Runs fall out of the gaps-and-
+    islands trick the session operators use (`operators/sessions.py`):
+    within (pair, offset), ``island = ia − row_number(order by ia)``
+    is constant exactly along a run.  One row per segment of length ≥
+    ``min_run``: (video_a, video_b, offset, start_a, start_b,
+    run_len) — the segment table a trim/drop policy consumes.
+
+    Scale shape: fingerprints shuffle, frames don't (the
+    video_frame_dedup posture); the islands window partitions by
+    (pair, offset) whose size is bounded by min(n_a, n_b) frames —
+    per-pair work, never corpus-keyed."""
+    ph = (
+        with_image_phash(frames, payload_col, video_col, out_col="phash")
+        .select(video_col, F.col(frame_col).cast("long").alias("fi"), "phash")
+        .distinct()
+    )
+    cap_w = Window.partitionBy("phash").orderBy(video_col, "fi")
+    capped = (
+        ph.withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    a = capped.select(
+        F.col(video_col).alias("video_a"), F.col("fi").alias("ia"), "phash"
+    )
+    b = capped.select(
+        F.col(video_col).alias("video_b"), F.col("fi").alias("ib"), "phash"
+    )
+    matches = (
+        a.join(b, "phash")
+        .filter(F.col("video_a") < F.col("video_b"))
+        .select("video_a", "video_b", "ia", "ib")
+        .distinct()
+        .withColumn("offset", F.col("ia") - F.col("ib"))
+    )
+    isl_w = Window.partitionBy("video_a", "video_b", "offset").orderBy("ia")
+    runs = (
+        matches.withColumn("_isl", F.col("ia") - F.row_number().over(isl_w))
+        .groupBy("video_a", "video_b", "offset", "_isl")
+        .agg(
+            F.min("ia").alias("start_a"),
+            F.min("ib").alias("start_b"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+    )
+    # `align_offset`, not `offset`: OFFSET is a clause keyword in both
+    # engines' SQL and the oracle must name the same column
+    return runs.filter(F.col("run_len") >= min_run).select(
+        "video_a",
+        "video_b",
+        F.col("offset").cast("long").alias("align_offset"),
+        F.col("start_a").cast("long"),
+        F.col("start_b").cast("long"),
+        F.col("run_len").cast("long"),
+    )
+
+
 AUDIO_FP_BITS = 64
 
 

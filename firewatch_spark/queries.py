@@ -1589,6 +1589,134 @@ def video_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.video_frame_dedup(base.unionByName(copies))
 
 
+_VID_STITCH_MOD = 13
+_VID_STITCH_OFFSET = 20_000_000
+_VID_INTRO_FRAMES = 3
+
+
+def _video_segment_sql(min_run: int = 2) -> str:
+    """Sequence-aligned segment oracle (operators/dedup.py
+    video_segment_dedup): the video_frame_dedup fixture plus a
+    STITCHED fleet — every 13th doc re-appears with the 3-frame intro
+    of the original and 3 DIFFERENT content frames.  Re-encode pairs
+    surface as TWO aligned runs ([0..2] and [4..5] around the altered
+    frame); stitched pairs as exactly ONE 3-frame intro run — the
+    set-overlap query cannot tell these apart, the segment table can."""
+    hexd = "0123456789abcdef"
+    cell = (
+        f"((instr('{hexd}', substring(md5(pm || '|' || CAST((i // 9) AS VARCHAR)"
+        " || '|' || CAST((i % 9) AS VARCHAR)), 1, 1)) - 1) * 16"
+        f" + instr('{hexd}', substring(md5(pm || '|' || CAST((i // 9) AS VARCHAR)"
+        " || '|' || CAST((i % 9) AS VARCHAR)), 2, 1)) - 1)"
+    )
+    bits = []
+    for r in range(8):
+        for c in range(8):
+            left = r * 9 + c + 1
+            bits.append(
+                f"CASE WHEN list_extract(cs, {left}) < list_extract(cs, {left + 1}) "
+                "THEN '1' ELSE '0' END"
+            )
+    return f"""
+    WITH fr AS (SELECT unnest(range(0, {_VID_FRAMES})) AS fi),
+    vids AS (
+      SELECT doc_id AS video_id, fi,
+             text || '|f' || CAST(fi AS VARCHAR) AS payload
+      FROM documents, fr
+      UNION ALL
+      SELECT doc_id + {_VID_COPY_OFFSET}, fi,
+             text || '|f' || CAST(fi AS VARCHAR)
+               || (CASE WHEN fi = 3 THEN '|X' ELSE '' END)
+      FROM documents, fr WHERE doc_id % {_VID_COPY_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {_VID_STITCH_OFFSET}, fi,
+             CASE WHEN fi < {_VID_INTRO_FRAMES}
+                  THEN text || '|f' || CAST(fi AS VARCHAR)
+                  ELSE text || '|alt|f' || CAST(fi AS VARCHAR) END
+      FROM documents, fr WHERE doc_id % {_VID_STITCH_MOD} = 0
+    ),
+    cells AS (
+      SELECT video_id, fi, list_transform(range(0, 72), i -> {cell}) AS cs
+      FROM (SELECT video_id, fi, md5(payload) AS pm FROM vids)
+    ),
+    ph AS (SELECT DISTINCT video_id, fi, concat({", ".join(bits)}) AS phash FROM cells),
+    m AS (
+      SELECT DISTINCT a.video_id AS video_a, b.video_id AS video_b,
+             a.fi AS ia, b.fi AS ib
+      FROM ph a JOIN ph b ON a.phash = b.phash AND a.video_id < b.video_id
+    ),
+    mo AS (SELECT *, ia - ib AS ao FROM m),
+    isl AS (
+      SELECT *, ia - row_number() OVER (
+        PARTITION BY video_a, video_b, ao ORDER BY ia) AS g
+      FROM mo
+    ),
+    runs AS (
+      SELECT video_a, video_b, CAST(ao AS BIGINT) AS align_offset,
+             CAST(min(ia) AS BIGINT) AS start_a,
+             CAST(min(ib) AS BIGINT) AS start_b,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY video_a, video_b, ao, g
+    )
+    SELECT * FROM runs WHERE run_len >= {min_run}
+    """
+
+
+@q("video_segment_dedup", _video_segment_sql())
+def video_segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-ALIGNED shared-frame segments (operators/dedup.py
+    video_segment_dedup; VERDICT r7 ask #8) — the session-window twin
+    of video_frame_dedup.  Set overlap is order-blind; the segment
+    table distinguishes the production cases: the re-encode fleet
+    (every 11th doc, one altered frame) yields TWO aligned runs per
+    pair ([0..2], [4..5]), the stitched fleet (every 13th doc, shared
+    3-frame intro + different content) yields exactly ONE intro run —
+    drop the first, trim the second.  Gaps-and-islands over matched
+    fingerprints within each alignment offset; windows partition
+    per-pair, fingerprints shuffle, frames never do."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    fr = F.explode(F.sequence(F.lit(0), F.lit(_VID_FRAMES - 1))).alias("frame_idx")
+    base = docs.select(F.col("doc_id").alias("video_id"), "text", fr).select(
+        "video_id",
+        "frame_idx",
+        F.concat(
+            F.col("text"), F.lit("|f"), F.col("frame_idx").cast("string")
+        ).cast("binary").alias("payload"),
+    )
+    copies = (
+        docs.filter(F.col("doc_id") % _VID_COPY_MOD == 0)
+        .select((F.col("doc_id") + _VID_COPY_OFFSET).alias("video_id"), "text", fr)
+        .select(
+            "video_id",
+            "frame_idx",
+            F.concat(
+                F.col("text"),
+                F.lit("|f"),
+                F.col("frame_idx").cast("string"),
+                F.when(F.col("frame_idx") == 3, F.lit("|X")).otherwise(F.lit("")),
+            ).cast("binary").alias("payload"),
+        )
+    )
+    stitched = (
+        docs.filter(F.col("doc_id") % _VID_STITCH_MOD == 0)
+        .select((F.col("doc_id") + _VID_STITCH_OFFSET).alias("video_id"), "text", fr)
+        .select(
+            "video_id",
+            "frame_idx",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("frame_idx") < _VID_INTRO_FRAMES, F.lit("|f")
+                ).otherwise(F.lit("|alt|f")),
+                F.col("frame_idx").cast("string"),
+            ).cast("binary").alias("payload"),
+        )
+    )
+    return dedup.video_segment_dedup(
+        base.unionByName(copies).unionByName(stitched)
+    )
+
+
 @q("image_phash_dedup", _phash_sql())
 def image_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual-hash near-dup pairs (operators/dedup.py

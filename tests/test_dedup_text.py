@@ -573,3 +573,34 @@ def test_index_roll_cap_algebra_with_forced_eviction(spark):
     # but every doc keeps its md5-carrier row (exact-dup coverage)
     carriers = {r["doc_id"] for r in rolled.collect() if r["band_idx"] < 0}
     assert carriers == {0, 1, 3, 5, 7}
+
+
+def test_video_segment_dedup_distinguishes_reencode_from_stitch(spark):
+    """The production distinction set overlap can't make: a re-encode
+    (one altered frame) yields TWO aligned runs around the alteration;
+    a stitched intro yields ONE run at the intro; a shifted clip
+    (same frames, inserted lead-in) aligns at a NONZERO offset."""
+    from firewatch_spark.operators import dedup
+
+    def vid(vid_id, parts):
+        return [(vid_id, i, p.encode()) for i, p in enumerate(parts)]
+
+    base = [f"f{i}" for i in range(6)]
+    reenc = base[:3] + ["ALTERED"] + base[4:]          # two runs: 3 + 2
+    stitch = base[:3] + ["x3", "x4", "x5"]             # one run: 3
+    shifted = ["lead"] + base[:5]                      # offset -1 run of 5
+    frames = spark.createDataFrame(
+        vid(1, base) + vid(2, reenc) + vid(3, stitch) + vid(4, shifted),
+        "video_id long, frame_idx long, payload binary",
+    )
+    out = dedup.video_segment_dedup(frames)
+    segs = {}
+    for r in out.collect():
+        segs.setdefault((r["video_a"], r["video_b"]), []).append(
+            (r["align_offset"], r["start_a"], r["start_b"], r["run_len"])
+        )
+    assert sorted(segs[(1, 2)]) == [(0, 0, 0, 3), (0, 4, 4, 2)]
+    assert segs[(1, 3)] == [(0, 0, 0, 3)]
+    assert segs[(1, 4)] == [(-1, 0, 1, 5)]
+    # re-encode vs stitch share the same intro run too (frames 0-2)
+    assert segs[(2, 3)] == [(0, 0, 0, 3)]
