@@ -40,6 +40,9 @@ BUILD_TIMED = {
     # the LSH lineage materializes there, so the sink-only clock would
     # miss most of the query's real work
     "lsh_verify",
+    # both compose verify_candidates (same in-build checkpoint)
+    "split_leakage_audit",
+    "split_leakage_repair",
     "incremental_dedup",
     # both checkpoint the capped candidate pairs in-build (same reason)
     "incremental_dedup_indexed",
@@ -72,6 +75,11 @@ BUILD_TIMED = {
     # stop-rule probes (vocab count, argmax collect) + per-round
     # checkpoints run in-build
     "bpe_vocab_induction",
+    # per-round rank checkpoints (pagerank) / contraction-round
+    # checkpoints (star) run in-build — found by the r8 25× probe
+    # reading host_pagerank at 0.04 s sink-only
+    "host_pagerank",
+    "near_dup_clusters_star",
 }
 
 

@@ -1352,3 +1352,65 @@ def with_winnowing_fingerprints(
         (F.lit(999999) - F.substring("_k", 34, 6).cast("int")).cast("long").alias("pos"),
         F.substring("_k", 1, 32).alias("fp"),
     )
+
+
+def boilerplate_line_removal(
+    df: DataFrame,
+    min_doc_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide repeated-LINE removal — the RefinedWeb/Falcon
+    boilerplate pass: a line that appears (trim-normalized) in
+    ``min_doc_freq`` or more DISTINCT documents is site chrome
+    (cookie banners, "subscribe" calls, nav text), not content, and is
+    cut from every document; remaining lines are reassembled in
+    original order.  Complements `dup_span_removal` (cross-doc token
+    SPANS) and `with_gopher_rules` (per-doc intrinsic stats): this is
+    the corpus-frequency rule neither expresses.
+
+    Plan, 100 TB posture: posexplode lines → line-md5 doc-frequency
+    (TWO-LEVEL aggregation: distinct (line, doc) first, then count —
+    both map-side combinable, shuffles carry (32-byte md5, id) pairs);
+    the flagged-key set joins back by equi-join on the md5 (AQE
+    broadcasts it when small — the common case: boilerplate
+    vocabularies are tiny relative to corpora); reassembly groups the
+    surviving lines per doc — the one corpus-text-sized shuffle, same
+    cost class as any cleaning rewrite.  A hot line ("Subscribe now"
+    in 10⁸ docs) is only ever a GROUPED count, never a window
+    partition — no skew surface.
+
+    Output (doc_id, clean_text, n_lines, n_removed); empty docs (all
+    lines removed) keep a row with clean_text = ''."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lk", F.md5(F.trim(F.col("line")).cast("binary")))
+    docfreq = (
+        lines.select("lk", id_col)
+        .distinct()
+        .groupBy("lk")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    flagged = docfreq.filter(F.col("df") >= min_doc_freq).select("lk")
+    kept = lines.join(flagged.withColumn("_bp", F.lit(True)), "lk", "left")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_bp"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(CASE WHEN _bp IS NULL "
+                       "THEN struct(pos, line) END)), s -> s.line)"),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col,
+            "clean_text",
+            F.col("n_lines").cast("long"),
+            "n_removed",
+        )
+    )

@@ -5605,6 +5605,72 @@ _GOPHER_SQL = """
     """
 
 
+# Multi-line document synthesis for the line-level boilerplate pass:
+# site chrome planted at corpus scale (a cookie banner on EVERY page,
+# a subscribe call on half) around each doc's unique content line and
+# a unique footer — both engines derive the same lines, so the gate
+# pins the REMOVAL RULE, not the fixture.
+_ML_DOC_SYNTH = (
+    "concat('Cookie notice: we use cookies', chr(10), "
+    "text, chr(10), "
+    "CASE WHEN doc_id % 2 = 0 THEN concat('Subscribe to our newsletter', chr(10)) ELSE '' END, "
+    "'Article footer ', CAST(doc_id AS STRING))"
+)
+
+_BP_MIN_DF = 3
+
+
+@q(
+    "boilerplate_line_removal",
+    f"""
+    WITH ml AS (SELECT doc_id, {_ML_DOC_SYNTH} AS t FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ls)),
+               i -> struct_pack(pos := i, line := ls[i]))) AS s
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM ml)
+    ),
+    l2 AS (
+      SELECT doc_id, s.pos AS pos, s.line AS line,
+             md5(trim(s.line)) AS lk
+      FROM lines
+    ),
+    flagged AS (
+      SELECT lk FROM (
+        SELECT lk, count(DISTINCT doc_id) AS df FROM l2 GROUP BY lk
+      ) WHERE df >= {_BP_MIN_DF}
+    )
+    SELECT l2.doc_id,
+           COALESCE(array_to_string(
+             list(l2.line ORDER BY l2.pos) FILTER (WHERE f.lk IS NULL),
+             chr(10)), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(f.lk) AS BIGINT) AS n_removed
+    FROM l2 LEFT JOIN flagged f USING (lk)
+    GROUP BY l2.doc_id
+    """,
+)
+def boilerplate_line_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency LINE removal (operators/text.py
+    boilerplate_line_removal) — the RefinedWeb/Falcon boilerplate
+    pass: any trim-normalized line appearing in ≥ {_BP_MIN_DF}
+    distinct documents is site chrome and is cut everywhere, lines
+    reassembled in order.  The fixture plants a cookie banner on every
+    page and a subscribe call on half; each doc's content line and
+    footer are unique and must SURVIVE — removal counts, survivor
+    text, and order are all value-gated.  Complements dup_span_removal
+    (token spans) with the corpus-frequency rule production pipelines
+    run first."""
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("t", F.expr(_ML_DOC_SYNTH))
+    )
+    return text.boilerplate_line_removal(
+        docs.select("doc_id", F.col("t").alias("text")), min_doc_freq=_BP_MIN_DF
+    )
+
+
 @q("gopher_rules", _GOPHER_SQL)
 def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style hard rule filter (operators/text.py
@@ -7174,6 +7240,7 @@ _PINNED = [
     "warc_ingest",
     "streaming_ann_serve",
     "video_segment_dedup",
+    "boilerplate_line_removal",
     # VERDICT r7 #3: the one query with zero driver attestations after
     # 7 rounds (green in every local replay; plan machine-asserted in
     # tests/test_plans.py) — pinned rather than waiting for rotation

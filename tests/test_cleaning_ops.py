@@ -539,3 +539,32 @@ def test_length_histogram_merges_and_quantile_bounds(spark):
         thr = (q_num * len(lengths) + q_den - 1) // q_den
         exact = lengths[thr - 1]
         assert exact <= est <= exact + text.HIST_BIN_WIDTH, (q_num, est, exact)
+
+
+def test_boilerplate_line_removal_rules(spark):
+    """RefinedWeb-style corpus-frequency line removal: a line in >=
+    min_doc_freq DISTINCT docs is cut everywhere (repeats within one
+    doc don't count toward the threshold), survivors keep their order,
+    and a fully-boilerplate doc keeps a row with empty text."""
+    from firewatch_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Cookie banner\ncontent one\nfooter one"),
+            (2, "Cookie banner\ncontent two"),
+            (3, "Cookie banner\ncontent three"),
+            # within-doc repetition: 'only here' twice in ONE doc stays
+            (4, "only here\nonly here\ncontent four"),
+            (5, "Cookie banner"),  # all lines removed
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.boilerplate_line_removal(docs, min_doc_freq=3).collect()
+    }
+    assert out[1]["clean_text"] == "content one\nfooter one"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 1)
+    assert out[4]["clean_text"] == "only here\nonly here\ncontent four"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1

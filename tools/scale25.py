@@ -32,6 +32,13 @@ BUILD_TIMED = {
     "bpe_apply_trained",
     "ann_ivf_pq_refine",  # dim probes + residual checkpoint in-build
     "ann_pq_recall",
+    # verify_candidates localCheckpoints the pairs in-build
+    "split_leakage_audit",
+    "split_leakage_repair",
+    "warc_ingest",  # the dump write happens in-build
+    "streaming_ann_serve",  # index store + foreachBatch run in-build
+    "host_pagerank",  # per-round rank checkpoints run in-build
+    "near_dup_clusters_star",  # contraction-round checkpoints in-build
 }
 
 
