@@ -69,7 +69,15 @@ BUILD_TIMED = {
     "ann_ivf_pq_refine",  # wraps ann_ivf_pq_topk's build
     "ann_pq_recall",  # runs BOTH PQ builds + the exact audit side
     "jsonl_ingest",  # the JSONL write happens in-build
+    # round-8 build-timed audit (the host_pagerank lesson, swept with
+    # a static action-in-build scan): the CSV fixture write, the
+    # stored-index parquet write, and the histogram localCheckpoint
+    # all run while the frame is built
+    "csv_ingest",
+    "ann_ivf_upsert",
+    "length_quantile_sketch",
     "warc_ingest",  # the WARC-shaped dump write happens in-build
+    "crawl_pipeline",  # same dump write in-build
     "streaming_sketch_merge",  # availableNow foreachBatch run in-build
     "dedup_index_roll",  # localCheckpoints the stored index in-build
     # stop-rule probes (vocab count, argmax collect) + per-round

@@ -1045,6 +1045,116 @@ def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "crawl_pipeline",
+    f"""
+    WITH {_URL_CANON_CTES},
+    pages AS (SELECT doc_id, {_HTML_SYNTH} AS html FROM documents),
+    rec AS (
+      SELECT c.canonical_url, p.html, md5(p.html) AS payload_md5
+      FROM canon c JOIN pages p USING (doc_id)
+    ),
+    grp AS (
+      SELECT canonical_url,
+             CAST(count(*) AS BIGINT) AS n_variants,
+             min(payload_md5) AS keeper_md5
+      FROM rec GROUP BY canonical_url
+    ),
+    keeper AS (
+      SELECT g.canonical_url, g.n_variants, g.keeper_md5, r.html
+      FROM grp g JOIN rec r
+        ON r.canonical_url = g.canonical_url AND r.payload_md5 = g.keeper_md5
+    ),
+    ex AS (
+      SELECT canonical_url, n_variants, keeper_md5,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?i)</(p|div|h[1-6]|li|tr|section|article|nav|header|footer|title|ul|ol|blockquote|pre)>|<[bh]r */?>', ' ', 'g'),
+              '<[^>]*>', '', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          '[ \t\n\r\f]+', ' ', 'g')) AS extracted
+      FROM keeper
+    )
+    SELECT canonical_url, n_variants, keeper_md5,
+           md5(extracted) AS extracted_md5,
+           CAST(length(extracted) AS BIGINT) AS text_len
+    FROM ex
+    """,
+)
+def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl stage-zero family composed END-TO-END from a RAW DUMP
+    (round 8): WARC-shaped ingest (sources/warc.py — record split,
+    header parse, Content-Length framing) → dead-letter drop (the four
+    planted malformed records exit here) → canonical-URL dedup (one
+    keeper per canonical spelling, deterministic min-payload-md5
+    keeper) → HTML→text extraction on keeper payloads only — the
+    "crawl dump in, clean text out" pipeline that feeds llm_pipeline's
+    "text in, training shards out".  Every stage is individually
+    driver-gated (warc_ingest / url_dedup / html_extract); this row
+    attests their COMPOSITION, keeper choice included, value-hash
+    end to end.  Extraction runs AFTER dedup on keepers only — at
+    100 TB that ordering is the big lever: the regex chain runs once
+    per unique page, not once per crawl variant."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import warc as warc_src
+
+    pages = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("url", F.expr(_URL_SYNTH))
+        .withColumn("html", F.expr(_HTML_SYNTH))
+    )
+    record = F.expr(
+        "concat('WARC/1.0\n', 'WARC-Type: response\n', "
+        "'WARC-Target-URI: ', url, '\n', "
+        "'Content-Length: ', CAST(length(html) AS STRING), '\n\n', html, '\n\n')"
+    )
+    tmp = tempfile.mkdtemp(prefix="fw_crawlpipe_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    data_dir = os.path.join(tmp, "data")
+    pages.select(record.alias("value")).coalesce(4).write.mode(
+        "overwrite"
+    ).text(data_dir)
+    with open(os.path.join(data_dir, "bad.warc"), "w") as f:
+        for rec in _WARC_BAD_RECORDS:
+            f.write(rec)
+
+    parsed = warc_src.read_warc(spark, data_dir)
+    good = parsed.filter(~F.col("is_malformed"))
+    canon = web.with_canonical_url(good, "url").select(
+        "canonical_url", "payload", "payload_md5"
+    )
+    grp = canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min("payload_md5").alias("keeper_md5"),
+    )
+    keeper = grp.join(
+        canon.select(
+            "canonical_url",
+            F.col("payload_md5").alias("keeper_md5"),
+            F.col("payload").alias("html"),
+        ),
+        ["canonical_url", "keeper_md5"],
+    )
+    extracted = keeper.withColumn("extracted", web.html_to_text_expr("html"))
+    return extracted.select(
+        "canonical_url",
+        "n_variants",
+        "keeper_md5",
+        F.md5(F.col("extracted")).alias("extracted_md5"),
+        F.length("extracted").cast("long").alias("text_len"),
+    )
+
+
 # Deterministic OUT-LINKED page synthesis for the link-graph queries
 # (same engine-portable-snippet idea as _URL_SYNTH / _HTML_SYNTH): each
 # page lives on host h{doc_id % 97}.example.com and carries 3 absolute
@@ -7241,6 +7351,7 @@ _PINNED = [
     "streaming_ann_serve",
     "video_segment_dedup",
     "boilerplate_line_removal",
+    "crawl_pipeline",
     # VERDICT r7 #3: the one query with zero driver attestations after
     # 7 rounds (green in every local replay; plan machine-asserted in
     # tests/test_plans.py) — pinned rather than waiting for rotation

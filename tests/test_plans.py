@@ -21,6 +21,7 @@ SKIP = {
     "jsonl_ingest",  # building its DataFrame writes the JSONL fixture
     "csv_ingest",  # same: builds by writing the CSV fixture
     "warc_ingest",  # same: builds by writing the WARC-shaped dump
+    "crawl_pipeline",  # same dump write in-build
     "ann_ivf_upsert",  # builds by writing the stored base index; its
     # join shape is ivf_assign's, already swept via ann_ivf_cells
 }
