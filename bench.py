@@ -83,6 +83,9 @@ BUILD_TIMED = {
     # stop-rule probes (vocab count, argmax collect) + per-round
     # checkpoints run in-build
     "bpe_vocab_induction",
+    # 24 in-build jobs (trained-merge materializations) — caught by the
+    # r8 job-count audit; sink-only timed through r7
+    "bpe_apply_trained",
     # per-round rank checkpoints (pagerank) / contraction-round
     # checkpoints (star) run in-build — found by the r8 25× probe
     # reading host_pagerank at 0.04 s sink-only

@@ -636,11 +636,42 @@ def jpeg_encode_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("video_scan", None)  # payload/probe fakes are Python-side → rows-only
+def _video_scan_sql() -> str:
+    """CLOSED-FORM literal oracle for the video scan (upgrades the
+    r2-r7 rows-only row to a full value gate): the fixture is four
+    FIXED files (bytes([i]) · (1000+37i)), so every output row is a
+    pure function of the spec — computed here INDEPENDENTLY with
+    hashlib + the same timestamp formatter, never by replaying Spark.
+    Any drift in the binaryFile scan, the probe arithmetic, the
+    sampling stride, or the timestamp format now fails the hash."""
+    import hashlib
+
+    from .sources.frames import _iso
+
+    rows = []
+    for i in range(4):
+        content = bytes([i]) * (1000 + i * 37)
+        h = hashlib.sha256(content).digest()
+        n_frames = 30 + h[0] % 211
+        fps = float(15 + h[1] % 46)
+        for fn in range(0, n_frames, 2):  # frame_interval=2 below
+            rows.append(f"('video_{i}', {fn}, '{_iso(fn, fps)}', {fps!r})")
+    return (
+        "SELECT video_id, CAST(frame_number AS BIGINT) AS frame_number, "
+        '"timestamp", CAST(fps AS DOUBLE) AS fps, '
+        "CAST(640 AS INT) AS width, CAST(480 AS INT) AS height "
+        f"FROM (VALUES {', '.join(rows)}) "
+        't(video_id, frame_number, "timestamp", fps)'
+    )
+
+
+@q("video_scan", _video_scan_sql())
 def video_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 video-file scan: binaryFile source → mapInPandas frame
     explosion (one task per file, no shuffle).  Inputs are deterministic
-    fake container files; frame counts/fps derive from their sha256."""
+    fake container files; frame counts/fps derive from their sha256 —
+    which is why the oracle can be the closed-form expectation
+    (`_video_scan_sql`), making this a FULL value-hash row since r8."""
     import atexit
     import os
     import shutil

@@ -33,8 +33,55 @@ def _plan(spark, name: str) -> str:
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    return {name: _plan(spark, name) for name in registry() if name not in SKIP}
+def built(spark):
+    """Build every non-SKIP query's DataFrame under a per-query job
+    group, capturing (a) the executed plan string and (b) whether ANY
+    Spark job ran DURING the build — the signal that a sink-only bench
+    clock would under-measure the query (the round-8 host_pagerank
+    lesson: its per-round checkpoints made the timed sink read 0.04 s
+    for 5 rounds of PageRank)."""
+    sc = spark.sparkContext
+    plans, n_jobs = {}, {}
+    for name in registry():
+        if name in SKIP:
+            continue
+        group = f"fw-build-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            plans[name] = _plan(spark, name)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        n_jobs[name] = len(sc.statusTracker().getJobIdsForGroup(group) or [])
+    return plans, n_jobs
+
+
+@pytest.fixture(scope="module")
+def plans(built):
+    return built[0]
+
+
+def test_build_time_work_is_declared_build_timed(built):
+    """Machine form of the bench build-timed audit (the round-8
+    host_pagerank lesson): a query running SUBSTANTIAL Spark work while
+    its DataFrame is BUILT must be in bench.BUILD_TIMED, or its bench
+    row times only the final sink read.  Threshold 5 jobs: every plain
+    query runs 1-4 benign parquet footer/listing jobs on first table
+    read (measured: max 4, revenue_by_nation's four tables), while the
+    real in-build workers (checkpointing iterations, in-build writes,
+    stop probes) run 5-57.  This sweep caught bpe_apply_trained (24
+    in-build jobs, sink-only timed through r7).  The converse is not
+    asserted: BUILD_TIMED also lists streaming queries this plan-only
+    sweep never builds."""
+    import bench
+
+    _, n_jobs = built
+    undeclared = sorted(
+        n for n, c in n_jobs.items() if c >= 5 and n not in bench.BUILD_TIMED
+    )
+    assert not undeclared, (
+        f"queries doing substantial in-build Spark work but not in "
+        f"bench.BUILD_TIMED: {undeclared}"
+    )
 
 
 def test_no_cartesian_product_anywhere(plans):
