@@ -1414,3 +1414,74 @@ def boilerplate_line_removal(
             "n_removed",
         )
     )
+
+
+BIGRAM_PROB_SCALE = 1_000_000
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM quality scoring — one step up the Markov ladder from
+    `unigram_score` toward the perplexity filter big pipelines gate on
+    (CCNet scores docs under a 5-gram KenLM; the bigram model is the
+    largest-context LM whose statistics stay exactly relational).
+
+    Per position i ≥ 2 the conditional probability under the corpus
+    bigram MLE is c(w_{i−1} w_i) / c(w_{i−1}·) — both EXACT corpus
+    counts — and the per-position score is kept on the scaled-int grid
+    as floor(1e6 · c_bigram / c_prev) (one IEEE division + floor per
+    position, then INT64 sums: no float summation order anywhere, so
+    the oracle replays bit-for-bit; the DSIR/_ilog fixed-point
+    discipline).  c(w·) counts the token as a bigram PREFIX (the
+    standard MLE denominator: Σ_w' c(w w') = c(w·)), i.e. each doc's
+    last token is excluded — pinned by the oracle.
+
+    Output per doc: ``n_bigrams``, ``sum_cond_scaled`` (Σ of scaled
+    conditional probabilities — high = predictable/boilerplate, low =
+    surprising/noisy; divide by n_bigrams·1e6 downstream for the
+    mean), ``min_bigram_tf`` (rarest transition's corpus count — the
+    hapax-transition detector), ``n_novel_bigrams`` (transitions with
+    corpus count 1: unique to this doc).  Docs with < 2 tokens get no
+    row (no transitions to score) — the oracle agrees.
+
+    Scale shape: ONE bigram-vocabulary groupBy (map-side combinable;
+    the shuffle carries bigram strings once), prefix counts derived
+    from the bigram table (vocabulary-sized, NOT another corpus pass),
+    then a bigram-keyed equi-join back to doc positions and a per-doc
+    sum.  A hot bigram ("of the" everywhere) is a grouped count and a
+    join key — never a window partition."""
+    toks = "split(" + text_col + ", ' ')"
+    pair_arr = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"zip_with(slice({toks}, 1, size({toks}) - 1), "
+        f"slice({toks}, 2, size({toks}) - 1), (a, b) -> concat(a, ' ', b)) "
+        "ELSE array() END"
+    )
+    pairs = df.select(
+        F.col(id_col), F.explode(F.expr(pair_arr)).alias("bg")
+    )
+    bg_tf = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    # prefix counts from the bigram table: c(w·) = Σ_suffix c(w suffix)
+    prev_tf = (
+        bg_tf.withColumn("prev", F.expr("split_part(bg, ' ', 1)"))
+        .groupBy("prev")
+        .agg(F.sum("c_bg").alias("c_prev"))
+    )
+    scored = (
+        pairs.join(bg_tf, "bg")
+        .withColumn("prev", F.expr("split_part(bg, ' ', 1)"))
+        .join(prev_tf, "prev")
+        .withColumn(
+            "cond_scaled",
+            F.expr(f"(c_bg * CAST({BIGRAM_PROB_SCALE} AS BIGINT)) div c_prev"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("cond_scaled").alias("sum_cond_scaled"),
+        F.min("c_bg").alias("min_bigram_tf"),
+        F.sum(F.when(F.col("c_bg") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel_bigrams"),
+    )

@@ -3267,6 +3267,48 @@ _UNIGRAM_SQL = """
     """
 
 
+@q(
+    "bigram_lm_score",
+    """
+    WITH pr AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    bgtf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM pr GROUP BY bg),
+    ptf AS (
+      SELECT split_part(bg, ' ', 1) AS prev, CAST(sum(c_bg) AS BIGINT) AS c_prev
+      FROM bgtf GROUP BY 1
+    ),
+    sc AS (
+      SELECT p.doc_id, b.c_bg,
+             (b.c_bg * 1000000) // pt.c_prev AS cond_scaled
+      FROM pr p
+      JOIN bgtf b USING (bg)
+      JOIN ptf pt ON pt.prev = split_part(p.bg, ' ', 1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(cond_scaled) AS BIGINT) AS sum_cond_scaled,
+           CAST(min(c_bg) AS BIGINT) AS min_bigram_tf,
+           CAST(sum(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel_bigrams
+    FROM sc GROUP BY doc_id
+    """,
+)
+def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (operators/text.py bigram_lm_score) —
+    one Markov step past unigram_score toward the CCNet-style
+    perplexity filter: per-doc Σ of scaled conditional probabilities
+    under the corpus bigram MLE, plus rarest-transition and
+    novel-transition counts.  All PURE int64 arithmetic
+    ((c_bg·1e6) div c_prev — no IEEE op anywhere), so the oracle
+    replays bit-for-bit.  One bigram-vocabulary groupBy + two
+    vocabulary joins; hot bigrams are grouped counts and join keys,
+    never window partitions."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bigram_lm_score(docs)
+
+
 @q("unigram_score", _UNIGRAM_SQL)
 def unigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (operators/text.py unigram_score) —
@@ -7383,6 +7425,7 @@ _PINNED = [
     "video_segment_dedup",
     "boilerplate_line_removal",
     "crawl_pipeline",
+    "bigram_lm_score",
     # VERDICT r7 #3: the one query with zero driver attestations after
     # 7 rounds (green in every local replay; plan machine-asserted in
     # tests/test_plans.py) — pinned rather than waiting for rotation

@@ -568,3 +568,42 @@ def test_boilerplate_line_removal_rules(spark):
     assert out[4]["clean_text"] == "only here\nonly here\ncontent four"
     assert out[4]["n_removed"] == 0
     assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
+
+
+def test_bigram_lm_score_matches_python_reference(spark):
+    """Bigram MLE contract against a hand-rolled reference: scaled
+    conditional = (c_bigram * 1e6) // c_prefix with the prefix count
+    excluding each doc's last token; docs with < 2 tokens get no row."""
+    from collections import Counter
+
+    from firewatch_spark.operators import text as T
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "dogs bark",
+        4: "single",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.bigram_lm_score(docs).collect()}
+
+    bg = Counter()
+    for t in corpus.values():
+        w = t.split(" ")
+        bg.update(zip(w, w[1:]))
+    prev = Counter()
+    for (a, _), c in bg.items():
+        prev[a] += c
+    for did, t in corpus.items():
+        w = t.split(" ")
+        pairs = list(zip(w, w[1:]))
+        if not pairs:
+            assert did not in out
+            continue
+        r = out[did]
+        assert r["n_bigrams"] == len(pairs)
+        assert r["sum_cond_scaled"] == sum(
+            bg[p] * 1_000_000 // prev[p[0]] for p in pairs
+        )
+        assert r["min_bigram_tf"] == min(bg[p] for p in pairs)
+        assert r["n_novel_bigrams"] == sum(1 for p in pairs if bg[p] == 1)
