@@ -573,3 +573,80 @@ def dsir_importance_sample(
         .filter(F.col("rank") <= F.col("_keep"))
         .select(id_col, "n_grams", "importance", "rank")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    n_keep: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "pps",
+) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sample —
+    the weighted companion of `split_by_hash`'s uniform draw: select
+    ~``n_keep`` rows with inclusion probability ∝ ``weight_col``
+    (quality score, token count, dedup-cluster mass…), the estimator
+    survey sampling and data-mixing schedulers actually use when
+    "sample 1 % of tokens" must not mean "sample 1 % of documents".
+
+    Mechanics (classic systematic PPS on the integer grid): rows are
+    ordered by the deterministic md5(salt|id) permutation; with W =
+    total weight, row i spans (cum_i, cum_i + w_i] of the cumulative
+    weight line, and is selected iff the span contains a multiple of
+    W/n — computed WITHOUT the division as
+
+        (cum_i + w_i) · n DIV W  >  cum_i · n DIV W
+
+    — pure int64 (headroom: W ≤ ~10¹² and n ≤ ~10⁶ needs the guard
+    below; the implementation multiplies BEFORE dividing so the test
+    is exact, no rational epsilon anywhere).  Rows with w_i ≥ W/n are
+    always selected (the PPS certainty stratum, selected_times ≥ 1).
+
+    Scale shape: the cumulative position reuses `token_budget_cap`'s
+    two-phase trick (hash-prefix buckets → ≤256-row offset window →
+    per-bucket local running sum), so there is NO one-task global
+    window; W is a 1-row broadcast.  Output: selected rows with
+    (weight, cum_before, selected_times)."""
+    key = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    keyed = (
+        df.withColumn("_w", F.col(weight_col).cast("long"))
+        .withColumn("_key", key)
+        .withColumn(
+            "_bucket", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")
+        )
+    )
+    counts = keyed.groupBy("_bucket").agg(F.sum("_w").alias("_cnt"))
+    off_w = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.withColumn(
+        "_off", F.sum("_cnt").over(off_w) - F.col("_cnt")
+    ).select("_bucket", "_off")
+    total = keyed.agg(F.sum("_w").alias("_tw"))
+    local_w = Window.partitionBy("_bucket").orderBy("_key", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_cum_end", F.col("_off") + F.sum("_w").over(local_w))
+        .withColumn("cum_before", F.col("_cum_end") - F.col("_w"))
+        .crossJoin(F.broadcast(total))
+    )
+    sel = cum.withColumn(
+        "selected_times",
+        F.expr(
+            f"(_cum_end * CAST({int(n_keep)} AS BIGINT)) div _tw"
+            f" - (cum_before * CAST({int(n_keep)} AS BIGINT)) div _tw"
+        ),
+    )
+    return (
+        sel.filter(F.col("selected_times") > 0)
+        .select(
+            *[c for c in df.columns],
+            F.col("_w").alias("weight"),
+            F.col("cum_before"),
+            F.col("selected_times"),
+        )
+    )

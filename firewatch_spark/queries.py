@@ -3496,6 +3496,44 @@ _SHUF_SQL = """
     """
 
 
+_PPS_N = 100
+
+_PPS_SQL = f"""
+    WITH k AS (
+      SELECT doc_id, n_chars AS w,
+             md5('pps|' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             CAST(SUM(w) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+      FROM k
+    ),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM k)
+    SELECT doc_id, CAST(w AS BIGINT) AS weight,
+           CAST(cum_end - w AS BIGINT) AS cum_before,
+           CAST((cum_end * {_PPS_N}) // tw - ((cum_end - w) * {_PPS_N}) // tw AS BIGINT)
+             AS selected_times
+    FROM c CROSS JOIN t
+    WHERE (cum_end * {_PPS_N}) // tw > ((cum_end - w) * {_PPS_N}) // tw
+    """
+
+
+@q("pps_sample", _PPS_SQL)
+def pps_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling (operators/sampling.py
+    pps_systematic_sample) — inclusion probability ∝ document weight
+    (n_chars here): "sample 1 % of TOKENS" without meaning "1 % of
+    documents".  Pure int64 span test ((cum·n) div W boundaries — no
+    rational epsilon), md5-permutation order, and the same two-phase
+    no-global-window running sum as token_budget_cap; the oracle ranks
+    with a plain one-task window and must agree bit-for-bit."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.pps_systematic_sample(
+        docs, n_keep=_PPS_N, weight_col="n_chars"
+    ).select("doc_id", "weight", "cum_before", "selected_times")
+
+
 @q("corpus_shuffle", _SHUF_SQL)
 def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle (operators/sampling.py
@@ -7426,6 +7464,7 @@ _PINNED = [
     "boilerplate_line_removal",
     "crawl_pipeline",
     "bigram_lm_score",
+    "pps_sample",
     # VERDICT r7 #3: the one query with zero driver attestations after
     # 7 rounds (green in every local replay; plan machine-asserted in
     # tests/test_plans.py) — pinned rather than waiting for rotation

@@ -96,3 +96,17 @@ def test_dsir_two_phase_rank_matches_naive_window(spark):
     assert len(two_phase) == 40
     for r in two_phase:
         assert r["rank"] == naive[r["doc_id"]]
+
+
+def test_pps_sample_certainty_stratum_and_count(spark):
+    """PPS contracts: a row with weight >= W/n is ALWAYS selected (with
+    selected_times proportional to its span), total selections across
+    rows equal exactly n, and zero-weight rows are never selected."""
+    rows_in = [(i, 10) for i in range(1, 21)] + [(99, 800), (100, 0)]
+    df = spark.createDataFrame(rows_in, "doc_id long, n_chars long")
+    out = sampling.pps_systematic_sample(df, n_keep=10, weight_col="n_chars")
+    got = {r["doc_id"]: r["selected_times"] for r in out.collect()}
+    # W = 1000, step = 100; doc 99 spans 800 -> exactly 8 multiples
+    assert got[99] == 8
+    assert 100 not in got
+    assert sum(got.values()) == 10
