@@ -5439,6 +5439,50 @@ _QCLS_SQL = """
     """
 
 
+@q(
+    "corpus_report",
+    """
+    WITH t AS (
+      SELECT source, lang, text, n_chars, string_split(text, ' ') AS toks
+      FROM documents
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact_unique,
+      CAST(sum(CASE WHEN list_sum(list_transform(toks,
+        tk -> strpos('0123456789abcdef', substring(md5('qw|' || tk), 1, 1)) - 8)) > 0
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep,
+      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM t GROUP BY source
+    """,
+)
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus HEALTH ROLLUP — the data-quality dashboard
+    table every curation pipeline lands nightly: document/token/char
+    volumes, exact-unique count (duplication pressure), quality-keep
+    count (the classifier's sign-exact decision), and language spread,
+    one row per source.  Composes with_quality_classifier's exact
+    feature sum into ONE map-side-combinable groupBy(source) — the
+    only shuffles are the rollup itself and countDistinct's two-level
+    expansion; token counting and the classifier fold run scan-side.
+    At 100 TB this is the cheapest query in the family: one pass,
+    source-keyed partial aggregation."""
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text", "n_chars"
+    )
+    q = text.with_quality_classifier(docs)
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_exact_unique"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_quality_keep"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 @q("quality_classifier", _QCLS_SQL)
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear quality classifier (operators/text.py
@@ -7465,6 +7509,7 @@ _PINNED = [
     "crawl_pipeline",
     "bigram_lm_score",
     "pps_sample",
+    "corpus_report",
     # VERDICT r7 #3: the one query with zero driver attestations after
     # 7 rounds (green in every local replay; plan machine-asserted in
     # tests/test_plans.py) — pinned rather than waiting for rotation
