@@ -173,6 +173,37 @@ def html_to_text_expr(html_col: str = "html") -> Column:
     return F.btrim(c)
 
 
+def with_html_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Structured page metadata off the raw HTML, as scan-side Column
+    regex (RE2/Java-common, oracle-replayable): ``title`` (first
+    <title> element's inner text, entity-decoded through the same
+    HTML_ENTITIES chain as the body extractor, whitespace-collapsed),
+    ``h1`` (first <h1>, same treatment) and ``n_links`` (href count —
+    the frontier fan-out signal).  These are the fields a crawl
+    prioritizer and a quality filter read WITHOUT paying full text
+    extraction; at 100 TB it is a free rider on the HTML scan.  Lazy
+    ``.*?`` inner match keeps the first element only; a page with no
+    title/h1 yields '' (regexp_extract's no-match value)."""
+    def _inner(tag: str) -> Column:
+        c = F.regexp_extract(
+            F.col(html_col), f"(?is)<{tag}[^>]*>(.*?)</{tag}>", 1
+        )
+        for ent, ch in HTML_ENTITIES:
+            c = F.regexp_replace(c, ent, ch)
+        return F.btrim(F.regexp_replace(c, "[ \\t\\n\\r\\f]+", " "))
+
+    return (
+        df.withColumn("title", _inner("title"))
+        .withColumn("h1", _inner("h1"))
+        .withColumn(
+            "n_links",
+            F.size(
+                F.expr(f"""regexp_extract_all({html_col}, '(?i)href="([^"]+)"', 1)""")
+            ).cast("long"),
+        )
+    )
+
+
 def extract_links(df: DataFrame, html_col: str = "html") -> DataFrame:
     """One row per ``href`` attribute value in the HTML payload: every
     non-HTML column carried through, plus ``href``.  Case-insensitive

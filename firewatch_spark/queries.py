@@ -1186,6 +1186,42 @@ def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "html_metadata",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_HTML_SYNTH} AS html FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        '[ \t\n\r\f]+', ' ', 'g')) AS title,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_extract(html, '(?is)<h1[^>]*>(.*?)</h1>', 1),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        '[ \t\n\r\f]+', ' ', 'g')) AS h1,
+      CAST(len(regexp_extract_all(html, '(?i)href="([^"]+)"', 1)) AS BIGINT) AS n_links
+    FROM pages
+    """,
+)
+def html_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured page metadata (operators/web.py with_html_metadata):
+    first <title> and <h1> inner text (entity-decoded, whitespace-
+    collapsed — the h1 fixture carries '&amp;' so the decode is
+    pinned) and the href fan-out count — the fields a crawl
+    prioritizer and a shallow quality filter read WITHOUT paying full
+    text extraction.  Scan-side Column regex, zero shuffle."""
+    pages = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("html", F.expr(_HTML_SYNTH))
+    )
+    return web.with_html_metadata(pages).select("doc_id", "title", "h1", "n_links")
+
+
 # Deterministic OUT-LINKED page synthesis for the link-graph queries
 # (same engine-portable-snippet idea as _URL_SYNTH / _HTML_SYNTH): each
 # page lives on host h{doc_id % 97}.example.com and carries 3 absolute
@@ -7510,6 +7546,7 @@ _PINNED = [
     "bigram_lm_score",
     "pps_sample",
     "corpus_report",
+    "html_metadata",
     # VERDICT r7 #3: the one query with zero driver attestations after
     # 7 rounds (green in every local replay; plan machine-asserted in
     # tests/test_plans.py) — pinned rather than waiting for rotation

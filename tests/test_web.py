@@ -229,3 +229,20 @@ def test_pagerank_duplicate_edges_collapse(spark):
     assert _pr(spark, edges + edges, iterations=2) == _pr(
         spark, edges, iterations=2
     )
+
+
+def test_html_metadata_first_element_decode_and_fanout(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '<html><head><title> A &amp; B </title></head>'
+                '<body><h1>First</h1><h1>Second</h1>'
+                '<a href="/x">x</a><A HREF="https://y.com">y</A></body></html>'),
+            (2, "<p>no title, no h1, no links</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r for r in rows(web.with_html_metadata(df))}
+    assert out[1]["title"] == "A & B"          # entity decode + trim
+    assert out[1]["h1"] == "First"             # lazy match: FIRST h1 only
+    assert out[1]["n_links"] == 2              # case-insensitive href
+    assert out[2]["title"] == "" and out[2]["h1"] == "" and out[2]["n_links"] == 0
