@@ -139,6 +139,8 @@ def test_no_cartesian_product_anywhere(plans):
         # ≤10⁴-row log-ratio table, and the (max, min, n) stats row
         # into the rank keying — never a corpus × corpus product
         "dsir_importance_sample",
+        # 1-row total-weight broadcast into the span test
+        "pps_sample",
     }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
