@@ -420,15 +420,27 @@ DSIR_BUCKETS = 10_000
 DSIR_LOG_SCALE = 1_000_000
 
 
+# parity-measured _ilog bound (ADVICE r8): floor(1e6·ln(n)) is
+# Spark/DuckDB bit-identical for every n in [1, 4·10⁶] EXHAUSTIVELY and
+# for 10⁷ prime-stride samples up to 9.99983·10¹² (committed measurement:
+# tests/test_sampling.py test_ilog_engine_parity_extended_range).
+# dsir_importance asserts its gram totals stay under this bound — past
+# it the exact-grid claim is unmeasured and the plan fails LOUDLY
+# (assert_true) instead of silently risking a last-ulp oracle flip.
+ILOG_PARITY_MAX = 9_999_834_000_000  # = 4e6 + 1e7 * 999983, the test range max
+
+
 def _ilog(expr: str) -> str:
     """floor-scaled natural log of a POSITIVE INTEGER SQL expression —
     the fixed-point trick that keeps DSIR's log-likelihood-ratio on an
-    exact int64 grid.  Engine parity: floor(1e6·ln(n)) was measured
-    bit-identical between Spark and DuckDB for every n in [1, 2·10⁶]
-    (this container, round 8) — the flip risk is a last-ulp ln
-    difference landing within ~1e-10 of an integer, which no count in
-    range does.  Only ever applied to counts, never to ratios, so the
-    argument set stays small and integer."""
+    exact int64 grid.  Engine parity: floor(1e6·ln(n)) is measured
+    bit-identical between Spark and DuckDB for every n in [1, 4·10⁶]
+    and sampled up to ILOG_PARITY_MAX ≈ 10¹³ (the committed test above
+    that constant) — the flip risk is a last-ulp ln difference landing
+    within ~1e-10 of an integer, which no measured value does.  Only
+    ever applied to counts, never to ratios, so the argument set stays
+    small and integer; callers feeding CORPUS-SCALE totals must guard
+    on ILOG_PARITY_MAX (dsir_importance does, in-plan)."""
     return f"CAST(floor(ln(CAST({expr} AS DOUBLE)) * {DSIR_LOG_SCALE}.0) AS BIGINT)"
 
 
@@ -500,6 +512,21 @@ def dsir_importance(
         sc.agg(F.sum("sc").alias("_s"))
         .crossJoin(F.broadcast(tc.agg(F.sum("tc").alias("_t"))))
     )  # 1-row broadcast of both totals
+    # in-plan parity guard (ADVICE r8): the totals _t+B/_s+B grow with
+    # corpus size; past ILOG_PARITY_MAX the exact-grid claim is
+    # unmeasured, so fail loudly instead of silently drifting off the
+    # oracle.  assert_true yields NULL when the bound holds; the
+    # coalesce keeps it referenced (un-prunable) at zero arithmetic
+    # cost over the ≤ B-row bucket table.
+    guard = (
+        f"coalesce(CAST(assert_true("
+        f"_t + {n_buckets} <= {ILOG_PARITY_MAX} AND "
+        f"_s + {n_buckets} <= {ILOG_PARITY_MAX}, "
+        f"'dsir_importance: gram totals exceed the measured ilog parity "
+        f"range ({ILOG_PARITY_MAX}); extend "
+        f"test_ilog_engine_parity_extended_range before trusting the "
+        f"exact grid') AS BIGINT), 0)"
+    )
     lr = (
         sc.join(tc, "bucket", "left")
         .crossJoin(F.broadcast(tot))
@@ -508,6 +535,7 @@ def dsir_importance(
             F.expr(
                 f"({_ilog('coalesce(tc, 0) + 1')} - {_ilog(f'_t + {n_buckets}')})"
                 f" - ({_ilog('sc + 1')} - {_ilog(f'_s + {n_buckets}')})"
+                f" + {guard}"
             ).alias("lr"),
         )
     )
@@ -581,6 +609,7 @@ def pps_systematic_sample(
     weight_col: str,
     id_col: str = "doc_id",
     salt: str = "pps",
+    weight_scale: int = 1,
 ) -> DataFrame:
     """Systematic PPS (probability-proportional-to-size) sample —
     the weighted companion of `split_by_hash`'s uniform draw: select
@@ -606,12 +635,35 @@ def pps_systematic_sample(
     two-phase trick (hash-prefix buckets → ≤256-row offset window →
     per-bucket local running sum), so there is NO one-task global
     window; W is a 1-row broadcast.  Output: selected rows with
-    (weight, cum_before, selected_times)."""
+    (weight, cum_before, selected_times).
+
+    WEIGHTS MUST BE ON AN INTEGER GRID (ADVICE r8): the exact span
+    test lives on int64, so an integral ``weight_col`` (token counts,
+    byte sizes, cluster masses) is used as-is.  Fractional weights —
+    quality scores in [0, 1] — would silently floor to 0 and never be
+    sampled; pass ``weight_scale`` (e.g. 10**6) to put them on the
+    grid as ``floor(w · scale)``, which preserves inclusion
+    probabilities up to the grid's quantization.  A fractional weight
+    column WITHOUT a scale raises rather than truncating."""
+    dtype = dict(df.dtypes)[weight_col]
+    fractional = dtype in ("float", "double") or dtype.startswith("decimal")
+    if fractional and weight_scale == 1:
+        raise ValueError(
+            f"pps_systematic_sample: weight column '{weight_col}' has "
+            f"fractional type {dtype}; casting to the int64 grid would "
+            "floor scores < 1 to weight 0 (never sampled). Pass "
+            "weight_scale (e.g. 10**6) to scale onto the grid."
+        )
+    w_expr = (
+        F.floor(F.col(weight_col) * F.lit(int(weight_scale))).cast("long")
+        if weight_scale != 1
+        else F.col(weight_col).cast("long")
+    )
     key = F.md5(
         F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
     )
     keyed = (
-        df.withColumn("_w", F.col(weight_col).cast("long"))
+        df.withColumn("_w", w_expr)
         .withColumn("_key", key)
         .withColumn(
             "_bucket", F.conv(F.substring("_key", 1, 2), 16, 10).cast("int")

@@ -339,6 +339,40 @@ def pagerank(
     return ranks
 
 
+def keeper_per_canonical(
+    canon: DataFrame,
+    url_col: str = "canonical_url",
+    md5_col: str = "payload_md5",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """One keeper payload per canonical URL — the crawl-dedup stage
+    between ingest and extraction: group the crawl variants of each
+    canonical spelling, pick the deterministic min-content-md5 keeper,
+    and return exactly ONE (canonical_url, n_variants, keeper_md5,
+    html) row per canonical URL.
+
+    The join back to the payload runs through a DISTINCT on
+    (canonical_url, payload_md5, payload) FIRST (VERDICT r8): two
+    crawl variants with byte-identical payloads would otherwise both
+    match the (canonical_url, keeper_md5) equi-join and every
+    downstream per-keeper stage (the HTML→text regex chain in
+    crawl_pipeline) would run once per copy — at 100 TB that silently
+    multiplies the heaviest kernel by the re-crawl rate.  The distinct
+    shuffles each unique (canonical, content) payload once, which is
+    exactly the extraction unit; the groupBy shuffles only
+    (canonical_url, md5) pairs."""
+    grp = canon.groupBy(url_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min(md5_col).alias("keeper_md5"),
+    )
+    keepers = canon.select(
+        url_col,
+        F.col(md5_col).alias("keeper_md5"),
+        F.col(payload_col).alias("html"),
+    ).distinct()
+    return grp.join(keepers, [url_col, "keeper_md5"])
+
+
 def html_extract(
     df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -17,13 +17,25 @@ byte range with no per-file driver loop and no record loss at split
 edges.  Everything after the split is pure Column regex/substr (scan
 side, whole-stage codegen, zero shuffle).
 
-Documented simplification vs a byte-exact WARC parser: payload bytes
-are honored via ``Content-Length`` AFTER delimiter-splitting, so a
-payload that itself contains the record sentinel at line start would
-be split early (surfacing as a length_mismatch dead-letter, never a
-silent wrong parse).  Production crawl dumps (e.g. Common Crawl)
-gzip each record individually, which removes the collision by
-construction; a binary member-split reader is the extension seam.
+Documented simplifications vs a byte-exact WARC parser (ADVICE r8):
+
+* SENTINEL COLLISION — payload bytes are honored via
+  ``Content-Length`` AFTER delimiter-splitting, so a payload that
+  itself contains the record sentinel at line start would be split
+  early (surfacing as a length_mismatch dead-letter, never a silent
+  wrong parse).  Production crawl dumps (e.g. Common Crawl) gzip each
+  record individually, which removes the collision by construction; a
+  binary member-split reader is the extension seam.
+* CHARACTER FRAMING — ``Content-Length`` is honored in CHARACTERS
+  (``length``/``substr`` over the decoded string), while the real
+  WARC spec declares OCTETS.  For ASCII payloads (this repo's
+  fixtures) the two coincide; a non-ASCII payload from an external
+  dump whose declared octet count exceeds its character count would
+  be over-sliced into the separator junk or dead-lettered as
+  length_mismatch — again loud, never a silent wrong parse.  External
+  dumps need the same binary-member reader seam, framing with byte
+  slicing over a ``binary`` column (``spark.read.format("binaryFile")``
+  member split + octet ``substr``) instead of decoded-text substr.
 """
 
 from __future__ import annotations

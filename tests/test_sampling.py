@@ -110,3 +110,86 @@ def test_pps_sample_certainty_stratum_and_count(spark):
     assert got[99] == 8
     assert 100 not in got
     assert sum(got.values()) == 10
+
+
+def test_pps_sample_fractional_weights_raise_without_scale(spark):
+    # ADVICE r8: quality scores < 1 would floor to weight 0 and never
+    # be sampled — the operator must refuse rather than truncate.
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, 0.1)], "doc_id long, score double"
+    )
+    with pytest.raises(ValueError, match="weight_scale"):
+        sampling.pps_systematic_sample(df, n_keep=1, weight_col="score")
+
+
+def test_pps_sample_weight_scale_puts_scores_on_the_grid(spark):
+    # with weight_scale the fractional scores land on the int grid and
+    # the selection behaves like the equivalent integer weights
+    df = spark.createDataFrame(
+        [(i, 0.01) for i in range(1, 21)] + [(99, 0.8), (100, 0.0)],
+        "doc_id long, score double",
+    )
+    out = sampling.pps_systematic_sample(
+        df, n_keep=10, weight_col="score", weight_scale=1000
+    )
+    got = {r["doc_id"]: r["selected_times"] for r in out.collect()}
+    assert got[99] == 8          # same spans as the integer-weight test
+    assert 100 not in got        # zero weight never selected
+    assert sum(got.values()) == 10
+
+
+def test_ilog_engine_parity_extended_range(spark):
+    """ADVICE r8: the floor(1e6*ln(n)) grid's Spark/DuckDB bit-parity
+    was only measured for n in [1, 2e6], while the DSIR gram totals fed
+    to _ilog grow with corpus size.  Measure the extended range as a
+    committed test: EXHAUSTIVE n in [1, 4e6] plus 1e7 prime-stride
+    samples up to ~1e13 (the ILOG_PARITY_MAX guard bound in
+    sampling.py), compared via (count, sum, bit_xor) of the ilog
+    values — a flip anywhere perturbs sum and xor."""
+    import duckdb
+
+    ilog = "CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    got = spark.sql(
+        f"""
+        WITH ns AS (
+          SELECT id + 1 AS n FROM range(4000000)
+          UNION ALL
+          SELECT 4000000 + (id + 1) * 999983 AS n FROM range(10000000)
+        )
+        SELECT count(*) AS c, sum(v) AS s, bit_xor(v) AS x
+        FROM (SELECT {ilog} AS v FROM ns)
+        """
+    ).collect()[0]
+    want = duckdb.sql(
+        """
+        WITH ns AS (
+          SELECT unnest(generate_series(1, 4000000)) AS n
+          UNION ALL
+          SELECT 4000000 + k * 999983
+          FROM (SELECT unnest(generate_series(1, 10000000)) AS k)
+        )
+        SELECT count(*) AS c, CAST(sum(v) AS BIGINT) AS s, bit_xor(v) AS x
+        FROM (SELECT CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS v
+              FROM ns)
+        """
+    ).fetchone()
+    assert (got["c"], got["s"], got["x"]) == want
+    # the guard bound must stay inside what this test measures
+    assert sampling.ILOG_PARITY_MAX <= 4000000 + 10000000 * 999983
+
+
+def test_dsir_importance_guard_trips_past_measured_range(spark):
+    # the assert_true guard fires loudly if gram totals ever exceed the
+    # parity-measured bound, instead of silently leaving the exact grid
+    import pyspark.errors
+
+    orig = sampling.ILOG_PARITY_MAX
+    sampling.ILOG_PARITY_MAX = 10  # force totals past the "bound"
+    try:
+        pool = spark.createDataFrame(
+            [(i, "a b c d e") for i in range(5)], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="ilog parity"):
+            sampling.dsir_importance(pool, pool.select("text")).collect()
+    finally:
+        sampling.ILOG_PARITY_MAX = orig

@@ -246,3 +246,25 @@ def test_html_metadata_first_element_decode_and_fanout(spark):
     assert out[1]["h1"] == "First"             # lazy match: FIRST h1 only
     assert out[1]["n_links"] == 2              # case-insensitive href
     assert out[2]["title"] == "" and out[2]["h1"] == "" and out[2]["n_links"] == 0
+
+
+def test_keeper_per_canonical_identical_payloads_extract_once(spark):
+    # VERDICT r8 "What's wrong" #2: two crawl variants of one canonical
+    # URL with byte-identical payloads must yield ONE keeper row (the
+    # downstream HTML→text chain runs once per unique page, not once
+    # per re-crawl), while n_variants still counts every variant.
+    canon = spark.createDataFrame(
+        [
+            ("https://a.com/", "mx", "<p>A</p>"),
+            ("https://a.com/", "mx", "<p>A</p>"),   # byte-identical re-crawl
+            ("https://a.com/", "my", "<p>A2</p>"),  # changed content
+            ("https://b.com/", "mz", "<p>B</p>"),
+        ],
+        "canonical_url string, payload_md5 string, payload string",
+    )
+    out = {r["canonical_url"]: r for r in rows(web.keeper_per_canonical(canon))}
+    assert len(out) == 2  # exactly one row per canonical URL
+    a = out["https://a.com/"]
+    assert (a["n_variants"], a["keeper_md5"], a["html"]) == (3, "mx", "<p>A</p>")
+    b = out["https://b.com/"]
+    assert (b["n_variants"], b["keeper_md5"], b["html"]) == (1, "mz", "<p>B</p>")

@@ -24,22 +24,11 @@ DEFAULT = [
     "bpe_apply_trained",
 ]
 
-# queries whose work happens while building the DataFrame (mirrors
-# bench.py BUILD_TIMED for the subset this probe covers)
-BUILD_TIMED = {
-    "incremental_dedup_bloom",
-    "bpe_vocab_induction",
-    "bpe_apply_trained",
-    "ann_ivf_pq_refine",  # dim probes + residual checkpoint in-build
-    "ann_pq_recall",
-    # verify_candidates localCheckpoints the pairs in-build
-    "split_leakage_audit",
-    "split_leakage_repair",
-    "warc_ingest",  # the dump write happens in-build
-    "streaming_ann_serve",  # index store + foreachBatch run in-build
-    "host_pagerank",  # per-round rank checkpoints run in-build
-    "near_dup_clusters_star",  # contraction-round checkpoints in-build
-}
+# queries whose work happens while building the DataFrame — the ONE
+# authoritative set lives in bench.py (ADVICE r8: the hand-copied
+# subset here drifted, yielding sink-only — wrong — slope timings for
+# crawl_pipeline/csv_ingest/ann_ivf_upsert/length_quantile_sketch)
+from bench import BUILD_TIMED  # noqa: E402
 
 
 def main() -> None:
