@@ -91,6 +91,11 @@ BUILD_TIMED = {
     # reading host_pagerank at 0.04 s sink-only
     "host_pagerank",
     "near_dup_clusters_star",
+    # round-9: replay-chunk write + availableNow foreachBatch run
+    # in-build (the streaming_ann_serve shape)
+    "streaming_weighted_sample",
+    # composes web.pagerank — per-round rank checkpoints in-build
+    "frontier_schedule",
 }
 
 

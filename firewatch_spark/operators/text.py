@@ -1485,3 +1485,90 @@ def bigram_lm_score(
         .cast("long")
         .alias("n_novel_bigrams"),
     )
+
+
+def interpolated_lm_score(
+    df: DataFrame,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Jelinek–Mercer interpolated bigram→unigram LM scoring — one more
+    rung from `bigram_lm_score` toward the CCNet perplexity filter
+    (VERDICT r8 ask #2): the pure bigram MLE gives a rare transition
+    essentially no mass (a doc of only corpus-novel transitions scores
+    ≈ 0 and is indistinguishable from noise), so per position i ≥ 2 the
+    interpolated conditional is
+
+        P(w_i | w_{i−1}) = λ·c(w_{i−1} w_i)/c(w_{i−1}·)
+                         + (1−λ)·c(w_i)/T
+
+    with λ = ``lam_num``/``lam_den`` as EXACT integers — the standard
+    JM backoff that keeps novel transitions separated by how plausible
+    the CURRENT token is on its own.  The whole thing stays on the
+    scaled-int grid:
+
+        s_bg     = (c_bg · 10^6)  div c_prev          (bigram term)
+        s_uni    = (c_uni · 10^6) div T               (unigram term)
+        s_interp = (lam_num·s_bg + (lam_den−lam_num)·s_uni) div lam_den
+
+    — one integer floor-division per term, then INT64 sums: no float
+    summation order anywhere, bit-exact in the DuckDB oracle (the
+    DSIR/_ilog fixed-point discipline).  Headroom: s ≤ 10^6 and
+    lam ≤ 10^3 keeps every product « 2^63.
+
+    Output per doc: ``n_bigrams``, ``sum_interp_scaled`` (the gating
+    statistic), ``sum_bigram_scaled`` / ``sum_unigram_scaled`` (the
+    unmixed terms, so the λ-mix itself is attestable and callers can
+    re-mix λ downstream without another corpus pass).  Docs with < 2
+    tokens get no row — the bigram_lm_score convention.
+
+    Scale shape: everything `bigram_lm_score` does plus ONE token-
+    vocabulary groupBy (map-side combinable, vocabulary-sized output)
+    and a 1-row total-token broadcast; the current-token unigram join
+    is another vocabulary-keyed equi-join.  Hot tokens/bigrams are
+    grouped counts and join keys, never window partitions."""
+    toks = "split(" + text_col + ", ' ')"
+    pair_arr = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"zip_with(slice({toks}, 1, size({toks}) - 1), "
+        f"slice({toks}, 2, size({toks}) - 1), (a, b) -> concat(a, ' ', b)) "
+        "ELSE array() END"
+    )
+    pairs = df.select(F.col(id_col), F.explode(F.expr(pair_arr)).alias("bg"))
+    bg_tf = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prev_tf = (
+        bg_tf.withColumn("prev", F.expr("split_part(bg, ' ', 1)"))
+        .groupBy("prev")
+        .agg(F.sum("c_bg").alias("c_prev"))
+    )
+    # unigram stats need ALL token positions (a doc's last token is a
+    # bigram suffix but never a prefix), so one token-level pass
+    tokens = df.select(F.explode(F.expr(toks)).alias("tok"))
+    uni_tf = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = tokens.agg(F.count(F.lit(1)).alias("_t"))
+    s = BIGRAM_PROB_SCALE
+    scored = (
+        pairs.join(bg_tf, "bg")
+        .withColumn("prev", F.expr("split_part(bg, ' ', 1)"))
+        .withColumn("curr", F.expr("split_part(bg, ' ', 2)"))
+        .join(prev_tf, "prev")
+        .join(uni_tf, F.col("curr") == F.col("tok"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("s_bg", F.expr(f"(c_bg * CAST({s} AS BIGINT)) div c_prev"))
+        .withColumn("s_uni", F.expr(f"(c_uni * CAST({s} AS BIGINT)) div _t"))
+        .withColumn(
+            "s_interp",
+            F.expr(
+                f"({int(lam_num)} * s_bg + {int(lam_den - lam_num)} * s_uni) "
+                f"div {int(lam_den)}"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("s_interp").alias("sum_interp_scaled"),
+        F.sum("s_bg").alias("sum_bigram_scaled"),
+        F.sum("s_uni").alias("sum_unigram_scaled"),
+    )

@@ -1300,7 +1300,11 @@ def link_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.extract_links(pages)
 
 
-def _pagerank_sql(iterations: int = 5, damping_pct: int = 85) -> str:
+def _pagerank_ctes(iterations: int = 5, damping_pct: int = 85) -> tuple[str, str]:
+    """The iterative PageRank CTE chain over the ``edges`` CTE (from
+    _LINK_GRAPH_CTES) — returns (body, final_cte_name) so both the
+    host_pagerank oracle and frontier_schedule's priority join can
+    reuse the identical chain."""
     scale = web.PAGERANK_SCALE
     tele = 100 - damping_pct
     its = []
@@ -1320,9 +1324,7 @@ def _pagerank_sql(iterations: int = 5, damping_pct: int = 85) -> str:
       ) s ON s.host = h.host
     )""")
         prev = f"it{i}"
-    return f"""
-    WITH {_LINK_GRAPH_CTES},
-    hosts AS (
+    body = f"""hosts AS (
       SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges
     ),
     n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM hosts),
@@ -1331,8 +1333,16 @@ def _pagerank_sql(iterations: int = 5, damping_pct: int = 85) -> str:
     ),
     r0 AS (
       SELECT host, CAST({scale} // c AS BIGINT) AS pr FROM hosts CROSS JOIN n
-    ),{",".join(its)}
-    SELECT host, pr FROM {prev}
+    ),{",".join(its)}"""
+    return body, prev
+
+
+def _pagerank_sql(iterations: int = 5, damping_pct: int = 85) -> str:
+    body, final = _pagerank_ctes(iterations, damping_pct)
+    return f"""
+    WITH {_LINK_GRAPH_CTES},
+    {body}
+    SELECT host, pr FROM {final}
     """
 
 
@@ -1359,6 +1369,125 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = web.host_edges(web.extract_links(pages).drop("doc_id"))
     return web.pagerank(edges)
+
+
+_FRONTIER_RATE = 2
+
+
+def _frontier_sql() -> str:
+    """DuckDB twin of the frontier_schedule composition: link graph →
+    PageRank chain (shared _pagerank_ctes) + href canonicalization
+    (the _URL_CANON_CTES chain applied to hrefs) + the politeness
+    rank, as a plain one-task-per-host window (oracles don't need the
+    two-phase trick)."""
+    pr_body, pr_final = _pagerank_ctes()
+    return f"""
+    WITH {_LINK_GRAPH_CTES},
+    {pr_body},
+    alink AS (
+      SELECT href FROM links
+      WHERE lower(split_part(href, '://', 1)) IN ('http', 'https')
+    ),
+    fparts AS (
+      SELECT href,
+             lower(split_part(href, '://', 1)) AS scheme,
+             split_part(split_part(href, '://', 2), '#', 1) AS rest
+      FROM alink
+    ),
+    ffields AS (
+      SELECT *,
+             split_part(lower(split_part(split_part(rest, '?', 1), '/', 1)), ':', 1) AS hname,
+             split_part(lower(split_part(split_part(rest, '?', 1), '/', 1)), ':', 2) AS hport,
+             substr(rest, length(split_part(split_part(rest, '?', 1), '/', 1)) + 1) AS pathq
+      FROM fparts
+    ),
+    fpq AS (
+      SELECT *, split_part(pathq, '?', 1) AS p,
+             -- COALESCE: DuckDB's array_to_string over an EMPTY list is
+             -- NULL (hrefs here carry no query at all), which would
+             -- slip past the cq = '' branch and emit a bare '?'
+             COALESCE(array_to_string(list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
+               x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
+                    AND NOT list_contains(['fbclid','gclid','ref','mc_eid','igshid'],
+                                          split_part(x, '=', 1)))), '&'), '') AS cq
+      FROM ffields
+    ),
+    fcanon AS (
+      SELECT concat(scheme, '://',
+        CASE WHEN substr(hname, 1, 4) = 'www.' THEN substr(hname, 5) ELSE hname END,
+        CASE WHEN hport = '' OR (scheme = 'https' AND hport = '443')
+                  OR (scheme = 'http' AND hport = '80') THEN ''
+             ELSE concat(':', hport) END,
+        CASE WHEN p IN ('', '/') THEN '/'
+             WHEN substr(p, length(p), 1) = '/' THEN substr(p, 1, length(p) - 1)
+             ELSE p END,
+        CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END) AS canonical_url
+      FROM fpq
+    ),
+    frontier AS (
+      SELECT DISTINCT
+        split_part(split_part(split_part(canonical_url, '://', 2), '/', 1), ':', 1) AS host,
+        canonical_url
+      FROM fcanon
+    ),
+    pri AS (
+      SELECT f.host, f.canonical_url, CAST(COALESCE(r.pr, 0) AS BIGINT) AS host_pr
+      FROM frontier f LEFT JOIN {pr_final} r ON r.host = f.host
+    ),
+    sl AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY host
+           ORDER BY md5(canonical_url), canonical_url) AS BIGINT) AS slot_in_host
+      FROM pri
+    )
+    SELECT host, canonical_url, host_pr, slot_in_host,
+           CAST((slot_in_host - 1) // {_FRONTIER_RATE} AS BIGINT) AS fetch_wave
+    FROM sl
+    """
+
+
+@q("frontier_schedule", _frontier_sql())
+def frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling (operators/web.py
+    frontier_schedule; VERDICT r8 ask #6) — closes the crawl loop:
+    the link graph DISCOVERS URLs (extract_links), PageRank
+    PRIORITIZES hosts (web.pagerank), and this stage decides WHEN each
+    URL may be fetched — at most ``per_host_rate`` = 2 URLs per host
+    per wave, slots assigned in the deterministic md5(url) permutation
+    within each host, PageRank carried through as the within-wave
+    priority.  The oracle replays the WHOLE composition — href
+    extraction, absolute-link filter, full URL canonicalization,
+    distinct frontier, the 5-round exact-int PageRank chain, the
+    politeness rank — with a plain one-task-per-host window; the
+    Spark plan computes the SAME slot via per-(host, md5-prefix
+    bucket) local ranks + a ≤ 256-row-per-host offset window, so a
+    mega-host never funnels through one task."""
+    pages = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("src_host", F.expr(_LINK_SRC_HOST))
+        .withColumn("html", F.expr(_LINK_HTML_SYNTH))
+    )
+    links = web.extract_links(pages).drop("doc_id")
+    edges = web.host_edges(links)
+    ranks = web.pagerank(edges)
+    abs_links = links.filter(
+        F.expr("lower(split_part(href, '://', 1)) IN ('http', 'https')")
+    ).select("href")
+    canon = web.with_canonical_url(abs_links, "href")
+    frontier = canon.select(
+        F.expr(
+            "split_part(split_part(split_part(canonical_url, '://', 2), '/', 1), ':', 1)"
+        ).alias("host"),
+        "canonical_url",
+    ).distinct()
+    pri = (
+        frontier.join(ranks, "host", "left")
+        .withColumn("host_pr", F.coalesce(F.col("pr"), F.lit(0)).cast("long"))
+        .drop("pr")
+    )
+    return web.frontier_schedule(pri, per_host_rate=_FRONTIER_RATE).select(
+        "host", "canonical_url", "host_pr", "slot_in_host", "fetch_wave"
+    )
 
 
 # ===========================================================================
@@ -1633,9 +1762,10 @@ _PHASH_COPY_MOD = 7
 _PHASH_COPY_OFFSET = 1_000_000
 
 
-def _phash_sql() -> str:
-    """dHash fingerprint CTE (fake-decode cell grid, see
-    operators/dedup.py with_image_phash) + the shared hamming tail."""
+def _dhash_cell_bits() -> tuple[str, str]:
+    """The fake-decode dHash pieces shared by every image/video oracle:
+    ``cell`` (value of grid cell i from the md5 column ``pm``) and the
+    64-bit string concat over the cell list column ``cs``."""
     hexd = "0123456789abcdef"
     cell = (
         f"((instr('{hexd}', substring(md5(pm || '|' || CAST((i // 9) AS VARCHAR)"
@@ -1651,6 +1781,13 @@ def _phash_sql() -> str:
                 f"CASE WHEN list_extract(cs, {left}) < list_extract(cs, {left + 1}) "
                 "THEN '1' ELSE '0' END"
             )
+    return cell, ", ".join(bits)
+
+
+def _phash_sql() -> str:
+    """dHash fingerprint CTE (fake-decode cell grid, see
+    operators/dedup.py with_image_phash) + the shared hamming tail."""
+    cell, bits_cat = _dhash_cell_bits()
     return f"""
     WITH media AS (
       SELECT doc_id, text FROM documents
@@ -1662,7 +1799,7 @@ def _phash_sql() -> str:
       SELECT doc_id, list_transform(range(0, 72), i -> {cell}) AS cs
       FROM (SELECT doc_id, md5(text) AS pm FROM media)
     ),
-    sh AS (SELECT doc_id, concat({", ".join(bits)}) AS simhash FROM ph0),
+    sh AS (SELECT doc_id, concat({bits_cat}) AS simhash FROM ph0),
     {_hamming_pairs_tail("sh")}
     """
 
@@ -1921,6 +2058,94 @@ def image_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.image_phash_pairs(media)
+
+
+# (image, caption) pair fixture: every 7th doc's image re-crawled with
+# a caption variant (same pixels, new caption) and every 5th doc's
+# caption pasted onto altered pixels (same caption, new image) —
+# doc % 35 hits BOTH fleets, exercising the sequential-round policy
+_PAIR_IMG_DUP_MOD, _PAIR_IMG_DUP_OFF = 7, 2_000_000
+_PAIR_CAP_DUP_MOD, _PAIR_CAP_DUP_OFF = 5, 4_000_000
+
+
+def _pair_dedup_sql() -> str:
+    cell, bits_cat = _dhash_cell_bits()
+    return f"""
+    WITH pairs AS (
+      SELECT doc_id AS pair_id, text AS payload, text AS caption FROM documents
+      UNION ALL
+      SELECT doc_id + {_PAIR_IMG_DUP_OFF}, text, text || ' (alt)'
+      FROM documents WHERE doc_id % {_PAIR_IMG_DUP_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {_PAIR_CAP_DUP_OFF}, text || '|v2', text
+      FROM documents WHERE doc_id % {_PAIR_CAP_DUP_MOD} = 0
+    ),
+    ph0 AS (
+      SELECT pair_id, caption, list_transform(range(0, 72), i -> {cell}) AS cs
+      FROM (SELECT pair_id, caption, md5(payload) AS pm FROM pairs)
+    ),
+    keyed AS (
+      SELECT pair_id, concat({bits_cat}) AS image_key,
+             md5(caption) AS caption_key
+      FROM ph0
+    ),
+    ik AS (SELECT image_key, min(pair_id) AS ikeep FROM keyed GROUP BY image_key),
+    s1 AS (SELECT k.*, ik.ikeep FROM keyed k JOIN ik USING (image_key)),
+    surv AS (SELECT pair_id, image_key, caption_key FROM s1 WHERE pair_id = ikeep),
+    ck AS (SELECT caption_key, min(pair_id) AS ckeep FROM surv GROUP BY caption_key)
+    SELECT s.pair_id, s.image_key, s.caption_key,
+           CASE WHEN s.pair_id = c.ckeep THEN 'kept' ELSE 'dup_caption' END AS status
+    FROM surv s JOIN ck c USING (caption_key)
+    UNION ALL
+    SELECT pair_id, image_key, caption_key, 'dup_image' AS status
+    FROM s1 WHERE pair_id <> ikeep
+    """
+
+
+@q("image_text_pair_dedup", _pair_dedup_sql())
+def image_text_pair_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal (image, caption) PAIR curation (operators/dedup.py
+    image_text_pair_dedup; VERDICT r8 ask #7) — the pair-level keeper
+    policy per-modality dedup can't express: one caption per image
+    cluster (round 1, image clusters by the with_image_phash dHash —
+    the multimodal kernel, identical payloads → identical hash), then
+    one image per caption cluster among the survivors (round 2,
+    caption clusters by content md5).  The fixture plants BOTH
+    directions (re-crawled image under a caption variant; one caption
+    pasted on altered pixels) plus their overlap (doc % 35), and the
+    full audit table — every pair with its kept/dup_image/dup_caption
+    status — is value-hash-gated.  Two groupBy(min)+equi-join rounds;
+    shuffles carry (64-bit hash, id), payloads never."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("pair_id"),
+            F.col("text").cast("binary").alias("payload"),
+            F.col("text").alias("caption"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _PAIR_IMG_DUP_MOD == 0).select(
+                (F.col("doc_id") + _PAIR_IMG_DUP_OFF).alias("pair_id"),
+                F.col("text").cast("binary").alias("payload"),
+                F.concat(F.col("text"), F.lit(" (alt)")).alias("caption"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _PAIR_CAP_DUP_MOD == 0).select(
+                (F.col("doc_id") + _PAIR_CAP_DUP_OFF).alias("pair_id"),
+                F.concat(F.col("text"), F.lit("|v2")).cast("binary").alias("payload"),
+                F.col("text").alias("caption"),
+            )
+        )
+    )
+    keyed = dedup.with_image_phash(
+        pairs, payload_col="payload", id_col="pair_id", out_col="image_key"
+    ).select(
+        "pair_id",
+        "image_key",
+        F.md5(F.col("caption").cast("binary")).alias("caption_key"),
+    )
+    return dedup.image_text_pair_dedup(keyed)
 
 
 _DECON_BENCH_MOD = 97  # deterministic stand-in for the eval/benchmark set
@@ -3348,6 +3573,64 @@ def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(docs)
 
 
+_JM_LAM_NUM, _JM_LAM_DEN = 7, 10
+
+
+@q(
+    "interpolated_lm_score",
+    f"""
+    WITH pr AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    bgtf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM pr GROUP BY bg),
+    ptf AS (
+      SELECT split_part(bg, ' ', 1) AS prev, CAST(sum(c_bg) AS BIGINT) AS c_prev
+      FROM bgtf GROUP BY 1
+    ),
+    tk AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    utf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_uni FROM tk GROUP BY tok),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tk),
+    sc AS (
+      SELECT p.doc_id,
+             (b.c_bg * 1000000) // pt.c_prev AS s_bg,
+             (u.c_uni * 1000000) // tot.t AS s_uni
+      FROM pr p
+      JOIN bgtf b USING (bg)
+      JOIN ptf pt ON pt.prev = split_part(p.bg, ' ', 1)
+      JOIN utf u ON u.tok = split_part(p.bg, ' ', 2)
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(({_JM_LAM_NUM} * s_bg + {_JM_LAM_DEN - _JM_LAM_NUM} * s_uni)
+                    // {_JM_LAM_DEN}) AS BIGINT) AS sum_interp_scaled,
+           CAST(sum(s_bg) AS BIGINT) AS sum_bigram_scaled,
+           CAST(sum(s_uni) AS BIGINT) AS sum_unigram_scaled
+    FROM sc GROUP BY doc_id
+    """,
+)
+def interpolated_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer interpolated bigram→unigram scoring
+    (operators/text.py interpolated_lm_score; VERDICT r8 ask #2) — one
+    more rung from bigram_lm_score toward the CCNet perplexity filter:
+    λ = 7/10 of the bigram conditional plus 3/10 of the current-token
+    unigram probability per transition, so corpus-novel transitions
+    are separated by the plausibility of their target token instead of
+    all scoring ≈ 0.  All integer floor-division on the 1e6 grid —
+    bit-exact oracle; the unmixed Σ s_bg / Σ s_uni columns make the
+    λ-mix itself attestable.  One extra token-vocabulary groupBy and a
+    1-row total broadcast over bigram_lm_score's plan; hot tokens stay
+    grouped counts and join keys, never window partitions."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.interpolated_lm_score(
+        docs, lam_num=_JM_LAM_NUM, lam_den=_JM_LAM_DEN
+    )
+
+
 @q("unigram_score", _UNIGRAM_SQL)
 def unigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (operators/text.py unigram_score) —
@@ -3589,12 +3872,14 @@ _DSIR_TARGET_SOURCES = "('src0', 'src1', 'src2', 'src3')"
 _DSIR_KEEP_FRAC = 0.25
 
 
-def _dsir_sql(n_buckets: int = 10_000, keep_frac: float = _DSIR_KEEP_FRAC) -> str:
-    """DuckDB twin of sampling.dsir_importance_sample: same md5-nibble
-    gram bucket hash (the _cms_sql md5u8 decode), same floor-scaled
-    ln() log-ratio grid (measured bit-identical across engines for
-    every count in range — see sampling._ilog), plain one-task global
-    window for the rank (oracles don't need the two-phase trick)."""
+def _dsir_imp_ctes(n_buckets: int = 10_000) -> str:
+    """The WITH-body of the DSIR importance computation, through the
+    per-doc ``imp(doc_id, n_grams, importance)`` CTE — shared by
+    `dsir_importance_sample`'s rank tail and `quality_budget_select`'s
+    token-budget tail.  Same md5-nibble gram bucket hash (the _cms_sql
+    md5u8 decode), same floor-scaled ln() log-ratio grid (measured
+    bit-identical across engines for every count in range — see
+    sampling._ilog and tests/test_sampling.py's parity test)."""
     md5u8 = " + ".join(
         f"(instr('0123456789abcdef', substring(md5('dsir|' || g), {i + 1}, 1)) - 1)"
         f" * {16 ** (7 - i)}"
@@ -3608,8 +3893,7 @@ def _dsir_sql(n_buckets: int = 10_000, keep_frac: float = _DSIR_KEEP_FRAC) -> st
         "unnest(list_concat(t, list_transform(range(1, len(t)), "
         "i -> t[i] || ' ' || t[i + 1]))) AS g"
     )
-    return f"""
-    WITH tg AS (
+    return f"""tg AS (
       SELECT {grams}
       FROM (SELECT string_split(text, ' ') AS t FROM documents
             WHERE source IN {_DSIR_TARGET_SOURCES})
@@ -3637,7 +3921,15 @@ def _dsir_sql(n_buckets: int = 10_000, keep_frac: float = _DSIR_KEEP_FRAC) -> st
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
              CAST(sum(lr) AS BIGINT) AS importance
       FROM pbg JOIN lr USING (bucket) GROUP BY doc_id
-    ),
+    )"""
+
+
+def _dsir_sql(n_buckets: int = 10_000, keep_frac: float = _DSIR_KEEP_FRAC) -> str:
+    """DuckDB twin of sampling.dsir_importance_sample: the shared imp
+    CTE body + a plain one-task global rank window (oracles don't need
+    the two-phase trick)."""
+    return f"""
+    WITH {_dsir_imp_ctes(n_buckets)},
     rk AS (
       SELECT doc_id, n_grams, importance,
              CAST(row_number() OVER (ORDER BY importance DESC, doc_id) AS BIGINT) AS rank
@@ -3669,6 +3961,193 @@ def dsir_importance_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_importance_sample(
         docs, target, keep_frac=_DSIR_KEEP_FRAC
     )
+
+
+_QB_TOKEN_BUDGET = 8_000
+
+
+@q(
+    "quality_budget_select",
+    f"""
+    WITH {_dsir_imp_ctes()},
+    sel AS (
+      SELECT i.doc_id, i.importance,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM imp i JOIN documents d USING (doc_id)
+    ),
+    c AS (
+      SELECT doc_id, importance, n_tokens,
+             sum(n_tokens) OVER (ORDER BY importance DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sel
+    )
+    SELECT doc_id, importance, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS cum_tokens_before
+    FROM c WHERE cum - n_tokens < {_QB_TOKEN_BUDGET}
+    """,
+)
+def quality_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked TOKEN-budget selection (operators/sampling.py
+    quality_budget_select; VERDICT r8 ask #1) — "keep the best N
+    tokens": docs ordered by DSIR importance DESCENDING, kept until
+    the cumulative token count crosses the budget, boundary doc KEPT.
+    Composes the two selection primitives — dsir_importance_sample's
+    value-keyed two-phase global order with token_budget_cap's
+    cumulative-token accounting — into the curation step real
+    pipelines run between scoring and training.  The oracle is the
+    naive one-task ``SUM(tokens) OVER (ORDER BY importance DESC, id)``
+    window; the Spark plan computes the SAME cumulative sum via ≤ 257
+    score-range buckets + per-bucket running sums (no one-task window
+    anywhere), and the boundary doc's identity is value-hash-pinned."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = docs.filter(
+        F.expr(f"source IN {_DSIR_TARGET_SOURCES}")
+    ).select("text")
+    imp = sampling.dsir_importance(docs, target)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return sampling.quality_budget_select(
+        imp.join(toks, "doc_id"), _QB_TOKEN_BUDGET, "importance"
+    ).select("doc_id", "importance", "n_tokens", "cum_tokens_before")
+
+
+_WSAMPLE_N = 50
+
+
+def _wsample_sql(n_keep: int = _WSAMPLE_N) -> str:
+    """DuckDB twin of sampling.weighted_priority_sample over documents
+    weighted by n_chars: same 20-bit md5 draw (h + 1 stays inside the
+    EXHAUSTIVELY parity-measured ilog range [1, 4e6]), same
+    Efraimidis–Spirakis priority on the scaled-int grid, plain
+    one-task rank window for the top-k."""
+    h = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5('wps|' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(5)
+    )
+
+    def ilog(expr: str) -> str:
+        return f"CAST(floor(ln(CAST({expr} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
+    return f"""
+    WITH k AS (
+      SELECT doc_id, n_chars, ({h}) AS h
+      FROM documents WHERE n_chars > 0
+    ),
+    p AS (
+      SELECT doc_id, n_chars,
+             CAST((({ilog(str(2 ** 20))} - {ilog("h + 1")}) * 1000000) // n_chars AS BIGINT) AS priority
+      FROM k
+    ),
+    r AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, priority,
+             CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
+      FROM p
+    )
+    SELECT doc_id, weight, priority, sample_rank FROM r
+    WHERE sample_rank <= {n_keep}
+    """
+
+
+@q("weighted_sample", _wsample_sql())
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (operators/sampling.py weighted_priority_sample) —
+    Efraimidis–Spirakis priorities on the exact scaled-int grid: the
+    md5 20-bit draw replaces the RNG (h + 1 ≤ 2^20 sits inside the
+    EXHAUSTIVE ilog parity range, no guard needed), priority =
+    −ln(u)·10⁶ DIV w, keep the n smallest.  Inclusion probability
+    grows with n_chars; the whole sample replays bit-for-bit in the
+    oracle.  Global top-k via partition-local pruning — no one-task
+    window over the corpus."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.weighted_priority_sample(
+        docs, _WSAMPLE_N, "n_chars"
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        "priority",
+        "sample_rank",
+    )
+
+
+# the streamed twin attests the SAME oracle: union-of-batch-candidates
+# top-k == whole-corpus top-k (priorities depend only on (salt, id, w))
+@q("streaming_weighted_sample", _wsample_sql())
+def streaming_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling as a REAL Structured Streaming pipeline
+    (VERDICT r8 ask #3) — the sampling family's streaming proof,
+    closing the last major family without one (dedup:
+    streaming_incremental_dedup; ANN: streaming_ann_serve; sketches:
+    streaming_sketch_merge).  The corpus arrives through a file source
+    in 3 micro-batches; each batch keeps its LOCAL top-n
+    Efraimidis–Spirakis candidates inside ``foreachBatch`` and appends
+    them idempotently (batch-id-owned overwrite — the
+    streaming_incremental_dedup convention); after the drain, the
+    candidate union re-ranks to the global top-n.  Because the
+    priority is a pure function of (salt, id, weight) and top-k is
+    distributive over any split of the rows, union-of-batches ≡
+    whole-corpus bit-for-bit — the gate attests the STREAMED sample
+    against the SAME oracle as the batch `weighted_sample`.  Per-batch
+    state is O(n_keep), not O(corpus): exactly the bounded-state
+    property a 100 TB streaming sampler needs."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.replay import write_replay_chunks
+
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    tmp = None
+    try:
+        docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        tmp = tempfile.mkdtemp(prefix="fw_wsample_")
+        in_dir = os.path.join(tmp, "pool")
+        write_replay_chunks(docs, in_dir, order_col="doc_id", n_chunks=3)
+        out_dir = os.path.join(tmp, "cand")
+
+        stream = (
+            spark.readStream.schema("doc_id long, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sampling.weighted_priority_sample(
+                batch_df, _WSAMPLE_N, "n_chars"
+            ).drop("sample_rank").write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+
+        query = (
+            stream.writeStream.foreachBatch(run_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert query.awaitTermination(300), (
+            "streaming weighted sample did not drain in 300s"
+        )
+        query.stop()
+        cand = spark.read.parquet(out_dir).drop("batch_id")
+        result = (
+            sampling.weighted_priority_sample(cand, _WSAMPLE_N, "n_chars")
+            .select(
+                "doc_id",
+                F.col("n_chars").cast("long").alias("weight"),
+                "priority",
+                "sample_rank",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return result
 
 
 _SHARD_SIZE = 64
@@ -7537,23 +8016,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT r5 #6), so rotation never drops coverage — it only decides
 # which slice additionally gets the external driver's hash row.
 _DRIVER_WINDOW = 50
-_ROTATION_ROUND = 8  # bump each round to advance the rotation
+_ROTATION_ROUND = 9  # bump each round to advance the rotation
 _PINNED = [
-    # round-8 additions — never driver-attested yet
-    "dsir_importance_sample",
-    "warc_ingest",
-    "streaming_ann_serve",
-    "video_segment_dedup",
-    "boilerplate_line_removal",
-    "crawl_pipeline",
-    "bigram_lm_score",
-    "pps_sample",
-    "corpus_report",
-    "html_metadata",
-    # VERDICT r7 #3: the one query with zero driver attestations after
-    # 7 rounds (green in every local replay; plan machine-asserted in
-    # tests/test_plans.py) — pinned rather than waiting for rotation
-    "hinted_join",
+    # round-9 additions — never driver-attested yet
+    "quality_budget_select",
+    "interpolated_lm_score",
+    "weighted_sample",
+    "streaming_weighted_sample",
+    "frontier_schedule",
+    "image_text_pair_dedup",
+    # VERDICT r8 "What's wrong" #1 / "Next round" #4: the 20 queries
+    # whose last driver attestation dates to rounds 2-4 while their
+    # shared operator files kept changing — pinned THIS round so the
+    # stalest attestations refresh ahead of rotation order
+    "iso_timestamps",
+    "jpeg_encode_plan",
+    "lang_id",
+    "last_frame",
+    "late_dedup",
+    "multimodal_meta",
+    "ngram_jaccard",
+    "revenue_by_nation",
+    "scalar_string_fns",
+    "session_ids",
+    "session_window_time",
+    "simhash",
+    "surrogate_predictions",
+    "text_stats",
+    "top_orders_per_customer",
+    "topk_events_per_user",
+    "transport_roundtrip",
+    "tumbling_window",
+    "video_scan",
+    "window_running",
     # permanent pins (see ordering note above)
     "streaming_session_parity",
     "streaming_ep2_parity",

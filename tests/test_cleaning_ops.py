@@ -607,3 +607,53 @@ def test_bigram_lm_score_matches_python_reference(spark):
         )
         assert r["min_bigram_tf"] == min(bg[p] for p in pairs)
         assert r["n_novel_bigrams"] == sum(1 for p in pairs if bg[p] == 1)
+
+
+def test_interpolated_lm_score_matches_python_reference(spark):
+    """JM backoff contract against a hand-rolled reference: per
+    transition s_interp = (7*s_bg + 3*s_uni) // 10 on the 1e6 grid,
+    with s_uni the CURRENT token's corpus probability over ALL
+    positions; a corpus-novel transition still scores > 0 when its
+    target token is common."""
+    from collections import Counter
+
+    from firewatch_spark.operators import text as T
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "dogs bark",
+        4: "single",
+        5: "mat the",  # novel transition between two COMMON tokens
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.interpolated_lm_score(docs).collect()}
+
+    bg, uni = Counter(), Counter()
+    for t in corpus.values():
+        w = t.split(" ")
+        bg.update(zip(w, w[1:]))
+        uni.update(w)
+    prev = Counter()
+    for (a, _), c in bg.items():
+        prev[a] += c
+    total = sum(uni.values())
+    for did, t in corpus.items():
+        w = t.split(" ")
+        pairs = list(zip(w, w[1:]))
+        if not pairs:
+            assert did not in out
+            continue
+        r = out[did]
+        s_bg = [bg[p] * 1_000_000 // prev[p[0]] for p in pairs]
+        s_uni = [uni[p[1]] * 1_000_000 // total for p in pairs]
+        assert r["n_bigrams"] == len(pairs)
+        assert r["sum_bigram_scaled"] == sum(s_bg)
+        assert r["sum_unigram_scaled"] == sum(s_uni)
+        assert r["sum_interp_scaled"] == sum(
+            (7 * b + 3 * u) // 10 for b, u in zip(s_bg, s_uni)
+        )
+    # the backoff property itself: doc 5's transition is corpus-novel
+    # (c_bg = 1 over c_prev) yet its unigram term keeps the score well
+    # above the bigram term alone
+    assert out[5]["sum_interp_scaled"] > out[5]["sum_bigram_scaled"] * 7 // 10

@@ -604,3 +604,40 @@ def test_video_segment_dedup_distinguishes_reencode_from_stitch(spark):
     assert segs[(1, 4)] == [(-1, 0, 1, 5)]
     # re-encode vs stitch share the same intro run too (frames 0-2)
     assert segs[(2, 3)] == [(0, 0, 0, 3)]
+
+
+def test_image_text_pair_dedup_two_round_policy(spark):
+    """Sequential keeper rounds: dup_image drops caption variants of
+    one image cluster, dup_caption drops repeated captions among the
+    SURVIVORS — and a pair dropped in round 1 never suppresses a
+    round-2 caption cluster (the sequential-vs-joint distinction)."""
+    from firewatch_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [
+            # image cluster A: pairs 1, 2 (same pixels, two captions)
+            (1, "imgA", "cap1"),
+            (2, "imgA", "cap2"),
+            # caption cluster cap2: pair 3 has unique pixels but pair
+            # 2's caption — pair 2 died in round 1, so pair 3 KEEPS
+            # cap2 (sequential policy; a joint AND would drop both)
+            (3, "imgB", "cap2"),
+            # caption cluster cap3 among survivors: 4 keeps, 5 drops
+            (4, "imgC", "cap3"),
+            (5, "imgD", "cap3"),
+            # both-fleet overlap: 6/7 same image, 7 also repeats cap1?
+            (6, "imgE", "cap6"),
+            (7, "imgE", "cap7"),
+        ],
+        "pair_id long, image_key string, caption_key string",
+    )
+    out = {r["pair_id"]: r["status"] for r in D.image_text_pair_dedup(pairs).collect()}
+    assert out == {
+        1: "kept",
+        2: "dup_image",
+        3: "kept",
+        4: "kept",
+        5: "dup_caption",
+        6: "kept",
+        7: "dup_image",
+    }

@@ -17,6 +17,7 @@ SKIP = {
     "streaming_incremental_dedup",
     "streaming_ann_serve",
     "streaming_sketch_merge",
+    "streaming_weighted_sample",  # foreachBatch replay runs in-build
     "video_scan",
     "jsonl_ingest",  # building its DataFrame writes the JSONL fixture
     "csv_ingest",  # same: builds by writing the CSV fixture
@@ -141,6 +142,17 @@ def test_no_cartesian_product_anywhere(plans):
         "dsir_importance_sample",
         # 1-row total-weight broadcast into the span test
         "pps_sample",
+        # round-9 1-row broadcasts: the (max, min) score-stats row into
+        # quality_budget_select's range bucketing (the
+        # dsir_importance_sample keying shape), the DSIR (S, T)
+        # gram-total pair it composes, and interpolated_lm_score's
+        # 1-row total-token broadcast into the unigram term
+        "quality_budget_select",
+        "interpolated_lm_score",
+        # frontier_schedule composes web.pagerank → the 1-row n_hosts
+        # teleport broadcast, same as host_pagerank (build-timed, not
+        # plan-swept, but the frontier side shares the plan here)
+        "frontier_schedule",
     }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name

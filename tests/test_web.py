@@ -268,3 +268,31 @@ def test_keeper_per_canonical_identical_payloads_extract_once(spark):
     assert (a["n_variants"], a["keeper_md5"], a["html"]) == (3, "mx", "<p>A</p>")
     b = out["https://b.com/"]
     assert (b["n_variants"], b["keeper_md5"], b["html"]) == (1, "mz", "<p>B</p>")
+
+
+def test_frontier_schedule_matches_naive_window_and_politeness(spark):
+    """two-phase per-host slot == one-task row_number per host (same
+    md5(url) order), and no wave contains more than per_host_rate URLs
+    of one host."""
+    from pyspark.sql import Window
+
+    urls = [
+        ("h1", f"https://h1/{i}") for i in range(7)
+    ] + [("h2", "https://h2/a"), ("h3", "https://h3/a"), ("h3", "https://h3/b")]
+    df = spark.createDataFrame(urls, "host string, canonical_url string")
+    out = rows(web.frontier_schedule(df, per_host_rate=2), "host", "slot_in_host")
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col("canonical_url").cast("binary")), "canonical_url"
+    )
+    naive = {
+        (r["host"], r["canonical_url"]): r["rk"]
+        for r in rows(df.withColumn("rk", F.row_number().over(w)))
+    }
+    waves = {}
+    for r in out:
+        assert r["slot_in_host"] == naive[(r["host"], r["canonical_url"])]
+        assert r["fetch_wave"] == (r["slot_in_host"] - 1) // 2
+        waves[(r["host"], r["fetch_wave"])] = waves.get((r["host"], r["fetch_wave"]), 0) + 1
+    assert max(waves.values()) <= 2  # politeness bound
+    # h1 (7 urls, rate 2) stretches over ceil(7/2) = 4 waves
+    assert max(w for (h, w) in waves if h == "h1") == 3
