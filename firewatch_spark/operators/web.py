@@ -459,3 +459,102 @@ def frontier_schedule(
         )
         .drop("_key", "_bucket", "_off")
     )
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse per-host robots.txt text into (host, rule, path_prefix,
+    prefix_len) rows — one row per ``Allow:`` / ``Disallow:`` line.
+
+    Scope (documented simplification, standard for a crawl pipeline's
+    rule TABLE): the input is the agent-relevant section (the frontier
+    fetcher resolves User-agent group precedence when it FETCHES the
+    robots file; this operator consumes the already-selected section),
+    prefixes are literal (no ``*``/``$`` wildcards — the original
+    robots.txt grammar; wildcard support is a filter-expression seam),
+    and empty-path rules (``Disallow:`` = allow-all) are dropped at
+    parse since they can never match more specifically than no rule.
+
+    Scan-side explode + anchored line parse, no shuffle — the rule
+    table is hosts × a handful of lines, tiny next to any frontier."""
+    lines = robots.select(
+        F.col(host_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    )
+    rule = F.expr(
+        "CASE WHEN _line LIKE 'Allow:%' THEN 'allow' "
+        "WHEN _line LIKE 'Disallow:%' THEN 'disallow' END"
+    )
+    prefix = F.expr(
+        "trim(CASE WHEN _line LIKE 'Allow:%' THEN substr(_line, 7) "
+        "ELSE substr(_line, 10) END)"
+    )
+    return (
+        lines.withColumn("rule", rule)
+        .filter(F.col("rule").isNotNull())
+        .withColumn("path_prefix", prefix)
+        .filter(F.col("path_prefix") != "")
+        .select(
+            host_col,
+            "rule",
+            "path_prefix",
+            F.length("path_prefix").cast("long").alias("prefix_len"),
+        )
+    )
+
+
+def robots_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    url_col: str = "canonical_url",
+) -> DataFrame:
+    """Apply robots.txt rules to a crawl frontier with the REAL
+    precedence semantics (RFC 9309 / the Googlebot rule): among all
+    rules of the URL's host whose path-prefix matches the URL's path,
+    the LONGEST prefix wins; on a length tie, Allow beats Disallow; a
+    URL matching no rule is allowed.  Prefix match is bytewise
+    (``/articles/1`` blocks ``/articles/12`` unless a longer
+    ``Allow: /articles/12`` overrides — pinned by the registered
+    fixture), matching on everything after the authority.
+
+    The winning rule is selected WITHOUT a window: each matched rule
+    encodes as the sortable string ``lpad(len) || allow_flag ||
+    prefix`` and a map-side-combinable ``max`` per URL picks it —
+    lexicographic order is (length, allow-wins-tie, bytewise prefix),
+    deterministic and engine-portable.  Scale shape: one equi-join on
+    host (the rule table is hosts × a handful of lines — AQE
+    broadcasts it when small; a mega-host's many URLs spread normally
+    since host is the JOIN key, not a window partition), one groupBy
+    max over matched (url, rule) pairs, one join back.  Output:
+    frontier + (allowed, matched_rule)."""
+    path = F.expr(
+        f"substr(split_part({url_col}, '://', 2), "
+        f"length(split_part(split_part({url_col}, '://', 2), '/', 1)) + 1)"
+    )
+    fr = frontier.withColumn("_path", path)
+    j = fr.join(rules, host_col).filter(
+        F.expr("substr(_path, 1, length(path_prefix)) = path_prefix")
+    )
+    enc = F.expr(
+        "concat(lpad(CAST(prefix_len AS STRING), 6, '0'), "
+        "CASE WHEN rule = 'allow' THEN '1' ELSE '0' END, path_prefix)"
+    )
+    best = (
+        j.withColumn("_enc", enc)
+        .groupBy(url_col)
+        .agg(F.max("_enc").alias("_best"))
+    )
+    return (
+        fr.join(best, url_col, "left")
+        .withColumn(
+            "allowed",
+            F.expr("_best IS NULL OR substr(_best, 7, 1) = '1'"),
+        )
+        .withColumn(
+            "matched_rule",
+            F.expr("CASE WHEN _best IS NULL THEN '' ELSE substr(_best, 8) END"),
+        )
+        .drop("_path", "_best")
+    )

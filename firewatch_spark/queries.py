@@ -1374,17 +1374,37 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRONTIER_RATE = 2
 
 
-def _frontier_sql() -> str:
-    """DuckDB twin of the frontier_schedule composition: link graph →
-    PageRank chain (shared _pagerank_ctes) + href canonicalization
-    (the _URL_CANON_CTES chain applied to hrefs) + the politeness
-    rank, as a plain one-task-per-host window (oracles don't need the
-    two-phase trick)."""
-    pr_body, pr_final = _pagerank_ctes()
-    return f"""
-    WITH {_LINK_GRAPH_CTES},
-    {pr_body},
-    alink AS (
+def _link_frontier(spark: SparkSession, sf_dir: str):
+    """(links, frontier) off the synthetic link pages: all extracted
+    hrefs with their src_host, and the DISTINCT canonicalized
+    (host, canonical_url) frontier of the absolute http(s) targets —
+    shared by frontier_schedule and robots_frontier_filter."""
+    pages = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("src_host", F.expr(_LINK_SRC_HOST))
+        .withColumn("html", F.expr(_LINK_HTML_SYNTH))
+    )
+    links = web.extract_links(pages).drop("doc_id")
+    abs_links = links.filter(
+        F.expr("lower(split_part(href, '://', 1)) IN ('http', 'https')")
+    ).select("href")
+    canon = web.with_canonical_url(abs_links, "href")
+    frontier = canon.select(
+        F.expr(
+            "split_part(split_part(split_part(canonical_url, '://', 2), '/', 1), ':', 1)"
+        ).alias("host"),
+        "canonical_url",
+    ).distinct()
+    return links, frontier
+
+
+# the href-canonicalization + distinct-frontier CTE chain shared by the
+# frontier_schedule and robots_frontier_filter oracles (consumes the
+# `links` CTE from _LINK_GRAPH_CTES; COALESCE: DuckDB's array_to_string
+# over an EMPTY list is NULL — hrefs here carry no query at all — which
+# would slip past the cq = '' branch and emit a bare '?')
+_FRONTIER_CTES = """alink AS (
       SELECT href FROM links
       WHERE lower(split_part(href, '://', 1)) IN ('http', 'https')
     ),
@@ -1403,9 +1423,6 @@ def _frontier_sql() -> str:
     ),
     fpq AS (
       SELECT *, split_part(pathq, '?', 1) AS p,
-             -- COALESCE: DuckDB's array_to_string over an EMPTY list is
-             -- NULL (hrefs here carry no query at all), which would
-             -- slip past the cq = '' branch and emit a bare '?'
              COALESCE(array_to_string(list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
                x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
                     AND NOT list_contains(['fbclid','gclid','ref','mc_eid','igshid'],
@@ -1429,7 +1446,20 @@ def _frontier_sql() -> str:
         split_part(split_part(split_part(canonical_url, '://', 2), '/', 1), ':', 1) AS host,
         canonical_url
       FROM fcanon
-    ),
+    )"""
+
+
+def _frontier_sql() -> str:
+    """DuckDB twin of the frontier_schedule composition: link graph →
+    PageRank chain (shared _pagerank_ctes) + href canonicalization
+    (the _URL_CANON_CTES chain applied to hrefs) + the politeness
+    rank, as a plain one-task-per-host window (oracles don't need the
+    two-phase trick)."""
+    pr_body, pr_final = _pagerank_ctes()
+    return f"""
+    WITH {_LINK_GRAPH_CTES},
+    {pr_body},
+    {_FRONTIER_CTES},
     pri AS (
       SELECT f.host, f.canonical_url, CAST(COALESCE(r.pr, 0) AS BIGINT) AS host_pr
       FROM frontier f LEFT JOIN {pr_final} r ON r.host = f.host
@@ -1461,25 +1491,9 @@ def frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plan computes the SAME slot via per-(host, md5-prefix
     bucket) local ranks + a ≤ 256-row-per-host offset window, so a
     mega-host never funnels through one task."""
-    pages = (
-        _tbl(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("src_host", F.expr(_LINK_SRC_HOST))
-        .withColumn("html", F.expr(_LINK_HTML_SYNTH))
-    )
-    links = web.extract_links(pages).drop("doc_id")
+    links, frontier = _link_frontier(spark, sf_dir)
     edges = web.host_edges(links)
     ranks = web.pagerank(edges)
-    abs_links = links.filter(
-        F.expr("lower(split_part(href, '://', 1)) IN ('http', 'https')")
-    ).select("href")
-    canon = web.with_canonical_url(abs_links, "href")
-    frontier = canon.select(
-        F.expr(
-            "split_part(split_part(split_part(canonical_url, '://', 2), '/', 1), ':', 1)"
-        ).alias("host"),
-        "canonical_url",
-    ).distinct()
     pri = (
         frontier.join(ranks, "host", "left")
         .withColumn("host_pr", F.coalesce(F.col("pr"), F.lit(0)).cast("long"))
@@ -1487,6 +1501,113 @@ def frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return web.frontier_schedule(pri, per_host_rate=_FRONTIER_RATE).select(
         "host", "canonical_url", "host_pr", "slot_in_host", "fetch_wave"
+    )
+
+
+# per-host robots synthesis: hosts h(N) with N % 5 == 0 publish no
+# robots file (everything allowed by default), the rest disallow the
+# /articles/1 prefix (which blocks /articles/1 AND /articles/10..19 —
+# the bytewise-prefix rule) but Allow the longer /articles/12; every
+# third host additionally disallows / (block-all with carve-outs)
+_ROBOTS_TXT_SYNTH = """
+    concat('User-agent: *', chr(10),
+           'Disallow: /articles/1', chr(10),
+           'Allow: /articles/12',
+           CASE WHEN n % 3 = 0 THEN concat(chr(10), 'Disallow: /') ELSE '' END)"""
+
+
+@q(
+    "robots_frontier_filter",
+    f"""
+    WITH {_LINK_GRAPH_CTES},
+    {_FRONTIER_CTES},
+    hostn AS (
+      -- TRY_CAST: filter pushdown may evaluate this below the
+      -- absolute-link filter, where a relative href's empty host
+      -- yields '' — try_cast nulls it instead of aborting the scan
+      SELECT DISTINCT host,
+             TRY_CAST(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INT) AS n
+      FROM frontier
+    ),
+    rb AS (
+      SELECT host, {_ROBOTS_TXT_SYNTH} AS robots_txt
+      FROM hostn WHERE n % 5 <> 0
+    ),
+    rlines AS (
+      SELECT host, unnest(string_split(robots_txt, chr(10))) AS line FROM rb
+    ),
+    rrules AS (
+      SELECT host,
+             CASE WHEN line LIKE 'Allow:%' THEN 'allow' ELSE 'disallow' END AS rule,
+             trim(CASE WHEN line LIKE 'Allow:%' THEN substr(line, 7)
+                       ELSE substr(line, 10) END) AS path_prefix
+      FROM rlines
+      WHERE line LIKE 'Allow:%' OR line LIKE 'Disallow:%'
+    ),
+    rr AS (
+      SELECT *, length(path_prefix) AS prefix_len FROM rrules
+      WHERE path_prefix <> ''
+    ),
+    fpaths AS (
+      SELECT host, canonical_url,
+             substr(split_part(canonical_url, '://', 2),
+                    length(split_part(split_part(canonical_url, '://', 2), '/', 1)) + 1) AS path
+      FROM frontier
+    ),
+    m AS (
+      SELECT f.canonical_url,
+             max(lpad(CAST(r.prefix_len AS VARCHAR), 6, '0')
+                 || CASE WHEN r.rule = 'allow' THEN '1' ELSE '0' END
+                 || r.path_prefix) AS best
+      FROM fpaths f JOIN rr r
+        ON r.host = f.host
+       AND substr(f.path, 1, r.prefix_len) = r.path_prefix
+      GROUP BY f.canonical_url
+    )
+    SELECT f.host, f.canonical_url,
+           (m.best IS NULL OR substr(m.best, 7, 1) = '1') AS allowed,
+           CASE WHEN m.best IS NULL THEN '' ELSE substr(m.best, 8) END AS matched_rule
+    FROM fpaths f LEFT JOIN m USING (canonical_url)
+    """,
+)
+def robots_frontier_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt rule filtering over the crawl frontier
+    (operators/web.py parse_robots + robots_filter) — the OTHER half
+    of politeness beside frontier_schedule's rate limiting: WHAT may
+    be fetched at all, with the real RFC 9309 precedence (longest
+    matching prefix wins, Allow beats Disallow on a length tie, no
+    match → allowed).  The fixture pins every precedence edge: the
+    bytewise-prefix rule (Disallow /articles/1 blocks /articles/10..19
+    too), the longer-Allow carve-out (/articles/12 survives), the
+    block-all-with-carve-outs host (Disallow / beaten by both longer
+    rules), and the no-robots default-allow host.  The winning rule is
+    a map-side-combinable MAX over sortable rule encodings — no window
+    anywhere; the rule table is hosts × a handful of lines and the
+    frontier join carries (host, short strings)."""
+    _, frontier = _link_frontier(spark, sf_dir)
+    # try_cast mirrors the oracle's TRY_CAST: under ANSI mode a pushed-
+    # down '' → INT cast would otherwise abort the scan if the planner
+    # reorders it below the absolute-link filter
+    hostn = frontier.select("host").distinct().withColumn(
+        "n",
+        F.expr(r"try_cast(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INT)"),
+    )
+    robots = (
+        hostn.filter(F.col("n") % 5 != 0)
+        .withColumn(
+            "robots_txt",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /articles/1\nAllow: /articles/12"),
+                F.when(F.col("n") % 3 == 0, F.lit("\nDisallow: /")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
+        .select("host", "robots_txt")
+    )
+    rules = web.parse_robots(robots)
+    return web.robots_filter(frontier, rules).select(
+        "host", "canonical_url", "allowed", "matched_rule"
     )
 
 
@@ -8024,6 +8145,7 @@ _PINNED = [
     "weighted_sample",
     "streaming_weighted_sample",
     "frontier_schedule",
+    "robots_frontier_filter",
     "image_text_pair_dedup",
     # VERDICT r8 "What's wrong" #1 / "Next round" #4: the 20 queries
     # whose last driver attestation dates to rounds 2-4 while their

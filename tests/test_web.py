@@ -296,3 +296,46 @@ def test_frontier_schedule_matches_naive_window_and_politeness(spark):
     assert max(waves.values()) <= 2  # politeness bound
     # h1 (7 urls, rate 2) stretches over ceil(7/2) = 4 waves
     assert max(w for (h, w) in waves if h == "h1") == 3
+
+
+def test_parse_robots_and_filter_precedence(spark):
+    """RFC 9309 precedence pinned: longest prefix wins, Allow beats
+    Disallow on a length tie, no match -> allowed, bytewise-prefix
+    semantics, empty-path rules dropped at parse."""
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+                "Disallow:\nAllow: /c\nDisallow: /c",  # tie at len 2
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = web.parse_robots(robots)
+    got = {(r["rule"], r["path_prefix"]) for r in rows(rules)}
+    # the empty-path Disallow is dropped at parse
+    assert got == {
+        ("disallow", "/a"), ("allow", "/a/b"), ("allow", "/c"), ("disallow", "/c"),
+    }
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/a"),        # blocked by /a
+            ("a.com", "https://a.com/ab"),       # bytewise: /a blocks /ab
+            ("a.com", "https://a.com/a/b/c"),    # longest match /a/b allows
+            ("a.com", "https://a.com/c/x"),      # tie /c vs /c -> Allow wins
+            ("a.com", "https://a.com/zzz"),      # no match -> allowed
+            ("b.com", "https://b.com/a"),        # no robots -> allowed
+        ],
+        "host string, canonical_url string",
+    )
+    out = {
+        r["canonical_url"]: (r["allowed"], r["matched_rule"])
+        for r in rows(web.robots_filter(frontier, rules))
+    }
+    assert out["https://a.com/a"] == (False, "/a")
+    assert out["https://a.com/ab"] == (False, "/a")
+    assert out["https://a.com/a/b/c"] == (True, "/a/b")
+    assert out["https://a.com/c/x"] == (True, "/c")
+    assert out["https://a.com/zzz"] == (True, "")
+    assert out["https://b.com/a"] == (True, "")
