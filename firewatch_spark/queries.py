@@ -1399,48 +1399,60 @@ def _link_frontier(spark: SparkSession, sf_dir: str):
     return links, frontier
 
 
+def _canon_ctes(src: str, col: str, pfx: str) -> tuple[str, str]:
+    """The DuckDB twin of web.with_canonical_url as a reusable CTE
+    chain: canonicalizes column ``col`` of CTE ``src``, carrying every
+    other column of ``src`` through.  CTE/intermediate names are
+    ``pfx``-prefixed so several chains can coexist in one oracle (href
+    frontier, sitemap locs).  Returns (body, final_cte_name); the
+    final CTE adds ``canonical_url``.
+
+    COALESCE on the query rebuild: DuckDB's array_to_string over an
+    EMPTY list is NULL — a URL with no query at all — which would slip
+    past the cq = '' branch and emit a bare '?'."""
+    return f"""{pfx}parts AS (
+      SELECT *,
+             lower(split_part({col}, '://', 1)) AS {pfx}scheme,
+             split_part(split_part({col}, '://', 2), '#', 1) AS {pfx}rest
+      FROM {src}
+    ),
+    {pfx}fields AS (
+      SELECT *,
+             split_part(lower(split_part(split_part({pfx}rest, '?', 1), '/', 1)), ':', 1) AS {pfx}hname,
+             split_part(lower(split_part(split_part({pfx}rest, '?', 1), '/', 1)), ':', 2) AS {pfx}hport,
+             substr({pfx}rest, length(split_part(split_part({pfx}rest, '?', 1), '/', 1)) + 1) AS {pfx}pathq
+      FROM {pfx}parts
+    ),
+    {pfx}pq AS (
+      SELECT *, split_part({pfx}pathq, '?', 1) AS {pfx}p,
+             COALESCE(array_to_string(list_sort(list_filter(string_split(split_part({pfx}pathq, '?', 2), '&'),
+               x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
+                    AND NOT list_contains(['fbclid','gclid','ref','mc_eid','igshid'],
+                                          split_part(x, '=', 1)))), '&'), '') AS {pfx}cq
+      FROM {pfx}fields
+    ),
+    {pfx}canon AS (
+      SELECT *, concat({pfx}scheme, '://',
+        CASE WHEN substr({pfx}hname, 1, 4) = 'www.' THEN substr({pfx}hname, 5) ELSE {pfx}hname END,
+        CASE WHEN {pfx}hport = '' OR ({pfx}scheme = 'https' AND {pfx}hport = '443')
+                  OR ({pfx}scheme = 'http' AND {pfx}hport = '80') THEN ''
+             ELSE concat(':', {pfx}hport) END,
+        CASE WHEN {pfx}p IN ('', '/') THEN '/'
+             WHEN substr({pfx}p, length({pfx}p), 1) = '/' THEN substr({pfx}p, 1, length({pfx}p) - 1)
+             ELSE {pfx}p END,
+        CASE WHEN {pfx}cq = '' THEN '' ELSE concat('?', {pfx}cq) END) AS canonical_url
+      FROM {pfx}pq
+    )""", f"{pfx}canon"
+
+
 # the href-canonicalization + distinct-frontier CTE chain shared by the
-# frontier_schedule and robots_frontier_filter oracles (consumes the
-# `links` CTE from _LINK_GRAPH_CTES; COALESCE: DuckDB's array_to_string
-# over an EMPTY list is NULL — hrefs here carry no query at all — which
-# would slip past the cq = '' branch and emit a bare '?')
-_FRONTIER_CTES = """alink AS (
+# frontier_schedule / robots_frontier_filter / frontier_pipeline
+# oracles (consumes the `links` CTE from _LINK_GRAPH_CTES)
+_FRONTIER_CTES = f"""alink AS (
       SELECT href FROM links
       WHERE lower(split_part(href, '://', 1)) IN ('http', 'https')
     ),
-    fparts AS (
-      SELECT href,
-             lower(split_part(href, '://', 1)) AS scheme,
-             split_part(split_part(href, '://', 2), '#', 1) AS rest
-      FROM alink
-    ),
-    ffields AS (
-      SELECT *,
-             split_part(lower(split_part(split_part(rest, '?', 1), '/', 1)), ':', 1) AS hname,
-             split_part(lower(split_part(split_part(rest, '?', 1), '/', 1)), ':', 2) AS hport,
-             substr(rest, length(split_part(split_part(rest, '?', 1), '/', 1)) + 1) AS pathq
-      FROM fparts
-    ),
-    fpq AS (
-      SELECT *, split_part(pathq, '?', 1) AS p,
-             COALESCE(array_to_string(list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
-               x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
-                    AND NOT list_contains(['fbclid','gclid','ref','mc_eid','igshid'],
-                                          split_part(x, '=', 1)))), '&'), '') AS cq
-      FROM ffields
-    ),
-    fcanon AS (
-      SELECT concat(scheme, '://',
-        CASE WHEN substr(hname, 1, 4) = 'www.' THEN substr(hname, 5) ELSE hname END,
-        CASE WHEN hport = '' OR (scheme = 'https' AND hport = '443')
-                  OR (scheme = 'http' AND hport = '80') THEN ''
-             ELSE concat(':', hport) END,
-        CASE WHEN p IN ('', '/') THEN '/'
-             WHEN substr(p, length(p), 1) = '/' THEN substr(p, 1, length(p) - 1)
-             ELSE p END,
-        CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END) AS canonical_url
-      FROM fpq
-    ),
+    {_canon_ctes("alink", "href", "f")[0]},
     frontier AS (
       SELECT DISTINCT
         split_part(split_part(split_part(canonical_url, '://', 2), '/', 1), ':', 1) AS host,
@@ -1516,18 +1528,16 @@ _ROBOTS_TXT_SYNTH = """
            CASE WHEN n % 3 = 0 THEN concat(chr(10), 'Disallow: /') ELSE '' END)"""
 
 
-@q(
-    "robots_frontier_filter",
-    f"""
-    WITH {_LINK_GRAPH_CTES},
-    {_FRONTIER_CTES},
-    hostn AS (
-      -- TRY_CAST: filter pushdown may evaluate this below the
-      -- absolute-link filter, where a relative href's empty host
-      -- yields '' — try_cast nulls it instead of aborting the scan
+def _robots_rule_ctes(frontier_cte: str) -> str:
+    """The per-host robots rule-table CTEs over ``frontier_cte``
+    (host, …): synthesized robots text → Allow/Disallow rule rows.
+    TRY_CAST in hostn: filter pushdown may evaluate the host-number
+    extract below the absolute-link filter, where a relative href's
+    empty host yields '' — try_cast nulls it instead of aborting."""
+    return f"""hostn AS (
       SELECT DISTINCT host,
              TRY_CAST(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INT) AS n
-      FROM frontier
+      FROM {frontier_cte}
     ),
     rb AS (
       SELECT host, {_ROBOTS_TXT_SYNTH} AS robots_txt
@@ -1547,27 +1557,41 @@ _ROBOTS_TXT_SYNTH = """
     rr AS (
       SELECT *, length(path_prefix) AS prefix_len FROM rrules
       WHERE path_prefix <> ''
+    )"""
+
+
+def _robots_match_ctes(frontier_cte: str) -> str:
+    """fpaths/rmatch: per-URL winning robots rule (the sortable-encoding
+    MAX) over ``frontier_cte`` joined to the ``rr`` rule table —
+    consumed as ``fpaths LEFT JOIN rmatch USING (canonical_url)``."""
+    return f"""fpaths AS (
+      SELECT *, substr(split_part(canonical_url, '://', 2),
+                    length(split_part(split_part(canonical_url, '://', 2), '/', 1)) + 1) AS rpath
+      FROM {frontier_cte}
     ),
-    fpaths AS (
-      SELECT host, canonical_url,
-             substr(split_part(canonical_url, '://', 2),
-                    length(split_part(split_part(canonical_url, '://', 2), '/', 1)) + 1) AS path
-      FROM frontier
-    ),
-    m AS (
+    rmatch AS (
       SELECT f.canonical_url,
              max(lpad(CAST(r.prefix_len AS VARCHAR), 6, '0')
                  || CASE WHEN r.rule = 'allow' THEN '1' ELSE '0' END
                  || r.path_prefix) AS best
       FROM fpaths f JOIN rr r
         ON r.host = f.host
-       AND substr(f.path, 1, r.prefix_len) = r.path_prefix
+       AND substr(f.rpath, 1, r.prefix_len) = r.path_prefix
       GROUP BY f.canonical_url
-    )
+    )"""
+
+
+@q(
+    "robots_frontier_filter",
+    f"""
+    WITH {_LINK_GRAPH_CTES},
+    {_FRONTIER_CTES},
+    {_robots_rule_ctes("frontier")},
+    {_robots_match_ctes("frontier")}
     SELECT f.host, f.canonical_url,
            (m.best IS NULL OR substr(m.best, 7, 1) = '1') AS allowed,
            CASE WHEN m.best IS NULL THEN '' ELSE substr(m.best, 8) END AS matched_rule
-    FROM fpaths f LEFT JOIN m USING (canonical_url)
+    FROM fpaths f LEFT JOIN rmatch m USING (canonical_url)
     """,
 )
 def robots_frontier_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1585,14 +1609,23 @@ def robots_frontier_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere; the rule table is hosts × a handful of lines and the
     frontier join carries (host, short strings)."""
     _, frontier = _link_frontier(spark, sf_dir)
-    # try_cast mirrors the oracle's TRY_CAST: under ANSI mode a pushed-
-    # down '' → INT cast would otherwise abort the scan if the planner
-    # reorders it below the absolute-link filter
+    rules = web.parse_robots(_synth_robots(frontier))
+    return web.robots_filter(frontier, rules).select(
+        "host", "canonical_url", "allowed", "matched_rule"
+    )
+
+
+def _synth_robots(frontier: DataFrame) -> DataFrame:
+    """Spark twin of _robots_rule_ctes' synthesized robots table over
+    the frontier's hosts.  try_cast mirrors the oracle's TRY_CAST:
+    under ANSI mode a pushed-down '' → INT cast would otherwise abort
+    the scan if the planner reorders it below the absolute-link
+    filter."""
     hostn = frontier.select("host").distinct().withColumn(
         "n",
         F.expr(r"try_cast(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INT)"),
     )
-    robots = (
+    return (
         hostn.filter(F.col("n") % 5 != 0)
         .withColumn(
             "robots_txt",
@@ -1605,9 +1638,160 @@ def robots_frontier_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("host", "robots_txt")
     )
-    rules = web.parse_robots(robots)
-    return web.robots_filter(frontier, rules).select(
-        "host", "canonical_url", "allowed", "matched_rule"
+
+
+# sitemap XML synthesis per host h(N): the canonical article page, a
+# DELIBERATELY messy second loc (padded whitespace, WWW., mixed case,
+# trailing slash — proving sitemap URLs flow through the same
+# canonicalizer as hrefs) and a /promo page the LINK GRAPH never
+# reaches — sitemap-only discoveries are what make the union frontier
+# meaningful.  Engine-portable concat (Spark SQL + DuckDB).
+_SITEMAP_SYNTH = """
+    concat('<?xml version="1.0"?><urlset>',
+      '<url><loc>https://h', CAST(n AS STRING), '.example.com/articles/',
+        CAST(n % 40 AS STRING), '</loc><lastmod>2026-0',
+        CAST(n % 9 + 1 AS STRING), '-15</lastmod></url>',
+      '<url><loc> https://WWW.h', CAST(n AS STRING), '.Example.COM/articles/',
+        CAST((n * 7 + 3) % 40 AS STRING), '/ </loc></url>',
+      '<url><loc>https://h', CAST(n AS STRING), '.example.com/promo/',
+        CAST(n AS STRING), '</loc></url>',
+      '</urlset>')"""
+
+# the sitemap parse + canonicalize CTE chain (consumes `documents`),
+# ending in smfrontier(host, canonical_url) — shared by sitemap_ingest
+# and frontier_pipeline
+_SITEMAP_CTES = f"""smhost AS (
+      SELECT DISTINCT CAST(doc_id % 97 AS INT) AS n FROM documents
+    ),
+    sm AS (SELECT n, {_SITEMAP_SYNTH} AS sitemap_xml FROM smhost),
+    smblocks AS (
+      SELECT n, unnest(regexp_extract_all(sitemap_xml, '(?s)<url>(.*?)</url>', 1)) AS block
+      FROM sm
+    ),
+    sment AS (
+      SELECT trim(regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1)) AS loc,
+             trim(regexp_extract(block, '(?s)<lastmod>(.*?)</lastmod>', 1)) AS lastmod
+      FROM smblocks
+    ),
+    smv AS (SELECT * FROM sment WHERE loc <> ''),
+    {_canon_ctes("smv", "loc", "s")[0]},
+    smfrontier AS (
+      SELECT DISTINCT
+        split_part(split_part(split_part(canonical_url, '://', 2), '/', 1), ':', 1) AS host,
+        canonical_url
+      FROM scanon
+    )"""
+
+
+def _sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SITEMAP_CTES through scanon: parsed + canonicalized
+    sitemap entries (loc, lastmod, canonical_url)."""
+    hosts = (
+        _tbl(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).cast("int").alias("n"))
+        .distinct()
+    )
+    sm = hosts.withColumn("sitemap_xml", F.expr(_SITEMAP_SYNTH))
+    entries = web.parse_sitemap(sm, keep=()).select("loc", "lastmod")
+    return web.with_canonical_url(entries, "loc")
+
+
+_FRONTIER_HOST = (
+    "split_part(split_part(split_part(canonical_url, '://', 2), '/', 1), ':', 1)"
+)
+
+
+@q(
+    "sitemap_ingest",
+    f"""
+    WITH {_SITEMAP_CTES}
+    SELECT {_FRONTIER_HOST} AS host, canonical_url, lastmod
+    FROM scanon
+    """,
+)
+def sitemap_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (operators/web.py parse_sitemap) — the second
+    frontier DISCOVERY channel beside link extraction: the sitemaps.org
+    <urlset> format parsed with block-scoped two-level regex (a lastmod
+    can never pair with a neighboring entry's loc), locs flowing
+    through the SAME canonicalizer as hrefs — pinned by the planted
+    messy loc (padded whitespace, WWW., mixed case, trailing slash).
+    Scan-side extract+explode, zero shuffle; every (host, canonical,
+    lastmod) row value-hash-gated."""
+    canon = _sitemap_entries(spark, sf_dir)
+    return canon.select(
+        F.expr(_FRONTIER_HOST).alias("host"), "canonical_url", "lastmod"
+    )
+
+
+@q(
+    "frontier_pipeline",
+    f"""
+    WITH {_LINK_GRAPH_CTES},
+    {_FRONTIER_CTES},
+    {_SITEMAP_CTES},
+    uni AS (
+      SELECT host, canonical_url, 'link' AS src FROM frontier
+      UNION ALL
+      SELECT host, canonical_url, 'sitemap' FROM smfrontier
+    ),
+    ufrontier AS (
+      SELECT host, canonical_url,
+             array_to_string(list_sort(list_distinct(list(src))), ',') AS discovered_by
+      FROM uni GROUP BY host, canonical_url
+    ),
+    {_robots_rule_ctes("ufrontier")},
+    {_robots_match_ctes("ufrontier")},
+    dec AS (
+      SELECT f.host, f.canonical_url, f.discovered_by
+      FROM fpaths f LEFT JOIN rmatch m USING (canonical_url)
+      WHERE m.best IS NULL OR substr(m.best, 7, 1) = '1'
+    ),
+    sl AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY host
+           ORDER BY md5(canonical_url), canonical_url) AS BIGINT) AS slot_in_host
+      FROM dec
+    )
+    SELECT host, canonical_url, discovered_by, slot_in_host,
+           CAST((slot_in_host - 1) // {_FRONTIER_RATE} AS BIGINT) AS fetch_wave
+    FROM sl
+    """,
+)
+def frontier_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl FRONTIER LOOP composed end-to-end: link extraction ∪
+    sitemap ingestion (two discovery channels, each individually
+    gated) → per-URL discovery provenance (``discovered_by`` —
+    'link', 'sitemap', or both) → robots.txt rule filtering (RFC 9309
+    longest-match precedence, disallowed URLs exit HERE) → per-host
+    politeness scheduling over the SURVIVORS.  This row attests the
+    COMPOSITION the way crawl_pipeline attests the content side: what
+    a crawler actually fetches next round, from raw discovery to
+    rate-limited wave assignment, value-hashed end to end.  Scale
+    shape: the union groupBy carries (host, url, 4-byte src); robots
+    and scheduling reuse the audited per-stage plans (rule-table
+    equi-join + MAX, per-(host, bucket) two-phase rank)."""
+    _, lfront = _link_frontier(spark, sf_dir)
+    sfront = (
+        _sitemap_entries(spark, sf_dir)
+        .select(F.expr(_FRONTIER_HOST).alias("host"), "canonical_url")
+        .distinct()
+    )
+    uni = lfront.withColumn("src", F.lit("link")).unionByName(
+        sfront.withColumn("src", F.lit("sitemap"))
+    )
+    ufront = uni.groupBy("host", "canonical_url").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("src"))).alias(
+            "discovered_by"
+        )
+    )
+    rules = web.parse_robots(_synth_robots(ufront))
+    allowed = (
+        web.robots_filter(ufront, rules)
+        .filter(F.col("allowed"))
+        .select("host", "canonical_url", "discovered_by")
+    )
+    return web.frontier_schedule(allowed, per_host_rate=_FRONTIER_RATE).select(
+        "host", "canonical_url", "discovered_by", "slot_in_host", "fetch_wave"
     )
 
 
@@ -8146,6 +8330,8 @@ _PINNED = [
     "streaming_weighted_sample",
     "frontier_schedule",
     "robots_frontier_filter",
+    "sitemap_ingest",
+    "frontier_pipeline",
     "image_text_pair_dedup",
     # VERDICT r8 "What's wrong" #1 / "Next round" #4: the 20 queries
     # whose last driver attestation dates to rounds 2-4 while their

@@ -339,3 +339,23 @@ def test_parse_robots_and_filter_precedence(spark):
     assert out["https://a.com/c/x"] == (True, "/c")
     assert out["https://a.com/zzz"] == (True, "")
     assert out["https://b.com/a"] == (True, "")
+
+
+def test_parse_sitemap_block_scoped_fields(spark):
+    """lastmod must pair with ITS OWN url block (two-level extract),
+    loc-less entries drop, whitespace trims, missing lastmod -> ''."""
+    xml = (
+        "<?xml version=\"1.0\"?><urlset>"
+        "<url><loc> https://a.com/1 </loc><lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>https://a.com/2</loc></url>"          # no lastmod
+        "<url><lastmod>2026-03-04</lastmod></url>"       # no loc: dropped
+        "<url><loc>https://a.com/3</loc><lastmod>2026-05-06</lastmod></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a.com", xml)], "host string, sitemap_xml string")
+    out = {r["loc"]: r["lastmod"] for r in rows(web.parse_sitemap(df))}
+    assert out == {
+        "https://a.com/1": "2026-01-02",
+        "https://a.com/2": "",
+        "https://a.com/3": "2026-05-06",
+    }
