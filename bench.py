@@ -96,6 +96,8 @@ BUILD_TIMED = {
     "streaming_weighted_sample",
     # composes web.pagerank — per-round rank checkpoints in-build
     "frontier_schedule",
+    # dump write + availableNow foreachBatch run in-build
+    "streaming_warc_ingest",
 }
 
 

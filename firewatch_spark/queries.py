@@ -1002,9 +1002,7 @@ _WARC_BAD_RECORDS = (
 )
 
 
-@q(
-    "warc_ingest",
-    f"""
+_WARC_INGEST_SQL = f"""
     WITH {_URL_CANON_CTES},
     pages AS (SELECT doc_id, {_HTML_SYNTH} AS html FROM documents)
     SELECT c.url, c.canonical_url, 'response' AS warc_type,
@@ -1017,8 +1015,10 @@ _WARC_BAD_RECORDS = (
     UNION ALL SELECT 'http://bad.example/trunc', '', 'response', -1, -1, '', TRUE, 'length_mismatch'
     UNION ALL SELECT 'http://bad.example/nosep', '', 'response', -1, -1, '', TRUE, 'missing_separator'
     UNION ALL SELECT 'http://bad.example/nolen', '', 'response', -1, -1, '', TRUE, 'missing_length'
-    """,
-)
+    """
+
+
+@q("warc_ingest", _WARC_INGEST_SQL)
 def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-shaped crawl-dump ingest (sources/warc.py; VERDICT r7 ask
     #5) — completes the crawl family: the stage-zero pack started at
@@ -1033,12 +1033,22 @@ def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-gated.  Good records chain straight into
     with_canonical_url, proving url_canonicalize -> html_extract ->
     link_extract is runnable FROM A RAW DUMP."""
+    from .sources import warc as warc_src
+
+    data_dir = _write_warc_dump(spark, sf_dir, "fw_warc_")
+    parsed = warc_src.read_warc(spark, data_dir)
+    return _warc_projection(parsed)
+
+
+def _write_warc_dump(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Write the synthetic WARC-shaped dump (4 part files + the
+    planted-malformed bad.warc) into a fresh atexit-cleaned tempdir and
+    return its path — shared by warc_ingest / crawl_pipeline /
+    streaming_warc_ingest."""
     import atexit
     import os
     import shutil
     import tempfile
-
-    from .sources import warc as warc_src
 
     pages = (
         _tbl(spark, sf_dir, "documents")
@@ -1051,7 +1061,7 @@ def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'WARC-Target-URI: ', url, '\n', "
         "'Content-Length: ', CAST(length(html) AS STRING), '\n\n', html, '\n\n')"
     )
-    tmp = tempfile.mkdtemp(prefix="fw_warc_")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     data_dir = os.path.join(tmp, "data")
     pages.select(record.alias("value")).coalesce(4).write.mode(
@@ -1060,7 +1070,74 @@ def warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(data_dir, "bad.warc"), "w") as f:
         for rec in _WARC_BAD_RECORDS:
             f.write(rec)
-    parsed = warc_src.read_warc(spark, data_dir)
+    return data_dir
+
+
+# the streamed twin attests the SAME oracle: record parsing is
+# row-pure and record framing never straddles files, so
+# union-of-batches == whole-dump bit-for-bit
+@q("streaming_warc_ingest", _WARC_INGEST_SQL)
+def streaming_warc_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest as a REAL Structured Streaming pipeline — how
+    production crawl dumps actually land: segment files arriving
+    continuously, parsed as they appear.  The dump's 5 files (4 data
+    parts + the planted-malformed bad.warc) arrive through a lineSep
+    file stream one file per micro-batch; each batch runs the SAME
+    parse + dead-letter + canonicalize chain as batch `warc_ingest`
+    inside ``foreachBatch`` and appends its rows idempotently
+    (batch-id-owned overwrite — the house convention).  Record
+    parsing is row-pure and the sentinel framing is per-file, so
+    union-of-batches ≡ whole-dump bit-for-bit: the gate attests the
+    STREAMED table against the SAME oracle as `warc_ingest` —
+    the ingest family's streaming proof beside dedup/ANN/sketches/
+    sampling.  Per-batch state is zero (stateless parse); dead-letter
+    rows flow continuously instead of failing the stream."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources import warc as warc_src
+
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    tmp = None
+    try:
+        data_dir = _write_warc_dump(spark, sf_dir, "fw_warc_stream_")
+        tmp = tempfile.mkdtemp(prefix="fw_warc_stream_out_")
+        out_dir = os.path.join(tmp, "parsed")
+
+        stream = (
+            spark.readStream.option("lineSep", warc_src.WARC_SENTINEL)
+            .option("maxFilesPerTrigger", 1)
+            .text(data_dir)
+        )
+
+        def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            _warc_projection(
+                warc_src.parse_warc_records(batch_df)
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+        query = (
+            stream.writeStream.foreachBatch(run_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert query.awaitTermination(300), (
+            "streaming WARC ingest did not drain in 300s"
+        )
+        query.stop()
+        result = spark.read.parquet(out_dir).drop("batch_id").localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def _warc_projection(parsed: DataFrame) -> DataFrame:
+    """The warc_ingest output projection (canonicalize good records,
+    blank the dead-letter rows) — shared with the streamed twin."""
     out = web.with_canonical_url(parsed, "url")
     return out.select(
         "url",
@@ -1133,34 +1210,9 @@ def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end.  Extraction runs AFTER dedup on keepers only — at
     100 TB that ordering is the big lever: the regex chain runs once
     per unique page, not once per crawl variant."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from .sources import warc as warc_src
 
-    pages = (
-        _tbl(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .withColumn("url", F.expr(_URL_SYNTH))
-        .withColumn("html", F.expr(_HTML_SYNTH))
-    )
-    record = F.expr(
-        "concat('WARC/1.0\n', 'WARC-Type: response\n', "
-        "'WARC-Target-URI: ', url, '\n', "
-        "'Content-Length: ', CAST(length(html) AS STRING), '\n\n', html, '\n\n')"
-    )
-    tmp = tempfile.mkdtemp(prefix="fw_crawlpipe_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    data_dir = os.path.join(tmp, "data")
-    pages.select(record.alias("value")).coalesce(4).write.mode(
-        "overwrite"
-    ).text(data_dir)
-    with open(os.path.join(data_dir, "bad.warc"), "w") as f:
-        for rec in _WARC_BAD_RECORDS:
-            f.write(rec)
-
+    data_dir = _write_warc_dump(spark, sf_dir, "fw_crawlpipe_")
     parsed = warc_src.read_warc(spark, data_dir)
     good = parsed.filter(~F.col("is_malformed"))
     canon = web.with_canonical_url(good, "url").select(
@@ -8332,6 +8384,7 @@ _PINNED = [
     "robots_frontier_filter",
     "sitemap_ingest",
     "frontier_pipeline",
+    "streaming_warc_ingest",
     "image_text_pair_dedup",
     # VERDICT r8 "What's wrong" #1 / "Next round" #4: the 20 queries
     # whose last driver attestation dates to rounds 2-4 while their

@@ -18,6 +18,7 @@ SKIP = {
     "streaming_ann_serve",
     "streaming_sketch_merge",
     "streaming_weighted_sample",  # foreachBatch replay runs in-build
+    "streaming_warc_ingest",  # dump write + foreachBatch run in-build
     "video_scan",
     "jsonl_ingest",  # building its DataFrame writes the JSONL fixture
     "csv_ingest",  # same: builds by writing the CSV fixture
