@@ -257,3 +257,25 @@ def test_weighted_priority_sample_weight_monotone(spark):
     one = spark.createDataFrame([(7, 10), (7, 1000)], "doc_id long, w long")
     got = [r["priority"] for r in rows(sampling.with_sample_priority(one, "w"), "w")]
     assert got[0] > got[1]  # heavier weight -> smaller priority, same draw
+
+
+def test_quality_budget_select_degenerate_score_distribution(spark):
+    """All-equal scores collapse every row into ONE range bucket — the
+    two-phase rank must still equal the naive (score DESC, id) window
+    (bucket width degenerates to span 0 -> width 1)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, 7, 10) for i in range(1, 31)], "doc_id long, score long, n_tokens long"
+    )
+    got = {r["doc_id"]: r["cum_tokens_before"]
+           for r in rows(sampling.quality_budget_select(df, 95, "score"))}
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = {
+        r["doc_id"]: r["cb"]
+        for r in rows(df.withColumn("cb", F.sum("n_tokens").over(w) - F.col("n_tokens")))
+        if r["cb"] < 95
+    }
+    assert got == naive and len(got) == 10  # 9 full + the boundary doc

@@ -359,3 +359,57 @@ def test_parse_sitemap_block_scoped_fields(spark):
         "https://a.com/2": "",
         "https://a.com/3": "2026-05-06",
     }
+
+
+def test_robots_filter_fuzz_against_python_reference(spark):
+    """Randomized rule sets + URLs vs a hand-rolled RFC 9309 reference:
+    longest prefix wins, Allow beats Disallow on ties, no match ->
+    allowed.  Deterministic seed — same draw every run."""
+    import random
+
+    rng = random.Random(90210)
+    segs = ["a", "b", "c", "d"]
+    hosts = [f"h{i}.test" for i in range(4)]
+    rules_py = []  # (host, rule, prefix)
+    for h in hosts[:3]:  # one host stays robots-less
+        for _ in range(rng.randint(1, 6)):
+            depth = rng.randint(0, 3)
+            prefix = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+            rules_py.append((h, rng.choice(["allow", "disallow"]), prefix))
+    urls = []
+    for h in hosts:
+        for _ in range(25):
+            depth = rng.randint(0, 4)
+            path = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+            urls.append((h, f"https://{h}{path}"))
+    urls = sorted(set(urls))
+
+    def ref(host, url):
+        path = url.split("://", 1)[1]
+        path = path[path.index("/"):] if "/" in path else "/"
+        matched = [
+            (len(p), r == "allow", p)
+            for (rh, r, p) in rules_py
+            if rh == host and path.startswith(p)
+        ]
+        if not matched:
+            return True, ""
+        ln, is_allow, p = max(matched)
+        return is_allow, p
+
+    rules = spark.createDataFrame(
+        [(h, r, p, len(p)) for (h, r, p) in rules_py],
+        "host string, rule string, path_prefix string, prefix_len long",
+    )
+    frontier = spark.createDataFrame(urls, "host string, canonical_url string")
+    out = {
+        r["canonical_url"]: (r["allowed"], r["matched_rule"])
+        for r in rows(web.robots_filter(frontier, rules))
+    }
+    assert len(out) == len(urls)
+    mism = []
+    for h, u in urls:
+        want = ref(h, u)
+        if out[u] != want:
+            mism.append((u, out[u], want))
+    assert not mism, mism[:5]
