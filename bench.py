@@ -98,6 +98,8 @@ BUILD_TIMED = {
     "frontier_schedule",
     # dump write + availableNow foreachBatch run in-build
     "streaming_warc_ingest",
+    # localCheckpoints the scored corpus in-build (load-bearing cut)
+    "curation_pipeline",
 }
 
 

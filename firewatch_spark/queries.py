@@ -3933,14 +3933,16 @@ def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JM_LAM_NUM, _JM_LAM_DEN = 7, 10
 
 
-@q(
-    "interpolated_lm_score",
-    f"""
-    WITH pr AS (
+def _jm_score_ctes(src: str) -> str:
+    """The Jelinek–Mercer scoring CTE chain over a (doc_id, text) CTE
+    ``src``, through the per-position ``sc(doc_id, s_bg, s_uni)`` CTE —
+    shared by the interpolated_lm_score oracle (src = documents) and
+    curation_pipeline (src = the boilerplate-cleaned corpus)."""
+    return f"""pr AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(t)),
                i -> t[i] || ' ' || t[i + 1])) AS bg
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
     ),
     bgtf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM pr GROUP BY bg),
     ptf AS (
@@ -3948,7 +3950,7 @@ _JM_LAM_NUM, _JM_LAM_DEN = 7, 10
       FROM bgtf GROUP BY 1
     ),
     tk AS (
-      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      SELECT unnest(string_split(text, ' ')) AS tok FROM {src}
     ),
     utf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_uni FROM tk GROUP BY tok),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tk),
@@ -3961,7 +3963,13 @@ _JM_LAM_NUM, _JM_LAM_DEN = 7, 10
       JOIN ptf pt ON pt.prev = split_part(p.bg, ' ', 1)
       JOIN utf u ON u.tok = split_part(p.bg, ' ', 2)
       CROSS JOIN tot
-    )
+    )"""
+
+
+@q(
+    "interpolated_lm_score",
+    f"""
+    WITH {_jm_score_ctes("documents")}
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(({_JM_LAM_NUM} * s_bg + {_JM_LAM_DEN - _JM_LAM_NUM} * s_uni)
                     // {_JM_LAM_DEN}) AS BIGINT) AS sum_interp_scaled,
@@ -6760,11 +6768,11 @@ _ML_DOC_SYNTH = (
 _BP_MIN_DF = 3
 
 
-@q(
-    "boilerplate_line_removal",
-    f"""
-    WITH ml AS (SELECT doc_id, {_ML_DOC_SYNTH} AS t FROM documents),
-    lines AS (
+# the boilerplate-removal CTE chain over the multiline synth, through
+# bpclean(doc_id, clean_text, n_lines, n_removed) — shared by the
+# boilerplate_line_removal oracle and curation_pipeline
+_BOILER_CLEAN_CTES = f"""ml AS (SELECT doc_id, {_ML_DOC_SYNTH} AS t FROM documents),
+    blines AS (
       SELECT doc_id,
              unnest(list_transform(generate_series(1, len(ls)),
                i -> struct_pack(pos := i, line := ls[i]))) AS s
@@ -6773,21 +6781,30 @@ _BP_MIN_DF = 3
     l2 AS (
       SELECT doc_id, s.pos AS pos, s.line AS line,
              md5(trim(s.line)) AS lk
-      FROM lines
+      FROM blines
     ),
-    flagged AS (
+    bflag AS (
       SELECT lk FROM (
         SELECT lk, count(DISTINCT doc_id) AS df FROM l2 GROUP BY lk
       ) WHERE df >= {_BP_MIN_DF}
-    )
-    SELECT l2.doc_id,
-           COALESCE(array_to_string(
-             list(l2.line ORDER BY l2.pos) FILTER (WHERE f.lk IS NULL),
-             chr(10)), '') AS clean_text,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(count(f.lk) AS BIGINT) AS n_removed
-    FROM l2 LEFT JOIN flagged f USING (lk)
-    GROUP BY l2.doc_id
+    ),
+    bpclean AS (
+      SELECT l2.doc_id,
+             COALESCE(array_to_string(
+               list(l2.line ORDER BY l2.pos) FILTER (WHERE f.lk IS NULL),
+               chr(10)), '') AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(f.lk) AS BIGINT) AS n_removed
+      FROM l2 LEFT JOIN bflag f USING (lk)
+      GROUP BY l2.doc_id
+    )"""
+
+
+@q(
+    "boilerplate_line_removal",
+    f"""
+    WITH {_BOILER_CLEAN_CTES}
+    SELECT doc_id, clean_text, n_lines, n_removed FROM bpclean
     """,
 )
 def boilerplate_line_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6809,6 +6826,86 @@ def boilerplate_line_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.boilerplate_line_removal(
         docs.select("doc_id", F.col("t").alias("text")), min_doc_freq=_BP_MIN_DF
     )
+
+
+_CURATION_BUDGET = 9_000
+
+
+@q(
+    "curation_pipeline",
+    f"""
+    WITH {_BOILER_CLEAN_CTES},
+    cln AS (
+      SELECT doc_id, replace(clean_text, chr(10), ' ') AS text FROM bpclean
+    ),
+    {_jm_score_ctes("cln")},
+    interp AS (
+      SELECT doc_id,
+             CAST(sum(({_JM_LAM_NUM} * s_bg + {_JM_LAM_DEN - _JM_LAM_NUM} * s_uni)
+                      // {_JM_LAM_DEN}) AS BIGINT) AS score
+      FROM sc GROUP BY doc_id
+    ),
+    seld AS (
+      SELECT i.doc_id, i.score,
+             CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens
+      FROM interp i JOIN cln c USING (doc_id)
+    ),
+    cum AS (
+      SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cume
+      FROM seld
+    )
+    SELECT doc_id, score, n_tokens,
+           CAST(cume - n_tokens AS BIGINT) AS cum_tokens_before
+    FROM cum WHERE cume - n_tokens < {_CURATION_BUDGET}
+    """,
+)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION stack composed end-to-end (the round-9 theme:
+    composition depth): corpus-frequency boilerplate removal → JM
+    interpolated LM scoring OVER THE CLEANED TEXT → quality-ranked
+    token-budget selection — clean, score, keep-the-best-N-tokens, the
+    exact sequence a production curation pass runs between ingest and
+    training.  Each stage is individually driver-gated
+    (boilerplate_line_removal / interpolated_lm_score /
+    quality_budget_select); this row attests their COMPOSITION —
+    scoring sees the POST-cleaning token stream (banner lines removed
+    before the LM ever counts them), the budget counts CLEANED tokens,
+    and the boundary doc is value-hash-pinned end to end.  Docs left
+    with < 2 tokens after cleaning are unscoreable and do not compete
+    for budget (the bigram_lm_score convention — the oracle's inner
+    join agrees).  Scale shape: every stage keeps its audited plan
+    (two-level line-md5 aggs, vocabulary-keyed joins, ≤ 257-bucket
+    two-phase budget rank); composition adds joins on doc_id only."""
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("t", F.expr(_ML_DOC_SYNTH))
+    )
+    clean = text.boilerplate_line_removal(
+        docs.select("doc_id", F.col("t").alias("text")), min_doc_freq=_BP_MIN_DF
+    )
+    cln = clean.select(
+        "doc_id",
+        F.regexp_replace(F.col("clean_text"), "\n", " ").alias("text"),
+    )
+    imp = text.interpolated_lm_score(
+        cln, lam_num=_JM_LAM_NUM, lam_den=_JM_LAM_DEN
+    ).select("doc_id", F.col("sum_interp_scaled").alias("score"))
+    toks = cln.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    # load-bearing materialization (the llm_pipeline lesson):
+    # quality_budget_select references its input four times (stats row,
+    # range-bucket keying, bucket counts, final join) — without the cut
+    # the boilerplate+LM lineage re-executes per reference (measured
+    # 86 s -> 21 s at 25x)
+    scored = imp.join(toks, "doc_id").localCheckpoint()
+    return sampling.quality_budget_select(
+        scored, _CURATION_BUDGET, "score"
+    ).select("doc_id", "score", "n_tokens", "cum_tokens_before")
 
 
 @q("gopher_rules", _GOPHER_SQL)
@@ -8385,6 +8482,7 @@ _PINNED = [
     "sitemap_ingest",
     "frontier_pipeline",
     "streaming_warc_ingest",
+    "curation_pipeline",
     "image_text_pair_dedup",
     # VERDICT r8 "What's wrong" #1 / "Next round" #4: the 20 queries
     # whose last driver attestation dates to rounds 2-4 while their

@@ -24,6 +24,7 @@ SKIP = {
     "csv_ingest",  # same: builds by writing the CSV fixture
     "warc_ingest",  # same: builds by writing the WARC-shaped dump
     "crawl_pipeline",  # same dump write in-build
+    "curation_pipeline",  # localCheckpoints the scored corpus in-build
     "ann_ivf_upsert",  # builds by writing the stored base index; its
     # join shape is ivf_assign's, already swept via ann_ivf_cells
 }
@@ -150,6 +151,8 @@ def test_no_cartesian_product_anywhere(plans):
         # 1-row total-token broadcast into the unigram term
         "quality_budget_select",
         "interpolated_lm_score",
+        # composes both of the above (same 1-row broadcasts)
+        "curation_pipeline",
         # frontier_schedule composes web.pagerank → the 1-row n_hosts
         # teleport broadcast, same as host_pagerank (build-timed, not
         # plan-swept, but the frontier side shares the plan here)
