@@ -839,7 +839,11 @@ def weighted_priority_sample(
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement via deterministic
     Efraimidis–Spirakis priorities: keep the ``n_keep`` rows with the
-    smallest `with_sample_priority` keys (ties broken by id) — each
+    smallest `with_sample_priority` keys (ties broken by the md5 draw
+    itself, then id — the 20-bit priority grid WILL collide across a
+    large corpus, and an id tie-break alone would bias equal-priority
+    selection toward old/low ids; the hash tie-break keeps ties
+    content-neutral while staying deterministic) — each
     row's inclusion probability grows with its weight, no RNG state,
     and the result is IDENTICAL whether computed over the whole corpus,
     per partition + merged, or micro-batch by micro-batch + merged
@@ -857,11 +861,14 @@ def weighted_priority_sample(
     keyed = with_sample_priority(df, weight_col, id_col, salt).filter(
         F.col("priority").isNotNull()
     )
+    tie = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
     ranked = top_k_per_group(
-        keyed.withColumn("_g", F.lit(1)),
+        keyed.withColumn("_g", F.lit(1)).withColumn("_tie", tie),
         "_g",
         n_keep,
-        [F.asc("priority"), F.asc(id_col)],
+        [F.asc("priority"), F.asc("_tie"), F.asc(id_col)],
         rank_col="sample_rank",
-    )
+    ).drop("_tie")
     return ranked.drop("_g")

@@ -4408,7 +4408,8 @@ def _wsample_sql(n_keep: int = _WSAMPLE_N) -> str:
     ),
     r AS (
       SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, priority,
-             CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
+             CAST(row_number() OVER (ORDER BY priority,
+                  md5('wps|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
       FROM p
     )
     SELECT doc_id, weight, priority, sample_rank FROM r

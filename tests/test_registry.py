@@ -22,6 +22,10 @@ SAMPLE = ["session_stats", "inference_cadence", "dedup_exact", "asof_join"]
 SAMPLE += ["repetition_stats", "chunk_packing", "dataset_split", "llm_pipeline"]
 # round-5 session-4 head queries
 SAMPLE += ["unigram_score", "incremental_dedup", "udtf_chunks", "udaf_user_peak"]
+# round-9 curation/crawl flagships — pinned inside the driver window,
+# so the unwindowed sf0.01 replay below never reaches them; this keeps
+# a pytest-side gate on them too
+SAMPLE += ["quality_budget_select", "frontier_pipeline", "curation_pipeline"]
 
 
 def replay_against_oracle(spark, sf_dir, name):
