@@ -346,6 +346,8 @@ def token_budget_cap(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "tb",
+    budgets: DataFrame | None = None,
+    budget_col: str = "alloc_tokens",
 ) -> DataFrame:
     """Keep each stratum's documents, in deterministic md5 order, until
     a cumulative TOKEN budget is exhausted — the per-domain token
@@ -365,7 +367,14 @@ def token_budget_cap(
     per stratum, broadcast back; (2) a running token sum within
     (stratum, bucket) only.  cumulative = bucket offset + local
     running sum — bit-identical to the naive window (tested), hot
-    sources spread over 256 tasks."""
+    sources spread over 256 tasks.
+
+    ``budgets`` switches to PER-STRATUM budgets — a (strata_col,
+    budget_col) DataFrame (tiny: one row per source, broadcast
+    null-safely like the offsets) replacing the constant ``budget``:
+    the form `mixture_waterfill`'s allocation feeds.  A stratum absent
+    from ``budgets`` keeps NOTHING (budget 0 — the mixture spec is
+    authoritative)."""
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
     key = F.md5(
         F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
@@ -404,11 +413,27 @@ def token_budget_cap(
         F.col(f"k.{strata_col}").eqNullSafe(F.col(f"off.{strata_col}"))
         & (F.col("k._bucket") == F.col("off._bucket")),
     ).select(*[F.col(f"k.{c}") for c in keyed.columns], F.col("off._off"))
-    return (
-        joined.withColumn("_cum", F.col("_off") + F.sum("n_tokens").over(local_w))
-        .filter(F.col("_cum") - F.col("n_tokens") < F.lit(int(budget)))
-        .drop("_key", "_bucket", "_off", "_cum")
+    cum = joined.withColumn(
+        "_cum", F.col("_off") + F.sum("n_tokens").over(local_w)
     )
+    if budgets is None:
+        kept = cum.filter(F.col("_cum") - F.col("n_tokens") < F.lit(int(budget)))
+    else:
+        b = F.broadcast(
+            budgets.select(
+                F.col(strata_col).alias("_bstrata"),
+                F.col(budget_col).cast("long").alias("_budget"),
+            )
+        )
+        kept = (
+            cum.join(b, F.col(strata_col).eqNullSafe(F.col("_bstrata")), "left")
+            .filter(
+                F.col("_cum") - F.col("n_tokens")
+                < F.coalesce(F.col("_budget"), F.lit(0))
+            )
+            .drop("_bstrata", "_budget")
+        )
+    return kept.drop("_key", "_bucket", "_off", "_cum")
 
 
 # ---------------------------------------------------------------------------
@@ -872,3 +897,116 @@ def weighted_priority_sample(
         rank_col="sample_rank",
     ).drop("_tie")
     return ranked.drop("_g")
+
+
+
+def mixture_waterfill(
+    stats: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    weight_col: str = "weight",
+    avail_col: str = "avail_tokens",
+) -> DataFrame:
+    """EXACT integer waterfilling of a global token budget across
+    sources — how a training mixture spec ("B tokens total, sources
+    weighted w_i, no source beyond what it has") becomes per-source
+    allocations: find the level θ with Σ_i min(avail_i, θ·w_i) = B;
+    sources whose availability sits below the level SATURATE (get all
+    their tokens), the rest split the remainder in proportion to
+    weight.
+
+    All decisions are exact int64 (the repo's fixed-point discipline):
+    sources sort by the double ratio avail/w (one IEEE division —
+    correctly rounded, so both engines sort identically; ties by
+    source), and source k saturates iff
+
+        avail_k · (W − cw_k)  ≤  w_k · (B − ca_k)
+
+    with ca/cw the inclusive prefix sums over that order — a pure
+    int64 cross-multiplication, no rational ε anywhere; a cumulative
+    boolean AND enforces the prefix property against any last-ulp sort
+    wobble.  Unsaturated sources get ⌊w_i·B_rem / W_rem⌋ plus the
+    largest-remainder (Hamilton) distribution of the leftover — so
+    Σ alloc = min(B, Σ avail) EXACTLY, deterministically.  Headroom:
+    w_i·B_rem ≤ 10⁶·10¹² < 2⁶³.
+
+    Scale shape: the stats table is one row per SOURCE (dozens to
+    thousands) — every window here is driver-scale, the corpus_shuffle
+    offset-table convention; the output joins back to the corpus
+    BROADCAST (`token_budget_cap(budgets=...)`).  Output: (source,
+    weight, avail_tokens, alloc_tokens, saturated)."""
+    tot = stats.agg(
+        F.sum(weight_col).cast("long").alias("_W"),
+        F.sum(avail_col).cast("long").alias("_A"),
+    )
+    w = Window.orderBy("_ratio", source_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_ratio",
+            F.col(avail_col).cast("double") / F.col(weight_col).cast("double"),
+        )
+        .withColumn("_ca", F.sum(F.col(avail_col).cast("long")).over(w))
+        .withColumn("_cw", F.sum(F.col(weight_col).cast("long")).over(w))
+        .withColumn(
+            "_cond",
+            F.expr(
+                f"CASE WHEN _A <= {int(budget)} THEN 1 WHEN "
+                f"CAST({avail_col} AS BIGINT) * (_W - _cw) <= "
+                f"CAST({weight_col} AS BIGINT) * ({int(budget)} - _ca) "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn("saturated", F.min("_cond").over(w) == 1)
+    )
+    # names must not collide case-insensitively with the _ca/_cw
+    # prefix sums (Spark resolves columns case-insensitively)
+    sat_tot = ranked.filter(F.col("saturated")).agg(
+        F.coalesce(F.sum(F.col(avail_col).cast("long")), F.lit(0)).alias("_sat_a"),
+        F.coalesce(F.sum(F.col(weight_col).cast("long")), F.lit(0)).alias("_sat_w"),
+    )
+    alloc = (
+        ranked.crossJoin(F.broadcast(sat_tot))
+        .withColumn("_brem", F.expr(f"greatest(CAST(0 AS BIGINT), {int(budget)} - _sat_a)"))
+        .withColumn("_wrem", F.col("_W") - F.col("_sat_w"))
+        .withColumn(
+            "_share",
+            F.expr(
+                f"CASE WHEN saturated OR _wrem <= 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE (CAST({weight_col} AS BIGINT) * _brem) DIV _wrem END"
+            ),
+        )
+        .withColumn(
+            "_remainder",
+            F.expr(
+                f"CASE WHEN saturated OR _wrem <= 0 THEN CAST(-1 AS BIGINT) "
+                f"ELSE (CAST({weight_col} AS BIGINT) * _brem) % _wrem END"
+            ),
+        )
+    )
+    shares = alloc.agg(
+        F.coalesce(F.sum("_share"), F.lit(0)).alias("_S")
+    )
+    lw = Window.orderBy(F.desc("_remainder"), F.asc(source_col))
+    return (
+        alloc.crossJoin(F.broadcast(shares))
+        .withColumn("_extra_rank", F.row_number().over(lw).cast("long"))
+        .withColumn(
+            "alloc_tokens",
+            F.expr(
+                f"CASE WHEN saturated THEN CAST({avail_col} AS BIGINT) "
+                "WHEN _wrem <= 0 THEN CAST(0 AS BIGINT) "
+                "ELSE _share + (CASE WHEN _extra_rank <= _brem - _S "
+                "THEN 1 ELSE 0 END) END"
+            ),
+        )
+        .select(
+            source_col,
+            F.col(weight_col).cast("long").alias(weight_col),
+            F.col(avail_col).cast("long").alias(avail_col),
+            "alloc_tokens",
+            "saturated",
+        )
+    )

@@ -153,6 +153,11 @@ def test_no_cartesian_product_anywhere(plans):
         "interpolated_lm_score",
         # composes both of the above (same 1-row broadcasts)
         "curation_pipeline",
+        # mixture_waterfill's 1-row broadcasts (totals, saturated
+        # totals, share sum) into the SOURCES-sized table — every
+        # product is 1 x n_sources
+        "mixture_allocate",
+        "mixture_budget_apply",
         # frontier_schedule composes web.pagerank → the 1-row n_hosts
         # teleport broadcast, same as host_pagerank (build-timed, not
         # plan-swept, but the frontier side shares the plan here)

@@ -279,3 +279,54 @@ def test_quality_budget_select_degenerate_score_distribution(spark):
         if r["cb"] < 95
     }
     assert got == naive and len(got) == 10  # 9 full + the boundary doc
+
+
+def _waterfill(spark, rows_in, budget):
+    df = spark.createDataFrame(rows_in, "source string, weight long, avail_tokens long")
+    return {
+        r["source"]: (r["alloc_tokens"], r["saturated"])
+        for r in sampling.mixture_waterfill(df, budget).collect()
+    }
+
+
+def test_mixture_waterfill_saturation_and_exact_total(spark):
+    # A saturates at 100; B takes the remaining 500
+    out = _waterfill(spark, [("A", 1, 100), ("B", 1, 1000)], 600)
+    assert out == {"A": (100, True), "B": (500, False)}
+
+
+def test_mixture_waterfill_no_saturation_proportional(spark):
+    out = _waterfill(spark, [("A", 1, 1000), ("B", 3, 1000)], 400)
+    assert out == {"A": (100, False), "B": (300, False)}
+
+
+def test_mixture_waterfill_largest_remainder_sums_exactly(spark):
+    out = _waterfill(spark, [("A", 1, 100), ("B", 1, 100), ("C", 1, 100)], 100)
+    assert sum(a for a, _ in out.values()) == 100
+    assert out == {"A": (34, False), "B": (33, False), "C": (33, False)}
+
+
+def test_mixture_waterfill_budget_exceeds_availability(spark):
+    out = _waterfill(spark, [("A", 5, 70), ("B", 1, 30)], 1000)
+    assert out == {"A": (70, True), "B": (30, True)}
+
+
+def test_token_budget_cap_per_stratum_budgets(spark):
+    docs = spark.createDataFrame(
+        [(i, "A" if i <= 10 else "B", "w " * 9 + "w") for i in range(1, 21)],
+        "doc_id long, source string, text string",
+    )  # 10 tokens per doc, 10 docs per source
+    budgets = spark.createDataFrame(
+        [("A", 35)], "source string, alloc_tokens long"
+    )  # B absent -> keeps nothing
+    out = sampling.token_budget_cap(docs, 0, budgets=budgets).collect()
+    srcs = {r["source"] for r in out}
+    assert srcs == {"A"}
+    assert len(out) == 4  # 3 full docs + the boundary doc crossing 35
+    # equivalence with the constant form when every stratum gets it
+    both = spark.createDataFrame(
+        [("A", 35), ("B", 35)], "source string, alloc_tokens long"
+    )
+    a = sorted(r["doc_id"] for r in sampling.token_budget_cap(docs, 0, budgets=both).collect())
+    b = sorted(r["doc_id"] for r in sampling.token_budget_cap(docs, 35).collect())
+    assert a == b
