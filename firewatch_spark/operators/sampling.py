@@ -816,6 +816,7 @@ def with_sample_priority(
     id_col: str = "doc_id",
     salt: str = "wps",
     out_col: str = "priority",
+    weight_scale: int = 1,
 ) -> DataFrame:
     """Attach the deterministic Efraimidis–Spirakis weighted-sampling
     priority key: classic A-Res/A-ES draws u ~ U(0,1] per row and keeps
@@ -834,9 +835,29 @@ def with_sample_priority(
     corpus sample, the property the streaming proof attests.
 
     Zero/negative weights get priority NULL (never sampled — dropped
-    by the top-k filter, matching PPS's zero-weight rule).  Weights
-    must be integral (token counts etc.); scale fractional scores
-    first, as in pps_systematic_sample."""
+    by the top-k filter, matching PPS's zero-weight rule).  WEIGHTS
+    MUST BE ON AN INTEGER GRID (ADVICE r9 — the pps_systematic_sample
+    rule applied here too): a fractional ``weight_col`` (quality
+    scores in [0, 1]) would silently floor to 0 (never sampled) or
+    truncate (1.9 → 1, biasing inclusion); pass ``weight_scale``
+    (e.g. 10**6) to put fractional scores on the grid as
+    ``floor(w · scale)``.  A fractional weight column WITHOUT a scale
+    raises rather than truncating."""
+    dtype = dict(df.dtypes)[weight_col]
+    fractional = dtype in ("float", "double") or dtype.startswith("decimal")
+    if fractional and weight_scale == 1:
+        raise ValueError(
+            f"with_sample_priority: weight column '{weight_col}' has "
+            f"fractional type {dtype}; casting to the int64 grid would "
+            "floor scores < 1 to weight 0 (never sampled) and truncate "
+            "others. Pass weight_scale (e.g. 10**6) to scale onto the "
+            "grid."
+        )
+    w_sql = (
+        f"CAST(floor({weight_col} * {int(weight_scale)}) AS BIGINT)"
+        if weight_scale != 1
+        else f"CAST({weight_col} AS BIGINT)"
+    )
     h = (
         f"CAST(conv(substring(md5(CAST(concat('{salt}|', "
         f"CAST({id_col} AS STRING)) AS BINARY)), 1, {PRIORITY_HASH_BITS // 4}), "
@@ -848,9 +869,9 @@ def with_sample_priority(
     return df.withColumn(
         out_col,
         F.expr(
-            f"CASE WHEN CAST({weight_col} AS BIGINT) > 0 THEN "
+            f"CASE WHEN {w_sql} > 0 THEN "
             f"({neg_ln_u} * CAST({PRIORITY_SCALE} AS BIGINT)) "
-            f"DIV CAST({weight_col} AS BIGINT) ELSE NULL END"
+            f"DIV {w_sql} ELSE NULL END"
         ),
     )
 
@@ -861,6 +882,7 @@ def weighted_priority_sample(
     weight_col: str,
     id_col: str = "doc_id",
     salt: str = "wps",
+    weight_scale: int = 1,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement via deterministic
     Efraimidis–Spirakis priorities: keep the ``n_keep`` rows with the
@@ -883,9 +905,9 @@ def weighted_priority_sample(
     keeps its local n_keep best, the final window ranks
     ≤ n_keep·partitions survivors.  Output: sampled rows + (priority,
     sample_rank)."""
-    keyed = with_sample_priority(df, weight_col, id_col, salt).filter(
-        F.col("priority").isNotNull()
-    )
+    keyed = with_sample_priority(
+        df, weight_col, id_col, salt, weight_scale=weight_scale
+    ).filter(F.col("priority").isNotNull())
     tie = F.md5(
         F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
     )
@@ -934,7 +956,25 @@ def mixture_waterfill(
     thousands) — every window here is driver-scale, the corpus_shuffle
     offset-table convention; the output joins back to the corpus
     BROADCAST (`token_budget_cap(budgets=...)`).  Output: (source,
-    weight, avail_tokens, alloc_tokens, saturated)."""
+    weight, avail_tokens, alloc_tokens, saturated).
+
+    Weights are validated IN-PLAN (ADVICE r9): a zero/negative weight
+    would otherwise die in an opaque ANSI DIVIDE_BY_ZERO inside the
+    avail/weight ratio — or worse, under non-ANSI configs the
+    inf-ratio row sorts last, gets marked saturated and silently
+    breaks the Σ alloc invariant.  The guard is the dsir_importance
+    assert_true trick (coalesce keeps it un-prunable, 0 when valid) —
+    no extra job, and the failure names the invariant instead of the
+    division."""
+    _guard = (
+        f"coalesce(CAST(assert_true("
+        f"CAST({weight_col} AS BIGINT) > 0 AND "
+        f"CAST({avail_col} AS BIGINT) >= 0, "
+        f"'mixture_waterfill: every source needs weight > 0 and "
+        f"avail >= 0 (a zero weight would divide-by-zero the ratio "
+        f"sort; a negative avail breaks the sum(alloc) invariant)'"
+        f") AS BIGINT), 0)"
+    )
     tot = stats.agg(
         F.sum(weight_col).cast("long").alias("_W"),
         F.sum(avail_col).cast("long").alias("_A"),
@@ -946,7 +986,8 @@ def mixture_waterfill(
         stats.crossJoin(F.broadcast(tot))
         .withColumn(
             "_ratio",
-            F.col(avail_col).cast("double") / F.col(weight_col).cast("double"),
+            (F.col(avail_col).cast("double") + F.expr(_guard))
+            / F.col(weight_col).cast("double"),
         )
         .withColumn("_ca", F.sum(F.col(avail_col).cast("long")).over(w))
         .withColumn("_cw", F.sum(F.col(weight_col).cast("long")).over(w))

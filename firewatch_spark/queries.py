@@ -1572,12 +1572,16 @@ def frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # robots file (everything allowed by default), the rest disallow the
 # /articles/1 prefix (which blocks /articles/1 AND /articles/10..19 —
 # the bytewise-prefix rule) but Allow the longer /articles/12; every
-# third host additionally disallows / (block-all with carve-outs)
+# third host additionally disallows / (block-all with carve-outs) —
+# spelled 'disallow:' in lowercase to pin the RFC 9309
+# case-insensitive directive-name rule (ADVICE r9: the old
+# case-sensitive parser silently dropped such lines, turning a
+# block-all host into allow-all)
 _ROBOTS_TXT_SYNTH = """
     concat('User-agent: *', chr(10),
            'Disallow: /articles/1', chr(10),
            'Allow: /articles/12',
-           CASE WHEN n % 3 = 0 THEN concat(chr(10), 'Disallow: /') ELSE '' END)"""
+           CASE WHEN n % 3 = 0 THEN concat(chr(10), 'disallow: /') ELSE '' END)"""
 
 
 def _robots_rule_ctes(frontier_cte: str) -> str:
@@ -1600,11 +1604,11 @@ def _robots_rule_ctes(frontier_cte: str) -> str:
     ),
     rrules AS (
       SELECT host,
-             CASE WHEN line LIKE 'Allow:%' THEN 'allow' ELSE 'disallow' END AS rule,
-             trim(CASE WHEN line LIKE 'Allow:%' THEN substr(line, 7)
+             CASE WHEN lower(line) LIKE 'allow:%' THEN 'allow' ELSE 'disallow' END AS rule,
+             trim(CASE WHEN lower(line) LIKE 'allow:%' THEN substr(line, 7)
                        ELSE substr(line, 10) END) AS path_prefix
       FROM rlines
-      WHERE line LIKE 'Allow:%' OR line LIKE 'Disallow:%'
+      WHERE lower(line) LIKE 'allow:%' OR lower(line) LIKE 'disallow:%'
     ),
     rr AS (
       SELECT *, length(path_prefix) AS prefix_len FROM rrules
@@ -1683,7 +1687,7 @@ def _synth_robots(frontier: DataFrame) -> DataFrame:
             "robots_txt",
             F.concat(
                 F.lit("User-agent: *\nDisallow: /articles/1\nAllow: /articles/12"),
-                F.when(F.col("n") % 3 == 0, F.lit("\nDisallow: /")).otherwise(
+                F.when(F.col("n") % 3 == 0, F.lit("\ndisallow: /")).otherwise(
                     F.lit("")
                 ),
             ),

@@ -87,6 +87,76 @@ def test_build_time_work_is_declared_build_timed(built):
     )
 
 
+def test_forced_broadcasts_have_bounded_build_sides():
+    """VERDICT r9 #1 (the frontier_schedule lesson): a forced
+    ``F.broadcast(x)`` hint asserts x fits on every executor AND the
+    driver — valid only when x's cardinality is bounded by a
+    CONSTANT or a driver-scale contract, never by a corpus-derived
+    key (hosts, docs, urls…).  frontier_schedule broadcast its
+    per-(host, bucket) offsets table — fine at sf0.1, an OOM at a
+    10⁸-host web frontier.  This sweep forces every broadcast call
+    site in the package through this audit: a new ``F.broadcast(``
+    whose (file, argument) pair is not in the audited allowlist
+    fails here until its bound is reviewed and documented below."""
+    import re
+    from pathlib import Path
+
+    # (file, first-identifier-of-argument) -> documented bound
+    allowed = {
+        # 1-row totals / stats / counts (crossJoin'd scalars)
+        ("sampling.py", "target"): "1-row total-count agg",
+        ("sampling.py", "tc.agg"): "1-row gram-total agg",
+        ("sampling.py", "tot"): "1-row totals agg",
+        ("sampling.py", "total"): "1-row total-weight agg",
+        ("sampling.py", "stats"): "1-row (max, min[, n]) stats agg",
+        ("sampling.py", "sat_tot"): "1-row saturated-totals agg",
+        ("sampling.py", "shares"): "1-row share-sum agg",
+        ("web.py", "n_hosts"): "1-row host-count agg (pagerank teleport)",
+        ("text.py", "n_docs"): "1-row corpus doc count (idf)",
+        ("text.py", "total"): "1-row corpus token total",
+        # <= 256/257-row GLOBAL hash/range bucket offset tables (the
+        # corpus_shuffle two-phase convention: bucket count is a
+        # CONSTANT, unlike frontier_schedule's per-host offsets)
+        ("sampling.py", "offsets"): "<= 257 global bucket offsets",
+        # per-stratum / per-source driver-scale contract tables
+        ("sampling.py", "rates"): "one row per stratum (contract)",
+        ("sampling.py", "budgets.select"): "one row per source (contract)",
+        ("sampling.py", "lr"): "<= DSIR_BUCKETS (10^4) log-ratio rows",
+        # fixed-size vocabularies / sketches / top-k collects
+        ("text.py", "bench_grams"): "fixed benchmark gram list",
+        ("text.py", "top"): "top-k argmax rows (k constant)",
+        ("text.py", "cms"): "d x w CMS sketch cells (constants)",
+        # ANN: query SAMPLE / centroids / codebooks / shortlists —
+        # all bounded by k, probes, or the sampled query count
+        ("similarity.py", "q"): "sampled query vectors (constant n)",
+        ("similarity.py", "qiv"): "sampled query vectors (constant n)",
+        ("similarity.py", "cents"): "k centroids",
+        ("similarity.py", "centroids"): "k centroids",
+        ("similarity.py", "cb"): "k_sub x 256 PQ codebook rows",
+        ("similarity.py", "q_probe"): "queries x n_probe cells",
+        ("similarity.py", "q_probe.select"): "queries x n_probe cells",
+        ("similarity.py", "lut"): "queries x probes x subspaces x 256",
+        ("similarity.py", "shortlist"): "queries x shortlist_k rows",
+        ("dedup.py", "bloom_bits.filter"): "<= m_bits bloom positions",
+        ("queries.py", "qiv"): "sampled query vectors (constant n)",
+        ("queries.py", "_tbl"): "TPC-H dimension tables (customer/nation/region)",
+    }
+    pkg = Path(__file__).resolve().parent.parent / "firewatch_spark"
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_.]*)")
+    unaudited = []
+    for py in sorted(pkg.rglob("*.py")):
+        for tok in pat.findall(py.read_text()):
+            # normalize a dotted chain to at most two segments
+            tok = ".".join(tok.split(".")[:2])
+            if (py.name, tok) not in allowed:
+                unaudited.append((py.name, tok))
+    assert not unaudited, (
+        "forced broadcast sites whose build-side bound is not audited "
+        f"(add to the allowlist ONLY with a documented constant or "
+        f"driver-scale bound — never a corpus-derived key): {sorted(set(unaudited))}"
+    )
+
+
 def test_no_cartesian_product_anywhere(plans):
     """No registry query may plan a cartesian/nested-loop product —
     the property that keeps every dedup/similarity/join operator

@@ -311,6 +311,43 @@ def test_mixture_waterfill_budget_exceeds_availability(spark):
     assert out == {"A": (70, True), "B": (30, True)}
 
 
+def test_mixture_waterfill_rejects_nonpositive_weight(spark):
+    """ADVICE r9: a zero weight must fail with the NAMED invariant
+    (in-plan assert_true), never an opaque DIVIDE_BY_ZERO or a silent
+    saturated-allocation of the inf-ratio row."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [("A", 0, 100), ("B", 1, 100)], "source string, weight long, avail_tokens long"
+    )
+    with pytest.raises((PySparkException, Py4JJavaError)) as ei:
+        sampling.mixture_waterfill(df, 50).collect()
+    assert "mixture_waterfill: every source needs weight > 0" in str(ei.value)
+
+
+def test_with_sample_priority_fractional_weights_guard(spark):
+    """ADVICE r9: fractional weight columns must raise without a
+    weight_scale (CAST AS BIGINT would floor 0.9 -> 0, never sampled)
+    and land on the floor(w*scale) grid with one."""
+    df = spark.createDataFrame([(1, 0.9), (2, 0.1)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="weight_scale"):
+        sampling.with_sample_priority(df, "score")
+    with pytest.raises(ValueError, match="weight_scale"):
+        sampling.weighted_priority_sample(df, 1, "score")
+    # scaled: identical priorities to the equivalent integer weights
+    scaled = {
+        r["doc_id"]: r["priority"]
+        for r in rows(sampling.with_sample_priority(df, "score", weight_scale=10))
+    }
+    ints = spark.createDataFrame([(1, 9), (2, 1)], "doc_id long, w long")
+    want = {
+        r["doc_id"]: r["priority"]
+        for r in rows(sampling.with_sample_priority(ints, "w"))
+    }
+    assert scaled == want
+
+
 def test_token_budget_cap_per_stratum_budgets(spark):
     docs = spark.createDataFrame(
         [(i, "A" if i <= 10 else "B", "w " * 9 + "w") for i in range(1, 21)],
