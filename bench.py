@@ -107,6 +107,34 @@ def main() -> None:
     from firewatch_spark.queries import registry
     from firewatch_spark.session import get_spark
 
+    # Evidence hygiene (VERDICT r9 #2): round 9's committed artifact
+    # was captured under ambient machine load — every >1 s query
+    # inflated a uniform ~1.22x and the artifact read as a phantom
+    # 30 % regression.  Stamp the 1/5/15-min load averages at start
+    # (pre-bench ambient — the idleness signal; the END stamp mostly
+    # measures the bench's own load) and FLAG the artifact when the
+    # machine wasn't idle, so a weather-poisoned run can never again
+    # masquerade as a code regression.
+    load_start = os.getloadavg()
+    load_warning = load_start[0] > 4.0  # >4 runnable on 32 cores = not idle
+    if load_warning:
+        print(
+            f"WARNING: 1-min loadavg {load_start[0]:.1f} at bench start — "
+            "timings will reflect machine weather, not code; the artifact "
+            "is flagged load_warning=true",
+            file=sys.stderr,
+        )
+    # prior committed artifact, for the flagship sanity gate below
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    prev_p50 = None
+    try:
+        with open(full_path) as fh:
+            prev_p50 = json.load(fh).get("flagship_p50_sec")
+    except (OSError, ValueError):
+        pass
+
     spark = get_spark("firewatch-bench")
     reg = registry()
 
@@ -157,12 +185,15 @@ def main() -> None:
     # "regressions" in round 7 (class_filter 1.08→2.77 s on identical
     # code; idle rerun 0.13 s).  min is the noise-robust statistic for
     # fixed work — the flagship's min-of-5 proved the pattern in r6.
-    # Queries whose first run takes ≥ 3 s stay single-run: they are the
-    # build-timed iterative ones where a rerun doubles bench wall for
-    # little variance reduction.  BENCH_FULL.json keeps BOTH runs per
-    # query ({"t": min, "t1": first}) so machine weather is visible in
-    # the committed artifact itself.
-    MIN_OF_2_BELOW_SEC = 3.0
+    # Queries whose first run takes ≥ 10 s stay single-run: they are
+    # the heaviest build-timed iterative ones where a rerun doubles
+    # bench wall for little variance reduction.  The band was 3 s
+    # through r9; VERDICT r9 #2 showed the 3-10 s single-sample rows
+    # are exactly where one loaded window fabricates regressions, so
+    # min-of-2 now covers them (~12 queries, ~1 min extra wall).
+    # BENCH_FULL.json keeps BOTH runs per query ({"t": min, "t1":
+    # first}) so machine weather is visible in the committed artifact.
+    MIN_OF_2_BELOW_SEC = 10.0
     times: dict[str, float] = {}
     times_detail: dict[str, dict[str, float]] = {}
     for name in sorted(reg):
@@ -330,6 +361,13 @@ def main() -> None:
     stream_rps = round(n_events / times["streaming_session_parity"], 1)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
+    # flagship sanity gate (VERDICT r9 #2): if p50 moved >25 % against
+    # the PRIOR committed artifact, say so in the artifact itself —
+    # with the load stamps a reader can tell weather from code.
+    p50 = pct(0.5)
+    p50_vs_prev = round(p50 / prev_p50, 3) if prev_p50 else None
+    load_end = os.getloadavg()
+
     full = {
         "metric": "total_wall_sec",
         "value": total,
@@ -339,8 +377,13 @@ def main() -> None:
         "sf": float(sf),
         "rows_per_sec_flagship": flagship_rps,
         "flagship_min_sec": flagship_min,
-        "flagship_p50_sec": pct(0.5),
+        "flagship_p50_sec": p50,
         "flagship_p95_sec": pct(0.95),
+        "flagship_p50_prev": prev_p50,
+        "flagship_p50_vs_prev": p50_vs_prev,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "load_warning": load_warning,
         "sessionized_rows_per_sec_stream": stream_rps,
         "batched_inference": inference,
         "scaling": {"factor": SCALE_FACTOR, "queries": scaling},
@@ -349,9 +392,6 @@ def main() -> None:
     # line guaranteed < 1.9 kB so the driver's 2 kB capture parses it
     # (VERDICT r5 #1: rounds 4 and 5 both lost the external perf record
     # to mid-line truncation).
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
@@ -371,8 +411,10 @@ def main() -> None:
             "q_omitted": len(times) - len(kept),
             "rows_per_sec_flagship": flagship_rps,
             "flagship_min_sec": flagship_min,
-            "flagship_p50_sec": pct(0.5),
+            "flagship_p50_sec": p50,
             "flagship_p95_sec": pct(0.95),
+            "load1m_start": round(load_start[0], 2),
+            "load_warning": load_warning,
             "sessionized_rows_per_sec_stream": stream_rps,
             "pandas_vs_row_speedup": inference["pandas_vs_row_speedup"],
             "column_vs_row_speedup": inference["column_vs_row_speedup"],

@@ -928,6 +928,7 @@ def mixture_waterfill(
     source_col: str = "source",
     weight_col: str = "weight",
     avail_col: str = "avail_tokens",
+    epochs_col: str | None = None,
 ) -> DataFrame:
     """EXACT integer waterfilling of a global token budget across
     sources — how a training mixture spec ("B tokens total, sources
@@ -958,6 +959,17 @@ def mixture_waterfill(
     BROADCAST (`token_budget_cap(budgets=...)`).  Output: (source,
     weight, avail_tokens, alloc_tokens, saturated).
 
+    EPOCH CAPS (VERDICT r9 ask #6): real mixture specs let a small
+    high-quality source REPEAT up to ``max_epochs`` passes (The Pile /
+    Llama-style epoch factors) — pass ``epochs_col`` and each source's
+    saturation bound becomes ``cap_i = avail_i · max_epochs_i`` instead
+    of ``avail_i``; everything else (ratio sort, int64 cross-mult
+    saturation, Hamilton remainders, Σ alloc = min(B, Σ cap) EXACT) is
+    the identical algebra over the cap.  The output then additionally
+    carries (max_epochs, cap_tokens, epochs_milli = alloc·1000 DIV
+    avail — the repeat factor on the fixed-point grid).  Headroom:
+    cap ≤ 10¹²·10³ and w·B_rem ≤ 10⁶·10¹² both < 2⁶³.
+
     Weights are validated IN-PLAN (ADVICE r9): a zero/negative weight
     would otherwise die in an opaque ANSI DIVIDE_BY_ZERO inside the
     avail/weight ratio — or worse, under non-ANSI configs the
@@ -965,37 +977,48 @@ def mixture_waterfill(
     breaks the Σ alloc invariant.  The guard is the dsir_importance
     assert_true trick (coalesce keeps it un-prunable, 0 when valid) —
     no extra job, and the failure names the invariant instead of the
-    division."""
+    division.  With ``epochs_col`` the guard also requires
+    max_epochs >= 1."""
+    epoch_ok = (
+        f" AND CAST({epochs_col} AS BIGINT) >= 1" if epochs_col else ""
+    )
     _guard = (
         f"coalesce(CAST(assert_true("
         f"CAST({weight_col} AS BIGINT) > 0 AND "
-        f"CAST({avail_col} AS BIGINT) >= 0, "
+        f"CAST({avail_col} AS BIGINT) >= 0{epoch_ok}, "
         f"'mixture_waterfill: every source needs weight > 0 and "
-        f"avail >= 0 (a zero weight would divide-by-zero the ratio "
-        f"sort; a negative avail breaks the sum(alloc) invariant)'"
+        f"avail >= 0 (and max_epochs >= 1 when given): a zero weight "
+        f"would divide-by-zero the ratio sort; a negative avail/cap "
+        f"breaks the sum(alloc) invariant)'"
         f") AS BIGINT), 0)"
     )
-    tot = stats.agg(
+    cap_sql = (
+        f"CAST({avail_col} AS BIGINT) * CAST({epochs_col} AS BIGINT)"
+        if epochs_col
+        else f"CAST({avail_col} AS BIGINT)"
+    )
+    capped = stats.withColumn("_cap", F.expr(cap_sql))
+    tot = capped.agg(
         F.sum(weight_col).cast("long").alias("_W"),
-        F.sum(avail_col).cast("long").alias("_A"),
+        F.sum("_cap").cast("long").alias("_A"),
     )
     w = Window.orderBy("_ratio", source_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     ranked = (
-        stats.crossJoin(F.broadcast(tot))
+        capped.crossJoin(F.broadcast(tot))
         .withColumn(
             "_ratio",
-            (F.col(avail_col).cast("double") + F.expr(_guard))
+            (F.col("_cap").cast("double") + F.expr(_guard))
             / F.col(weight_col).cast("double"),
         )
-        .withColumn("_ca", F.sum(F.col(avail_col).cast("long")).over(w))
+        .withColumn("_ca", F.sum("_cap").over(w))
         .withColumn("_cw", F.sum(F.col(weight_col).cast("long")).over(w))
         .withColumn(
             "_cond",
             F.expr(
                 f"CASE WHEN _A <= {int(budget)} THEN 1 WHEN "
-                f"CAST({avail_col} AS BIGINT) * (_W - _cw) <= "
+                f"_cap * (_W - _cw) <= "
                 f"CAST({weight_col} AS BIGINT) * ({int(budget)} - _ca) "
                 "THEN 1 ELSE 0 END"
             ),
@@ -1005,7 +1028,7 @@ def mixture_waterfill(
     # names must not collide case-insensitively with the _ca/_cw
     # prefix sums (Spark resolves columns case-insensitively)
     sat_tot = ranked.filter(F.col("saturated")).agg(
-        F.coalesce(F.sum(F.col(avail_col).cast("long")), F.lit(0)).alias("_sat_a"),
+        F.coalesce(F.sum("_cap"), F.lit(0)).alias("_sat_a"),
         F.coalesce(F.sum(F.col(weight_col).cast("long")), F.lit(0)).alias("_sat_w"),
     )
     alloc = (
@@ -1031,23 +1054,35 @@ def mixture_waterfill(
         F.coalesce(F.sum("_share"), F.lit(0)).alias("_S")
     )
     lw = Window.orderBy(F.desc("_remainder"), F.asc(source_col))
-    return (
+    out = (
         alloc.crossJoin(F.broadcast(shares))
         .withColumn("_extra_rank", F.row_number().over(lw).cast("long"))
         .withColumn(
             "alloc_tokens",
             F.expr(
-                f"CASE WHEN saturated THEN CAST({avail_col} AS BIGINT) "
+                "CASE WHEN saturated THEN _cap "
                 "WHEN _wrem <= 0 THEN CAST(0 AS BIGINT) "
                 "ELSE _share + (CASE WHEN _extra_rank <= _brem - _S "
                 "THEN 1 ELSE 0 END) END"
             ),
         )
-        .select(
-            source_col,
-            F.col(weight_col).cast("long").alias(weight_col),
-            F.col(avail_col).cast("long").alias(avail_col),
-            "alloc_tokens",
-            "saturated",
-        )
     )
+    base = [
+        F.col(source_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+        F.col(avail_col).cast("long").alias(avail_col),
+    ]
+    if epochs_col:
+        return out.select(
+            *base,
+            F.col(epochs_col).cast("long").alias(epochs_col),
+            F.col("_cap").alias("cap_tokens"),
+            F.col("alloc_tokens"),
+            F.expr(
+                f"CASE WHEN CAST({avail_col} AS BIGINT) = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE (alloc_tokens * CAST(1000 AS BIGINT)) "
+                f"DIV CAST({avail_col} AS BIGINT) END"
+            ).alias("epochs_milli"),
+            F.col("saturated"),
+        )
+    return out.select(*base, F.col("alloc_tokens"), F.col("saturated"))

@@ -1851,6 +1851,320 @@ def frontier_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- user-agent group selection + wildcard robots (VERDICT r9 #3/#4) ------
+
+_UA_AGENT = "fwbot/1.0"  # the crawler's product token (already lowercase)
+
+# multi-group robots synthesis per host h(N), N % 5 != 0 (the rest
+# publish no robots file).  Pins every UA-group edge: a non-matching
+# specific group (googlebot), a comment line, CONSECUTIVE UA lines
+# heading one group (FWBot+extrabot — FWBot also pins case-insensitive
+# token match), wildcard rules (*, trailing $, lowercase directive),
+# a shorter-match group (fw), a SECOND group with the same winning
+# token (fwbot, N % 9 == 0 — rules must COMBINE), and the * fallback
+# group (wins only when every specific group is absent: N % 7 == 0
+# and N % 11 == 0).
+_UA_ROBOTS_SYNTH = """
+    concat(
+      'User-agent: googlebot', chr(10), 'Disallow: /', chr(10),
+      '# synthetic UA-group fixture', chr(10),
+      CASE WHEN n % 7 <> 0 THEN concat(
+        'User-agent: FWBot', chr(10),
+        'User-agent: extrabot', chr(10),
+        'Disallow: /articles/*3', chr(10),
+        'Allow: /articles/*3$',
+        CASE WHEN n % 3 = 0 THEN concat(chr(10), 'disallow: /articles/1*') ELSE '' END,
+        CASE WHEN n % 4 = 0 THEN concat(chr(10), 'Disallow: /$') ELSE '' END,
+        chr(10)) ELSE '' END,
+      CASE WHEN n % 11 <> 0 THEN concat('User-agent: fw', chr(10), 'Disallow: /articles/*', chr(10)) ELSE '' END,
+      CASE WHEN n % 9 = 0 AND n % 7 <> 0 THEN concat('User-agent: fwbot', chr(10), 'Disallow: /articles/39$', chr(10)) ELSE '' END,
+      'User-agent: *', chr(10), 'Allow: /articles/2*')"""
+
+
+def _ua_section_ctes(frontier_cte: str) -> str:
+    """DuckDB twin of web.select_agent_section over the synthesized
+    multi-group robots of ``frontier_cte``'s hosts: zipped unnest
+    gives (pos, line); a UA line after a non-UA line starts a group
+    (lag + running sum); groups are scored by their best
+    case-insensitive prefix-match token ('*' = 0) and the host-best
+    groups' rule lines survive as ``uarules(host, pos, line)``."""
+    return f"""uahostn AS (
+      SELECT DISTINCT host,
+             TRY_CAST(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INT) AS n
+      FROM {frontier_cte}
+    ),
+    uarb AS (
+      SELECT host, {_UA_ROBOTS_SYNTH} AS robots_txt
+      FROM uahostn WHERE n % 5 <> 0
+    ),
+    ualines AS (
+      SELECT host,
+             unnest(string_split(robots_txt, chr(10))) AS line,
+             unnest(generate_series(1, len(string_split(robots_txt, chr(10))))) AS pos
+      FROM uarb
+    ),
+    uaflag AS (
+      SELECT *, (lower(line) LIKE 'user-agent:%') AS is_ua FROM ualines
+    ),
+    uanew AS (
+      SELECT *, CASE WHEN is_ua AND NOT COALESCE(
+               lag(is_ua) OVER (PARTITION BY host ORDER BY pos), false)
+             THEN 1 ELSE 0 END AS newg
+      FROM uaflag
+    ),
+    uagrp AS (
+      SELECT *, sum(newg) OVER (PARTITION BY host ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS gid
+      FROM uanew
+    ),
+    uaspec AS (
+      SELECT host, gid,
+             CASE WHEN lower(trim(substr(line, 12))) = '*' THEN 0
+                  WHEN substr('{_UA_AGENT}', 1, length(trim(substr(line, 12))))
+                       = lower(trim(substr(line, 12)))
+                  THEN length(trim(substr(line, 12))) END AS spec
+      FROM uagrp WHERE is_ua AND gid > 0
+    ),
+    uags AS (
+      SELECT host, gid, max(spec) AS gspec FROM uaspec
+      WHERE spec IS NOT NULL GROUP BY host, gid
+    ),
+    uahs AS (SELECT host, max(gspec) AS hspec FROM uags GROUP BY host),
+    uawin AS (
+      SELECT g.host, g.gid FROM uags g
+      JOIN uahs h ON g.host = h.host AND g.gspec = h.hspec
+    ),
+    uarules AS (
+      SELECT u.host, u.pos, u.line FROM uagrp u
+      JOIN uawin w ON u.host = w.host AND u.gid = w.gid
+      WHERE lower(u.line) LIKE 'allow:%' OR lower(u.line) LIKE 'disallow:%'
+    )"""
+
+
+def _synth_ua_robots(frontier: DataFrame) -> DataFrame:
+    """Spark twin of _ua_section_ctes' uarb: the multi-group robots
+    table over the frontier's hosts (try_cast: same pushdown defense
+    as _synth_robots)."""
+    hostn = frontier.select("host").distinct().withColumn(
+        "n",
+        F.expr(r"try_cast(regexp_extract(host, '^h([0-9]+)\\.', 1) AS INT)"),
+    )
+    return (
+        hostn.filter(F.col("n") % 5 != 0)
+        .withColumn("robots_txt", F.expr(_UA_ROBOTS_SYNTH))
+        .select("host", "robots_txt")
+    )
+
+
+@q(
+    "robots_agent_section",
+    f"""
+    WITH {_LINK_GRAPH_CTES},
+    {_FRONTIER_CTES},
+    {_ua_section_ctes("frontier")}
+    SELECT host, string_agg(line, chr(10) ORDER BY pos) AS robots_txt
+    FROM uarules GROUP BY host
+    """,
+)
+def robots_agent_section_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent GROUP selection (operators/web.py
+    select_agent_section; VERDICT r9 ask #4) — the fetcher step the
+    literal rule filter documents as its input contract: RFC 9309
+    §2.2.1 says a crawler obeys the group whose agent token is the
+    LONGEST case-insensitive match for its product token, '*' as the
+    fallback, equally-specific groups COMBINING.  The fixture plants
+    every edge (see _UA_ROBOTS_SYNTH) and the value hash pins the
+    exact selected rule text per host — consecutive-UA grouping, the
+    case-insensitive FWBot token, the combining second fwbot group,
+    the fw shorter match winning only where fwbot's groups are
+    absent, and the * fallback host."""
+    _, frontier = _link_frontier(spark, sf_dir)
+    return web.select_agent_section(_synth_ua_robots(frontier), _UA_AGENT)
+
+
+# the wildcard-pattern → anchored-regex translation + match CTEs over
+# the uarules selection (consumed as wfp LEFT JOIN wmatch)
+_WILDCARD_MATCH_CTES = f"""rrw AS (
+      SELECT host,
+             CASE WHEN lower(line) LIKE 'allow:%' THEN 'allow' ELSE 'disallow' END AS rule,
+             trim(CASE WHEN lower(line) LIKE 'allow:%' THEN substr(line, 7)
+                       ELSE substr(line, 10) END) AS path_prefix
+      FROM uarules
+    ),
+    rrwp AS (
+      SELECT *, length(path_prefix) AS prefix_len FROM rrw WHERE path_prefix <> ''
+    ),
+    rrwx AS (
+      SELECT *,
+             '^' || replace(regexp_replace(
+                 CASE WHEN substr(path_prefix, length(path_prefix), 1) = '$'
+                      THEN substr(path_prefix, 1, length(path_prefix) - 1)
+                      ELSE path_prefix END,
+                 '([^a-zA-Z0-9*])', '\\\\\\1', 'g'), '*', '.*')
+             || CASE WHEN substr(path_prefix, length(path_prefix), 1) = '$'
+                     THEN '$' ELSE '' END AS rx
+      FROM rrwp
+    ),
+    wfp AS (
+      SELECT *, substr(split_part(canonical_url, '://', 2),
+                    length(split_part(split_part(canonical_url, '://', 2), '/', 1)) + 1) AS rpath
+      FROM frontier
+    ),
+    wmatch AS (
+      SELECT f.canonical_url,
+             max(lpad(CAST(r.prefix_len AS VARCHAR), 6, '0')
+                 || CASE WHEN r.rule = 'allow' THEN '1' ELSE '0' END
+                 || r.path_prefix) AS best
+      FROM wfp f JOIN rrwx r
+        ON r.host = f.host AND regexp_matches(f.rpath, r.rx)
+      GROUP BY f.canonical_url
+    )"""
+
+
+@q(
+    "robots_wildcard_filter",
+    f"""
+    WITH {_LINK_GRAPH_CTES},
+    {_FRONTIER_CTES},
+    {_ua_section_ctes("frontier")},
+    {_WILDCARD_MATCH_CTES}
+    SELECT f.host, f.canonical_url,
+           (m.best IS NULL OR substr(m.best, 7, 1) = '1') AS allowed,
+           CASE WHEN m.best IS NULL THEN '' ELSE substr(m.best, 8) END AS matched_rule
+    FROM wfp f LEFT JOIN wmatch m USING (canonical_url)
+    """,
+)
+def robots_wildcard_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.2 WILDCARD robots filtering over the crawl
+    frontier (operators/web.py select_agent_section → parse_robots →
+    robots_filter_wildcard; VERDICT r9 ask #3) — the full fetch-side
+    policy chain: select the crawler's User-agent group, parse its
+    rules, translate ``*``/trailing-``$`` patterns to anchored
+    regexes (identically in both engines — escape every non-alnum
+    except ``*``, ``*`` → ``.*``), and apply longest-RAW-pattern
+    precedence (Allow beats Disallow on ties, no match → allowed).
+    The fixture pins ``*`` mid-pattern matches (``/articles/*3``
+    blocks 30–39), trailing-``$`` carve-outs (``/articles/*3$``
+    re-allows 3/13/23/33), a ``$``-anchored root block, the combined
+    second fwbot group's literal ``/articles/39$`` rule beating the
+    wildcard encodings, and hosts where the shorter ``fw`` or ``*``
+    group decides.  Winning rule is the windowless sortable-encoding
+    MAX; the regex evaluates only on host-equi-join candidates."""
+    _, frontier = _link_frontier(spark, sf_dir)
+    section = web.select_agent_section(_synth_ua_robots(frontier), _UA_AGENT)
+    rules = web.parse_robots(section)
+    return web.robots_filter_wildcard(frontier, rules).select(
+        "host", "canonical_url", "allowed", "matched_rule"
+    )
+
+
+# --- lastmod-aware re-crawl scheduling (VERDICT r9 #5) ---------------------
+
+_RECRAWL_FETCHED_AT = "2026-04-15"
+
+
+@q(
+    "recrawl_schedule",
+    f"""
+    WITH {_SITEMAP_CTES},
+    rcf AS (
+      SELECT concat('https://h', CAST(n AS STRING), '.example.com/articles/',
+                    CAST(n % 40 AS STRING)) AS canonical_url,
+             '{_RECRAWL_FETCHED_AT}' AS last_fetch
+      FROM smhost
+      UNION ALL
+      SELECT concat('https://h', CAST(n AS STRING), '.example.com/articles/',
+                    CAST((n * 7 + 3) % 40 AS STRING)),
+             '{_RECRAWL_FETCHED_AT}'
+      FROM smhost WHERE n % 2 = 0
+    ),
+    rcj AS (
+      SELECT s.canonical_url, s.lastmod, f.last_fetch AS lf,
+             {_FRONTIER_HOST} AS host
+      FROM scanon s LEFT JOIN rcf f USING (canonical_url)
+    ),
+    rco AS (
+      SELECT host, canonical_url, lastmod, COALESCE(lf, '') AS last_fetch,
+             CASE WHEN lf IS NULL THEN 'new'
+                  WHEN lastmod = '' THEN 'unknown'
+                  WHEN lastmod > lf THEN 'changed'
+                  ELSE 'unchanged' END AS outcome
+      FROM rcj
+    ),
+    rcs AS (
+      SELECT canonical_url,
+             CAST(row_number() OVER (PARTITION BY host
+                  ORDER BY md5(canonical_url), canonical_url) AS BIGINT) AS slot_in_host
+      FROM rco WHERE outcome <> 'unchanged'
+    )
+    SELECT o.host, o.canonical_url, o.lastmod, o.last_fetch, o.outcome,
+           COALESCE(s.slot_in_host, -1) AS slot_in_host,
+           COALESCE(CAST((s.slot_in_host - 1) // {_FRONTIER_RATE} AS BIGINT), -1) AS fetch_wave
+    FROM rco o LEFT JOIN rcs s USING (canonical_url)
+    """,
+)
+def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lastmod-aware RE-CRAWL scheduling (operators/web.py
+    recrawl_outcomes → frontier_schedule; VERDICT r9 ask #5) — the
+    incremental loop sitemap ingestion exists to feed: compose the
+    stored last-fetch table with fresh sitemap lastmod stamps, triage
+    each URL ('new' = never fetched, 'changed' = lastmod advanced,
+    'unchanged' = provably fresh, 'unknown' = no lastmod claim), and
+    politeness-schedule ONLY the due URLs (everything but
+    'unchanged') — unchanged rows keep slot/wave −1.  The fixture
+    pins all four outcomes: the canonical article page was fetched at
+    {_RECRAWL_FETCHED_AT}, so its month-stamped lastmod lands changed
+    or unchanged by host; the lastmod-less messy loc was fetched on
+    even hosts (unknown) and never on odd ones (new); /promo was never
+    fetched (new).  Stream-static shape:
+    one left equi-join on canonical_url against the stored index,
+    then the audited two-phase per-host rank over the due subset."""
+    entries = _sitemap_entries(spark, sf_dir)
+    sm = entries.select(
+        F.expr(_FRONTIER_HOST).alias("host"), "canonical_url", "lastmod"
+    )
+    hosts = (
+        _tbl(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).cast("int").alias("n"))
+        .distinct()
+    )
+    fetched = hosts.select(
+        F.expr(
+            "concat('https://h', CAST(n AS STRING), '.example.com/articles/', "
+            "CAST(n % 40 AS STRING))"
+        ).alias("canonical_url"),
+        F.lit(_RECRAWL_FETCHED_AT).alias("last_fetch"),
+    ).unionByName(
+        # the messy second loc was ALSO fetched once on even hosts, so
+        # its lastmod-less sitemap entry exercises the 'unknown'
+        # outcome (fetched before, no freshness claim -> due)
+        hosts.filter(F.col("n") % 2 == 0).select(
+            F.expr(
+                "concat('https://h', CAST(n AS STRING), '.example.com/articles/', "
+                "CAST((n * 7 + 3) % 40 AS STRING))"
+            ).alias("canonical_url"),
+            F.lit(_RECRAWL_FETCHED_AT).alias("last_fetch"),
+        )
+    )
+    out = web.recrawl_outcomes(sm, fetched)
+    due = out.filter(F.col("due")).select("host", "canonical_url")
+    sched = web.frontier_schedule(due, per_host_rate=_FRONTIER_RATE).select(
+        "canonical_url", "slot_in_host", "fetch_wave"
+    )
+    return (
+        out.join(sched, "canonical_url", "left")
+        .select(
+            "host",
+            "canonical_url",
+            "lastmod",
+            "last_fetch",
+            "outcome",
+            F.coalesce(F.col("slot_in_host"), F.lit(-1)).cast("long").alias("slot_in_host"),
+            F.coalesce(F.col("fetch_wave"), F.lit(-1)).cast("long").alias("fetch_wave"),
+        )
+    )
+
+
 # ===========================================================================
 # Group B — LLM-data-pipeline pack (documents / embeddings)
 # ===========================================================================
@@ -3754,38 +4068,48 @@ _TOKEN_BUDGET_SQL = f"""
 
 _MIX_BUDGET = 18_000
 _MIX_WEIGHT = "CAST(CAST(substr(source, 4) AS INT) % 5 + 1 AS BIGINT)"
+_MIX_EPOCHS = "CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS BIGINT)"
+_MIX_EPOCH_BUDGET = 36_000
 
 
-def _mix_waterfill_ctes(budget: int = _MIX_BUDGET) -> str:
+def _mix_waterfill_ctes(budget: int = _MIX_BUDGET, epochs: bool = False) -> str:
     """DuckDB twin of sampling.mixture_waterfill over the per-source
     stats (weight from the source suffix, availability = token sum),
-    through ``wf(source, weight, avail_tokens, alloc_tokens,
-    saturated)`` — shared by mixture_allocate and
-    mixture_budget_apply.  Same double-ratio sort, same exact int64
+    through ``wf(source, weight, avail_tokens[, max_epochs,
+    cap_tokens], alloc_tokens, saturated)`` — shared by
+    mixture_allocate, mixture_budget_apply and (with ``epochs=True``)
+    mixture_epoch_allocate.  Same double-ratio sort, same exact int64
     cross-multiplication saturation test, same largest-remainder
-    distribution."""
+    distribution; the epoch variant swaps every availability in the
+    algebra for the cap ``avail · max_epochs`` (the ``mcap`` column —
+    identical to avail when epochs is off, so the plain oracles are
+    semantically unchanged)."""
+    ep_sel = f",\n             {_MIX_EPOCHS} AS max_epochs" if epochs else ""
+    cap = "avail_tokens * max_epochs" if epochs else "avail_tokens"
+    ep_out = ", max_epochs, mcap AS cap_tokens" if epochs else ""
     return f"""st AS (
       SELECT source, {_MIX_WEIGHT} AS weight,
-             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens{ep_sel}
       FROM documents GROUP BY source
     ),
+    stc AS (SELECT *, CAST({cap} AS BIGINT) AS mcap FROM st),
     mtot AS (
       SELECT CAST(sum(weight) AS BIGINT) AS tw,
-             CAST(sum(avail_tokens) AS BIGINT) AS ta
-      FROM st
+             CAST(sum(mcap) AS BIGINT) AS ta
+      FROM stc
     ),
     mrk AS (
       SELECT *,
-             CAST(avail_tokens AS DOUBLE) / CAST(weight AS DOUBLE) AS mratio,
-             sum(avail_tokens) OVER mw AS mca,
+             CAST(mcap AS DOUBLE) / CAST(weight AS DOUBLE) AS mratio,
+             sum(mcap) OVER mw AS mca,
              sum(weight) OVER mw AS mcw
-      FROM st CROSS JOIN mtot
-      WINDOW mw AS (ORDER BY CAST(avail_tokens AS DOUBLE) / CAST(weight AS DOUBLE), source
+      FROM stc CROSS JOIN mtot
+      WINDOW mw AS (ORDER BY CAST(mcap AS DOUBLE) / CAST(weight AS DOUBLE), source
                     ROWS UNBOUNDED PRECEDING)
     ),
     mcond AS (
       SELECT *, CASE WHEN ta <= {budget} THEN 1
-                     WHEN avail_tokens * (tw - mcw) <= weight * ({budget} - mca) THEN 1
+                     WHEN mcap * (tw - mcw) <= weight * ({budget} - mca) THEN 1
                      ELSE 0 END AS cnd
       FROM mrk
     ),
@@ -3794,7 +4118,7 @@ def _mix_waterfill_ctes(budget: int = _MIX_BUDGET) -> str:
       FROM mcond
     ),
     mstot AS (
-      SELECT COALESCE(sum(CASE WHEN saturated THEN avail_tokens END), 0) AS sa,
+      SELECT COALESCE(sum(CASE WHEN saturated THEN mcap END), 0) AS sa,
              COALESCE(sum(CASE WHEN saturated THEN weight END), 0) AS sw
       FROM msat
     ),
@@ -3813,8 +4137,8 @@ def _mix_waterfill_ctes(budget: int = _MIX_BUDGET) -> str:
       FROM mal a CROSS JOIN mss s
     ),
     wf AS (
-      SELECT source, weight, avail_tokens,
-             CAST(CASE WHEN saturated THEN avail_tokens
+      SELECT source, weight, avail_tokens{ep_out},
+             CAST(CASE WHEN saturated THEN mcap
                        WHEN wrem <= 0 THEN 0
                        ELSE shr + (CASE WHEN xr <= brem - shtot THEN 1 ELSE 0 END)
                   END AS BIGINT) AS alloc_tokens,
@@ -3831,6 +4155,49 @@ def _mix_stats(spark: SparkSession, sf_dir: str):
         )
     ).withColumn("weight", F.expr(_MIX_WEIGHT))
     return docs, stats
+
+
+@q(
+    "mixture_epoch_allocate",
+    f"""
+    WITH {_mix_waterfill_ctes(_MIX_EPOCH_BUDGET, epochs=True)}
+    SELECT source, weight, avail_tokens, max_epochs, cap_tokens,
+           alloc_tokens,
+           CAST(CASE WHEN avail_tokens = 0 THEN 0
+                ELSE (alloc_tokens * 1000) // avail_tokens END AS BIGINT)
+             AS epochs_milli,
+           saturated
+    FROM wf
+    """,
+)
+def mixture_epoch_allocate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-CAPPED mixture waterfilling (operators/sampling.py
+    mixture_waterfill(epochs_col=...); VERDICT r9 ask #6) — real
+    mixture specs let a small high-quality source REPEAT up to an
+    epoch cap (The Pile / Llama-style repeat factors), so each
+    source's saturation bound is ``avail_i · max_epochs_i`` instead of
+    its raw availability; the exact-int solver (double-ratio sort,
+    int64 cross-multiplication saturation, Hamilton remainders,
+    Σ alloc = min(B, Σ cap) EXACTLY) is the identical algebra over the
+    cap.  The fixture's suffix-derived epochs (1..3) and weights
+    (1..5) over a 60 k budget land sources in both branches, with
+    saturated high-epoch sources allocated ABOVE their availability —
+    epochs_milli > 1000 is the repeat factor the value hash pins.
+    All windows stay over the driver-scale sources table."""
+    _, stats = _mix_stats(spark, sf_dir)
+    st = stats.withColumn("max_epochs", F.expr(_MIX_EPOCHS))
+    return sampling.mixture_waterfill(
+        st, _MIX_EPOCH_BUDGET, epochs_col="max_epochs"
+    ).select(
+        "source",
+        "weight",
+        "avail_tokens",
+        "max_epochs",
+        "cap_tokens",
+        "alloc_tokens",
+        "epochs_milli",
+        "saturated",
+    )
 
 
 @q(
@@ -8621,46 +8988,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT r5 #6), so rotation never drops coverage — it only decides
 # which slice additionally gets the external driver's hash row.
 _DRIVER_WINDOW = 50
-_ROTATION_ROUND = 9  # bump each round to advance the rotation
+_ROTATION_ROUND = 10  # bump each round to advance the rotation
 _PINNED = [
-    # round-9 additions — never driver-attested yet
-    "quality_budget_select",
-    "interpolated_lm_score",
-    "weighted_sample",
-    "streaming_weighted_sample",
+    # round-10 additions — never driver-attested yet
+    "robots_agent_section",
+    "robots_wildcard_filter",
+    "recrawl_schedule",
+    "mixture_epoch_allocate",
+    # round-9 queries whose SHARED operator code changed this round
+    # (frontier_schedule lost its broadcast hint; the robots fixture
+    # gained the lowercase directive; mixture's CTE chain was
+    # re-parameterized) — re-attest the new plans/hashes immediately
     "frontier_schedule",
-    "robots_frontier_filter",
-    "sitemap_ingest",
     "frontier_pipeline",
-    "streaming_warc_ingest",
-    "curation_pipeline",
+    "robots_frontier_filter",
     "mixture_allocate",
     "mixture_budget_apply",
-    "image_text_pair_dedup",
-    # VERDICT r8 "What's wrong" #1 / "Next round" #4: the 20 queries
-    # whose last driver attestation dates to rounds 2-4 while their
-    # shared operator files kept changing — pinned THIS round so the
-    # stalest attestations refresh ahead of rotation order
-    "iso_timestamps",
-    "jpeg_encode_plan",
-    "lang_id",
-    "last_frame",
-    "late_dedup",
-    "multimodal_meta",
-    "ngram_jaccard",
-    "revenue_by_nation",
-    "scalar_string_fns",
-    "session_ids",
-    "session_window_time",
-    "simhash",
-    "surrogate_predictions",
-    "text_stats",
-    "top_orders_per_customer",
-    "topk_events_per_user",
-    "transport_roundtrip",
-    "tumbling_window",
-    "video_scan",
-    "window_running",
+    "weighted_sample",
+    "streaming_weighted_sample",
+    # VERDICT r9 "Next round" #7: the 8 queries whose last driver
+    # attestation dates to round 5 while dedup.py/queries.py changed
+    # under them — pinned so the stalest attestations refresh first
+    "incremental_dedup",
+    "json_extract",
+    "multimodal_decode",
+    "pricing_summary",
+    "repetition_stats",
+    "segment_set_ops",
+    "sliding_window",
+    "value_percentiles",
     # permanent pins (see ordering note above)
     "streaming_session_parity",
     "streaming_ep2_parity",

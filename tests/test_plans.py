@@ -228,6 +228,8 @@ def test_no_cartesian_product_anywhere(plans):
         # product is 1 x n_sources
         "mixture_allocate",
         "mixture_budget_apply",
+        # identical waterfill 1-row broadcasts over the epoch caps
+        "mixture_epoch_allocate",
         # frontier_schedule composes web.pagerank → the 1-row n_hosts
         # teleport broadcast, same as host_pagerank (build-timed, not
         # plan-swept, but the frontier side shares the plan here)

@@ -311,6 +311,42 @@ def test_mixture_waterfill_budget_exceeds_availability(spark):
     assert out == {"A": (70, True), "B": (30, True)}
 
 
+def test_mixture_waterfill_epoch_cap(spark):
+    """VERDICT r9 ask #6: with epochs_col a small high-quality source
+    saturates at avail*max_epochs — ABOVE its availability — and the
+    exact-total invariant holds over the caps."""
+    df = spark.createDataFrame(
+        [("A", 1, 100, 5), ("B", 1, 1000, 1)],
+        "source string, weight long, avail_tokens long, max_epochs long",
+    )
+    out = {
+        r["source"]: r
+        for r in sampling.mixture_waterfill(df, 1200, epochs_col="max_epochs").collect()
+    }
+    a, b = out["A"], out["B"]
+    # A saturates at its epoch cap (500 = 100 * 5), not its avail (100)
+    assert (a["cap_tokens"], a["alloc_tokens"], a["saturated"]) == (500, 500, True)
+    assert a["epochs_milli"] == 5000  # 5.0 epochs on the fixed-point grid
+    assert (b["alloc_tokens"], b["saturated"], b["epochs_milli"]) == (700, False, 700)
+    assert a["alloc_tokens"] + b["alloc_tokens"] == 1200
+    # budget above total cap: every source saturates at its cap
+    full = {
+        r["source"]: r["alloc_tokens"]
+        for r in sampling.mixture_waterfill(df, 10_000, epochs_col="max_epochs").collect()
+    }
+    assert full == {"A": 500, "B": 1000}
+    # epochs must be >= 1 when the column is given
+    bad = spark.createDataFrame(
+        [("A", 1, 100, 0)],
+        "source string, weight long, avail_tokens long, max_epochs long",
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        sampling.mixture_waterfill(bad, 50, epochs_col="max_epochs").collect()
+
+
 def test_mixture_waterfill_rejects_nonpositive_weight(spark):
     """ADVICE r9: a zero weight must fail with the NAMED invariant
     (in-plan assert_true), never an opaque DIVIDE_BY_ZERO or a silent

@@ -361,6 +361,182 @@ def test_parse_sitemap_block_scoped_fields(spark):
     }
 
 
+def test_rule_regex_translation(spark):
+    """Wildcard rule -> anchored regex: * -> .*, trailing $ anchors,
+    everything else literal (regex metachars escaped), mid-pattern $
+    is literal."""
+    df = spark.createDataFrame(
+        [("/*?",), ("/articles/*.html$",), ("/plain",), ("/p$q",), ("$",)],
+        "path_prefix string",
+    )
+    got = {
+        r["path_prefix"]: r["rx"]
+        for r in rows(df.select("path_prefix", web.rule_regex_expr().alias("rx")))
+    }
+    assert got == {
+        "/*?": r"^\/.*\?",
+        "/articles/*.html$": r"^\/articles\/.*\.html$",
+        "/plain": r"^\/plain",
+        "/p$q": r"^\/p\$q",
+        "$": "^$",
+    }
+
+
+def test_robots_filter_wildcard_precedence(spark):
+    """RFC 9309 §2.2.2: * spans any sequence, trailing $ anchors,
+    longest RAW pattern wins, Allow beats Disallow on ties, prefix
+    semantics preserved for literal rules."""
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "disallow", "/*?", 3),
+            ("a.com", "allow", "/articles/*.html$", 17),
+            ("a.com", "disallow", "/articles/", 10),
+            ("a.com", "disallow", "/p$q", 4),
+        ],
+        "host string, rule string, path_prefix string, prefix_len long",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "https://a.com/articles/x.html"),   # allow beats shorter disallow
+            ("a.com", "https://a.com/articles/x.htmlz"),  # $ fails -> /articles/ blocks
+            ("a.com", "https://a.com/search?q=1"),        # /*? blocks any query
+            ("a.com", "https://a.com/plain"),             # no match -> allowed
+            ("a.com", "https://a.com/p$q"),               # mid-pattern $ literal
+        ],
+        "host string, canonical_url string",
+    )
+    out = {
+        r["canonical_url"]: (r["allowed"], r["matched_rule"])
+        for r in rows(web.robots_filter_wildcard(frontier, rules))
+    }
+    assert out["https://a.com/articles/x.html"] == (True, "/articles/*.html$")
+    assert out["https://a.com/articles/x.htmlz"] == (False, "/articles/")
+    assert out["https://a.com/search?q=1"] == (False, "/*?")
+    assert out["https://a.com/plain"] == (True, "")
+    assert out["https://a.com/p$q"] == (False, "/p$q")
+
+
+def test_robots_wildcard_fuzz_against_python_reference(spark):
+    """Randomized WILDCARD rule sets vs a Python RFC 9309 reference
+    built on the same translation (re.match of the anchored regex):
+    longest raw pattern wins, Allow beats Disallow on ties."""
+    import random
+    import re
+
+    rng = random.Random(31337)
+    segs = ["a", "b", "cc", "d1"]
+    hosts = [f"h{i}.test" for i in range(3)]
+    rules_py = []
+    for h in hosts[:2]:
+        for _ in range(rng.randint(2, 7)):
+            parts = []
+            for _ in range(rng.randint(0, 3)):
+                parts.append(rng.choice(segs + ["*"]))
+            pat = "/" + "/".join(parts) if parts else "/"
+            if rng.random() < 0.3:
+                pat += "$"
+            rules_py.append((h, rng.choice(["allow", "disallow"]), pat))
+    urls = []
+    for h in hosts:
+        for _ in range(40):
+            depth = rng.randint(0, 4)
+            path = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+            urls.append((h, f"https://{h}{path}"))
+    urls = sorted(set(urls))
+
+    def to_rx(p):
+        anchored = p.endswith("$")
+        base = p[:-1] if anchored else p
+        esc = re.sub(r"([^a-zA-Z0-9*])", r"\\\1", base)
+        return "^" + esc.replace("*", ".*") + ("$" if anchored else "")
+
+    def ref(host, url):
+        path = url.split("://", 1)[1]
+        path = path[path.index("/"):] if "/" in path else "/"
+        matched = [
+            (len(p), r == "allow", p)
+            for (rh, r, p) in rules_py
+            if rh == host and re.match(to_rx(p), path)
+        ]
+        if not matched:
+            return True, ""
+        ln, is_allow, p = max(matched)
+        return is_allow, p
+
+    rules = spark.createDataFrame(
+        [(h, r, p, len(p)) for (h, r, p) in rules_py],
+        "host string, rule string, path_prefix string, prefix_len long",
+    )
+    frontier = spark.createDataFrame(urls, "host string, canonical_url string")
+    out = {
+        r["canonical_url"]: (r["allowed"], r["matched_rule"])
+        for r in rows(web.robots_filter_wildcard(frontier, rules))
+    }
+    mism = [
+        (u, out[u], ref(h, u)) for h, u in urls if out[u] != ref(h, u)
+    ]
+    assert not mism, mism[:5]
+
+
+def test_select_agent_section_group_semantics(spark):
+    """RFC 9309 §2.2.1 group selection: consecutive UA lines head one
+    group, longest case-insensitive prefix token wins, '*' is the
+    specificity-0 fallback, equally-specific groups COMBINE, rules
+    before any UA line are dropped."""
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "Disallow: /orphan\n"           # no group yet: dropped
+                "User-agent: googlebot\nDisallow: /\n"
+                "# comment\n"
+                "User-agent: MyBot\nUser-agent: other\n"
+                "allow: /mb\nDisallow: /mb/x\n"
+                "User-agent: my\nDisallow: /short\n"
+                "User-agent: mybot\nDisallow: /second\n"  # same spec: combines
+                "User-agent: *\nDisallow: /star",
+            ),
+            ("b.com", "User-agent: *\nDisallow: /star"),   # fallback host
+            ("c.com", "User-agent: nomatch\nDisallow: /x"),  # no group matches
+        ],
+        "host string, robots_txt string",
+    )
+    out = {
+        r["host"]: r["robots_txt"]
+        for r in rows(web.select_agent_section(robots, "MyBot/2.1"))
+    }
+    # 'mybot' (5) beats 'my' (2) and '*'; BOTH spec-5 groups combine
+    assert out["a.com"] == "allow: /mb\nDisallow: /mb/x\nDisallow: /second"
+    assert out["b.com"] == "Disallow: /star"
+    assert "c.com" not in out  # no matching group -> no section at all
+
+
+def test_recrawl_outcomes_all_four(spark):
+    sm = spark.createDataFrame(
+        [
+            ("h", "u_changed", "2026-05-01"),
+            ("h", "u_unchanged", "2026-03-01"),
+            ("h", "u_equal", "2026-04-15"),     # equal stamp -> unchanged
+            ("h", "u_unknown", ""),
+            ("h", "u_new", "2026-06-01"),
+        ],
+        "host string, canonical_url string, lastmod string",
+    )
+    fetched = spark.createDataFrame(
+        [(u, "2026-04-15") for u in ("u_changed", "u_unchanged", "u_equal", "u_unknown")],
+        "canonical_url string, last_fetch string",
+    )
+    out = {
+        r["canonical_url"]: (r["outcome"], r["due"], r["last_fetch"])
+        for r in rows(web.recrawl_outcomes(sm, fetched))
+    }
+    assert out["u_changed"] == ("changed", True, "2026-04-15")
+    assert out["u_unchanged"] == ("unchanged", False, "2026-04-15")
+    assert out["u_equal"] == ("unchanged", False, "2026-04-15")
+    assert out["u_unknown"] == ("unknown", True, "2026-04-15")
+    assert out["u_new"] == ("new", True, "")
+
+
 def test_robots_filter_fuzz_against_python_reference(spark):
     """Randomized rule sets + URLs vs a hand-rolled RFC 9309 reference:
     longest prefix wins, Allow beats Disallow on ties, no match ->
