@@ -96,6 +96,11 @@ BUILD_TIMED = {
     "streaming_weighted_sample",
     # composes web.pagerank — per-round rank checkpoints in-build
     "frontier_schedule",
+    # round-10: both compose web.pagerank (same in-build checkpoints)
+    "crawl_budget_allocate",
+    "crawl_budget_apply",
+    # delivery-file writes + availableNow foreachBatch run in-build
+    "streaming_recrawl_schedule",
     # dump write + availableNow foreachBatch run in-build
     "streaming_warc_ingest",
     # localCheckpoints the scored corpus in-build (load-bearing cut)

@@ -1872,7 +1872,8 @@ _UA_ROBOTS_SYNTH = """
         'User-agent: FWBot', chr(10),
         'User-agent: extrabot', chr(10),
         'Disallow: /articles/*3', chr(10),
-        'Allow: /articles/*3$',
+        'Allow: /articles/*3$', chr(10),
+        'Crawl-delay: ', CAST(n % 4 + 1 AS STRING),
         CASE WHEN n % 3 = 0 THEN concat(chr(10), 'disallow: /articles/1*') ELSE '' END,
         CASE WHEN n % 4 = 0 THEN concat(chr(10), 'Disallow: /$') ELSE '' END,
         chr(10)) ELSE '' END,
@@ -1938,6 +1939,7 @@ def _ua_section_ctes(frontier_cte: str) -> str:
       SELECT u.host, u.pos, u.line FROM uagrp u
       JOIN uawin w ON u.host = w.host AND u.gid = w.gid
       WHERE lower(u.line) LIKE 'allow:%' OR lower(u.line) LIKE 'disallow:%'
+         OR lower(u.line) LIKE 'crawl-delay:%'
     )"""
 
 
@@ -1990,6 +1992,7 @@ _WILDCARD_MATCH_CTES = f"""rrw AS (
              trim(CASE WHEN lower(line) LIKE 'allow:%' THEN substr(line, 7)
                        ELSE substr(line, 10) END) AS path_prefix
       FROM uarules
+      WHERE lower(line) LIKE 'allow:%' OR lower(line) LIKE 'disallow:%'
     ),
     rrwp AS (
       SELECT *, length(path_prefix) AS prefix_len FROM rrw WHERE path_prefix <> ''
@@ -2058,15 +2061,126 @@ def robots_wildcard_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "crawl_delay_schedule",
+    f"""
+    WITH {_LINK_GRAPH_CTES},
+    {_FRONTIER_CTES},
+    {_ua_section_ctes("frontier")},
+    cdl AS (
+      SELECT host, max(TRY_CAST(trim(substr(line, 13)) AS BIGINT)) AS crawl_delay
+      FROM uarules
+      WHERE lower(line) LIKE 'crawl-delay:%'
+        AND TRY_CAST(trim(substr(line, 13)) AS BIGINT) > 0
+      GROUP BY host
+    ),
+    cdf AS (
+      SELECT f.host, f.canonical_url, d.crawl_delay,
+             CAST(CASE WHEN d.crawl_delay IS NULL THEN 2
+                  ELSE greatest(1, 4 // d.crawl_delay) END AS BIGINT) AS rate
+      FROM frontier f LEFT JOIN cdl d USING (host)
+    ),
+    cds AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY host
+           ORDER BY md5(canonical_url), canonical_url) AS BIGINT) AS slot_in_host
+      FROM cdf
+    )
+    SELECT host, canonical_url, COALESCE(crawl_delay, 0) AS crawl_delay,
+           rate, slot_in_host,
+           CAST((slot_in_host - 1) // rate AS BIGINT) AS fetch_wave
+    FROM cds
+    """,
+)
+def crawl_delay_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay-aware PER-HOST-RATE politeness scheduling
+    (operators/web.py select_agent_section → parse_crawl_delay →
+    frontier_schedule(rate_col=…)) — real politeness is per host, not
+    global: the de-facto ``Crawl-delay:`` extension lives inside the
+    crawler's User-agent group, so the selected section's delay maps
+    to that host's fetches-per-wave (rate = max(1, 4 DIV delay);
+    hosts declaring no delay — or no robots at all — run the default
+    rate 2).  The fixture's suffix-derived delays (1..4 on the fwbot
+    group) land rates 4/2/1 beside the defaults, every host's wave
+    assignment value-hash-pinned.  The slot algebra is the audited
+    two-phase per-(host, bucket) rank; the per-host rate only enters
+    the final scan-side division, and the delay table joins back as a
+    plain hosts-scale equi-join."""
+    _, frontier = _link_frontier(spark, sf_dir)
+    section = web.select_agent_section(_synth_ua_robots(frontier), _UA_AGENT)
+    delays = web.parse_crawl_delay(section)
+    fr = frontier.join(delays, "host", "left").withColumn(
+        "rate",
+        F.expr(
+            "CAST(CASE WHEN crawl_delay IS NULL THEN 2 "
+            "ELSE greatest(1, 4 DIV crawl_delay) END AS BIGINT)"
+        ),
+    )
+    return web.frontier_schedule(fr, rate_col="rate").select(
+        "host",
+        "canonical_url",
+        F.coalesce(F.col("crawl_delay"), F.lit(0)).cast("long").alias("crawl_delay"),
+        "rate",
+        "slot_in_host",
+        "fetch_wave",
+    )
+
+
 # --- lastmod-aware re-crawl scheduling (VERDICT r9 #5) ---------------------
 
 _RECRAWL_FETCHED_AT = "2026-04-15"
 
 
-@q(
-    "recrawl_schedule",
-    f"""
-    WITH {_SITEMAP_CTES},
+def _recrawl_fetched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored last-fetch table (canonical article page per host,
+    plus the lastmod-less messy loc on even hosts so the 'unknown'
+    outcome is exercised) — shared by recrawl_schedule and its
+    streamed twin."""
+    hosts = (
+        _tbl(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).cast("int").alias("n"))
+        .distinct()
+    )
+    return hosts.select(
+        F.expr(
+            "concat('https://h', CAST(n AS STRING), '.example.com/articles/', "
+            "CAST(n % 40 AS STRING))"
+        ).alias("canonical_url"),
+        F.lit(_RECRAWL_FETCHED_AT).alias("last_fetch"),
+    ).unionByName(
+        hosts.filter(F.col("n") % 2 == 0).select(
+            F.expr(
+                "concat('https://h', CAST(n AS STRING), '.example.com/articles/', "
+                "CAST((n * 7 + 3) % 40 AS STRING))"
+            ).alias("canonical_url"),
+            F.lit(_RECRAWL_FETCHED_AT).alias("last_fetch"),
+        )
+    )
+
+
+def _recrawl_flow(sm: DataFrame, fetched: DataFrame) -> DataFrame:
+    """triage → schedule-the-due → output projection, shared by the
+    batch and streamed recrawl rows."""
+    out = web.recrawl_outcomes(sm, fetched)
+    due = out.filter(F.col("due")).select("host", "canonical_url")
+    sched = web.frontier_schedule(due, per_host_rate=_FRONTIER_RATE).select(
+        "canonical_url", "slot_in_host", "fetch_wave"
+    )
+    return (
+        out.join(sched, "canonical_url", "left")
+        .select(
+            "host",
+            "canonical_url",
+            "lastmod",
+            "last_fetch",
+            "outcome",
+            F.coalesce(F.col("slot_in_host"), F.lit(-1)).cast("long").alias("slot_in_host"),
+            F.coalesce(F.col("fetch_wave"), F.lit(-1)).cast("long").alias("fetch_wave"),
+        )
+    )
+
+
+_RECRAWL_SQL = f"""
+    WITH {{ctes}},
     rcf AS (
       SELECT concat('https://h', CAST(n AS STRING), '.example.com/articles/',
                     CAST(n % 40 AS STRING)) AS canonical_url,
@@ -2101,8 +2215,10 @@ _RECRAWL_FETCHED_AT = "2026-04-15"
            COALESCE(s.slot_in_host, -1) AS slot_in_host,
            COALESCE(CAST((s.slot_in_host - 1) // {_FRONTIER_RATE} AS BIGINT), -1) AS fetch_wave
     FROM rco o LEFT JOIN rcs s USING (canonical_url)
-    """,
-)
+    """
+
+
+@q("recrawl_schedule", _RECRAWL_SQL.format(ctes=_SITEMAP_CTES))
 def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lastmod-aware RE-CRAWL scheduling (operators/web.py
     recrawl_outcomes → frontier_schedule; VERDICT r9 ask #5) — the
@@ -2123,45 +2239,278 @@ def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = entries.select(
         F.expr(_FRONTIER_HOST).alias("host"), "canonical_url", "lastmod"
     )
-    hosts = (
-        _tbl(spark, sf_dir, "documents")
-        .select((F.col("doc_id") % 97).cast("int").alias("n"))
-        .distinct()
-    )
-    fetched = hosts.select(
-        F.expr(
-            "concat('https://h', CAST(n AS STRING), '.example.com/articles/', "
-            "CAST(n % 40 AS STRING))"
-        ).alias("canonical_url"),
-        F.lit(_RECRAWL_FETCHED_AT).alias("last_fetch"),
-    ).unionByName(
-        # the messy second loc was ALSO fetched once on even hosts, so
-        # its lastmod-less sitemap entry exercises the 'unknown'
-        # outcome (fetched before, no freshness claim -> due)
-        hosts.filter(F.col("n") % 2 == 0).select(
-            F.expr(
-                "concat('https://h', CAST(n AS STRING), '.example.com/articles/', "
-                "CAST((n * 7 + 3) % 40 AS STRING))"
-            ).alias("canonical_url"),
-            F.lit(_RECRAWL_FETCHED_AT).alias("last_fetch"),
+    return _recrawl_flow(sm, _recrawl_fetched(spark, sf_dir))
+
+
+# the streamed twin attests the SAME oracle: outcomes are row-pure
+# (one URL, one stored-fetch row) and the per-host slot permutation
+# depends only on a host's OWN urls, so host-complete micro-batches
+# make union-of-batches == whole-corpus bit-for-bit
+@q("streaming_recrawl_schedule", _RECRAWL_SQL.format(ctes=_SITEMAP_CTES))
+def streaming_recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lastmod re-crawl triage as a REAL Structured Streaming pipeline
+    — how sitemap refreshes actually arrive: per-site sitemap
+    deliveries landing continuously, each micro-batch triaged against
+    the STORED last-fetch table and its due URLs scheduled
+    immediately.  The synthetic sitemap universe arrives as 5
+    host-group files (hosts n % 5 = c per file) through a JSON file
+    stream, one file per micro-batch; each batch runs the SAME
+    parse → canonicalize → triage → schedule chain as batch
+    `recrawl_schedule` inside ``foreachBatch`` (stream-static join
+    against the stored fetch table — the incremental_dedup shape) and
+    appends its rows idempotently (batch-id-owned overwrite).
+    Union-of-batches ≡ whole-corpus because outcomes are row-pure and
+    every host's entries are COMPLETE within one batch, so the
+    per-host slot permutation is identical — the gate attests the
+    streamed table against the SAME oracle as `recrawl_schedule`: the
+    crawl-frontier family's streaming proof beside dedup / ANN /
+    sketches / sampling / WARC ingest.  Per-batch state is zero."""
+    import os
+    import shutil
+    import tempfile
+
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    tmp = None
+    try:
+        tmp = tempfile.mkdtemp(prefix="fw_recrawl_stream_")
+        arrive_dir = os.path.join(tmp, "arrivals")
+        os.makedirs(arrive_dir)
+        hosts = (
+            _tbl(spark, sf_dir, "documents")
+            .select((F.col("doc_id") % 97).cast("int").alias("n"))
+            .distinct()
         )
+        sm_src = hosts.withColumn("sitemap_xml", F.expr(_SITEMAP_SYNTH))
+        # 5 host-group delivery files: chunking by n % 5 keeps every
+        # host's sitemap COMPLETE within one file (the slot-mergeability
+        # precondition); a bounded driver loop over 5 chunks, like the
+        # warc dump's coalesce(4)
+        for c in range(5):
+            sm_src.filter(F.col("n") % 5 == c).coalesce(1).write.mode(
+                "append"
+            ).json(arrive_dir)
+        fetched = _recrawl_fetched(spark, sf_dir).localCheckpoint()
+        out_dir = os.path.join(tmp, "sched")
+
+        stream = (
+            spark.readStream.schema("n int, sitemap_xml string")
+            .option("maxFilesPerTrigger", 1)
+            .json(arrive_dir)
+        )
+
+        def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            entries = web.parse_sitemap(batch_df, keep=()).select("loc", "lastmod")
+            canon = web.with_canonical_url(entries, "loc")
+            sm_b = canon.select(
+                F.expr(_FRONTIER_HOST).alias("host"), "canonical_url", "lastmod"
+            )
+            _recrawl_flow(sm_b, fetched).write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+
+        query = (
+            stream.writeStream.foreachBatch(run_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert query.awaitTermination(300), (
+            "streaming recrawl did not drain in 300s"
+        )
+        query.stop()
+        result = spark.read.parquet(out_dir).drop("batch_id").localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def _waterfill_chain(budget: int, stats_cte: str = "st", epochs: bool = False) -> str:
+    """The waterfill CTE chain from ``stats_cte(source, weight,
+    avail_tokens[, max_epochs])`` through ``wf`` — the engine-portable
+    DuckDB twin of sampling.mixture_waterfill's algebra, reusable over
+    ANY driver-scale stats table (token mixtures keyed by source,
+    crawl budgets keyed by host aliased to source…).  Same
+    double-ratio sort, same exact int64 cross-multiplication
+    saturation test, same largest-remainder distribution; with
+    ``epochs`` the cap ``avail · max_epochs`` replaces availability
+    everywhere in the algebra (``mcap`` — identical to avail when
+    epochs is off)."""
+    cap = "avail_tokens * max_epochs" if epochs else "avail_tokens"
+    ep_out = ", max_epochs, mcap AS cap_tokens" if epochs else ""
+    return f"""stc AS (SELECT *, CAST({cap} AS BIGINT) AS mcap FROM {stats_cte}),
+    mtot AS (
+      SELECT CAST(sum(weight) AS BIGINT) AS tw,
+             CAST(sum(mcap) AS BIGINT) AS ta
+      FROM stc
+    ),
+    mrk AS (
+      SELECT *,
+             CAST(mcap AS DOUBLE) / CAST(weight AS DOUBLE) AS mratio,
+             sum(mcap) OVER mw AS mca,
+             sum(weight) OVER mw AS mcw
+      FROM stc CROSS JOIN mtot
+      WINDOW mw AS (ORDER BY CAST(mcap AS DOUBLE) / CAST(weight AS DOUBLE), source
+                    ROWS UNBOUNDED PRECEDING)
+    ),
+    mcond AS (
+      SELECT *, CASE WHEN ta <= {budget} THEN 1
+                     WHEN mcap * (tw - mcw) <= weight * ({budget} - mca) THEN 1
+                     ELSE 0 END AS cnd
+      FROM mrk
+    ),
+    msat AS (
+      SELECT *, (min(cnd) OVER (ORDER BY mratio, source ROWS UNBOUNDED PRECEDING)) = 1 AS saturated
+      FROM mcond
+    ),
+    mstot AS (
+      SELECT COALESCE(sum(CASE WHEN saturated THEN mcap END), 0) AS sa,
+             COALESCE(sum(CASE WHEN saturated THEN weight END), 0) AS sw
+      FROM msat
+    ),
+    mal AS (
+      SELECT m.*, greatest(0, {budget} - t.sa) AS brem, m.tw - t.sw AS wrem,
+             CASE WHEN m.saturated OR (m.tw - t.sw) <= 0 THEN 0
+                  ELSE (m.weight * greatest(0, {budget} - t.sa)) // (m.tw - t.sw) END AS shr,
+             CASE WHEN m.saturated OR (m.tw - t.sw) <= 0 THEN -1
+                  ELSE (m.weight * greatest(0, {budget} - t.sa)) % (m.tw - t.sw) END AS remn
+      FROM msat m CROSS JOIN mstot t
+    ),
+    mss AS (SELECT COALESCE(sum(shr), 0) AS shtot FROM mal),
+    mfin AS (
+      SELECT a.*, s.shtot,
+             row_number() OVER (ORDER BY a.remn DESC, a.source) AS xr
+      FROM mal a CROSS JOIN mss s
+    ),
+    wf AS (
+      SELECT source, weight, avail_tokens{ep_out},
+             CAST(CASE WHEN saturated THEN mcap
+                       WHEN wrem <= 0 THEN 0
+                       ELSE shr + (CASE WHEN xr <= brem - shtot THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS alloc_tokens,
+             saturated
+      FROM mfin
+    )"""
+
+
+# --- PageRank-weighted per-host crawl budgets (round 10) -------------------
+
+_CRAWL_FETCH_BUDGET = 1050
+
+
+def _crawl_budget_ctes() -> str:
+    """The crawl-budget stats + waterfill chain over the link frontier:
+    per-host due-URL counts weighted by host PageRank (+1 so a host
+    the rank chain never saw still gets a positive weight), fed through
+    the SAME exact-int waterfill chain as the token mixtures."""
+    pr_body, pr_final = _pagerank_ctes()
+    return f"""{pr_body},
+    {_FRONTIER_CTES},
+    fcnt AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS avail_tokens
+      FROM frontier GROUP BY host
+    ),
+    st AS (
+      SELECT c.host AS source,
+             CAST(COALESCE(r.pr, 0) + 1 AS BIGINT) AS weight,
+             c.avail_tokens
+      FROM fcnt c LEFT JOIN {pr_final} r ON r.host = c.host
+    ),
+    {_waterfill_chain(_CRAWL_FETCH_BUDGET, "st")}"""
+
+
+def _crawl_budget_spark(spark: SparkSession, sf_dir: str):
+    """(frontier, alloc) — the Spark twin of _crawl_budget_ctes through
+    wf: per-host PageRank-weighted fetch allocations."""
+    links, frontier = _link_frontier(spark, sf_dir)
+    ranks = web.pagerank(web.host_edges(links))
+    counts = frontier.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("due_urls")
     )
-    out = web.recrawl_outcomes(sm, fetched)
-    due = out.filter(F.col("due")).select("host", "canonical_url")
-    sched = web.frontier_schedule(due, per_host_rate=_FRONTIER_RATE).select(
-        "canonical_url", "slot_in_host", "fetch_wave"
+    stats = (
+        counts.join(ranks, "host", "left")
+        .withColumn(
+            "pr_weight", (F.coalesce(F.col("pr"), F.lit(0)) + 1).cast("long")
+        )
+        .drop("pr")
     )
+    alloc = sampling.mixture_waterfill(
+        stats,
+        _CRAWL_FETCH_BUDGET,
+        source_col="host",
+        weight_col="pr_weight",
+        avail_col="due_urls",
+    ).withColumnRenamed("alloc_tokens", "alloc_fetches")
+    return frontier, alloc
+
+
+@q(
+    "crawl_budget_allocate",
+    f"""
+    WITH {_LINK_GRAPH_CTES},
+    {_crawl_budget_ctes()}
+    SELECT source AS host, weight AS pr_weight, avail_tokens AS due_urls,
+           alloc_tokens AS alloc_fetches, saturated
+    FROM wf
+    """,
+)
+def crawl_budget_allocate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host CRAWL-BUDGET allocation (sampling.mixture_waterfill
+    applied to the crawl side) — how a fetch cycle's global capacity
+    becomes per-host quotas: hosts weighted by PageRank (important
+    hosts crawl deeper), capped by what they actually have queued, and
+    the waterfill level distributes the rest EXACTLY — the fetch-cycle
+    twin of the training-mixture solver, attesting the waterfiller is
+    one reusable kernel across both of the repo's allocation problems.
+    The +1 weight floor keeps never-ranked hosts schedulable (and the
+    solver's weight>0 invariant satisfied).  Σ alloc = min(capacity,
+    Σ due) exactly; the 1050-fetch budget lands 4 hosts saturated
+    (their whole queue granted) and 93 proportional at sf0.01, both
+    branches value-hash-pinned.  All solver windows run
+    over the hosts-count table (driver-scale for the solver's
+    CONTRACT; the corpus-scale work — frontier counts, PageRank — is
+    the audited map-side agg + checkpointed rank chain)."""
+    _, alloc = _crawl_budget_spark(spark, sf_dir)
+    return alloc.select(
+        "host", "pr_weight", "due_urls", "alloc_fetches", "saturated"
+    )
+
+
+@q(
+    "crawl_budget_apply",
+    f"""
+    WITH {_LINK_GRAPH_CTES},
+    {_crawl_budget_ctes()},
+    sl AS (
+      SELECT host, canonical_url,
+             CAST(row_number() OVER (PARTITION BY host
+                  ORDER BY md5(canonical_url), canonical_url) AS BIGINT) AS slot_in_host
+      FROM frontier
+    )
+    SELECT s.host, s.canonical_url, s.slot_in_host,
+           CAST((s.slot_in_host - 1) // {_FRONTIER_RATE} AS BIGINT) AS fetch_wave
+    FROM sl s JOIN wf w ON w.source = s.host
+    WHERE s.slot_in_host <= w.alloc_tokens
+    """,
+)
+def crawl_budget_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl budget APPLIED: politeness-order each host's frontier
+    (the audited two-phase md5-permutation rank), then fetch ONLY the
+    first ``alloc_fetches`` slots — discovery → rank-weighted budget →
+    rate-limited order → the URL list actually fetched this cycle,
+    value-hashed end to end (the crawl twin of mixture_budget_apply's
+    boundary-doc pinning: each host's cut slot is exact).  The
+    allocation table joins back as a plain equi-join on host —
+    hosts-scale, never force-broadcast (the frontier_schedule
+    lesson); AQE broadcasts it when genuinely small."""
+    frontier, alloc = _crawl_budget_spark(spark, sf_dir)
+    sched = web.frontier_schedule(frontier, per_host_rate=_FRONTIER_RATE)
     return (
-        out.join(sched, "canonical_url", "left")
-        .select(
-            "host",
-            "canonical_url",
-            "lastmod",
-            "last_fetch",
-            "outcome",
-            F.coalesce(F.col("slot_in_host"), F.lit(-1)).cast("long").alias("slot_in_host"),
-            F.coalesce(F.col("fetch_wave"), F.lit(-1)).cast("long").alias("fetch_wave"),
-        )
+        sched.join(alloc.select("host", "alloc_fetches"), "host")
+        .filter(F.col("slot_in_host") <= F.col("alloc_fetches"))
+        .select("host", "canonical_url", "slot_in_host", "fetch_wave")
     )
 
 
@@ -4073,78 +4422,17 @@ _MIX_EPOCH_BUDGET = 36_000
 
 
 def _mix_waterfill_ctes(budget: int = _MIX_BUDGET, epochs: bool = False) -> str:
-    """DuckDB twin of sampling.mixture_waterfill over the per-source
-    stats (weight from the source suffix, availability = token sum),
-    through ``wf(source, weight, avail_tokens[, max_epochs,
-    cap_tokens], alloc_tokens, saturated)`` — shared by
-    mixture_allocate, mixture_budget_apply and (with ``epochs=True``)
-    mixture_epoch_allocate.  Same double-ratio sort, same exact int64
-    cross-multiplication saturation test, same largest-remainder
-    distribution; the epoch variant swaps every availability in the
-    algebra for the cap ``avail · max_epochs`` (the ``mcap`` column —
-    identical to avail when epochs is off, so the plain oracles are
-    semantically unchanged)."""
+    """The documents-table mixture stats (weight from the source
+    suffix, availability = token sum) feeding `_waterfill_chain` —
+    shared by mixture_allocate, mixture_budget_apply and (with
+    ``epochs=True``) mixture_epoch_allocate."""
     ep_sel = f",\n             {_MIX_EPOCHS} AS max_epochs" if epochs else ""
-    cap = "avail_tokens * max_epochs" if epochs else "avail_tokens"
-    ep_out = ", max_epochs, mcap AS cap_tokens" if epochs else ""
     return f"""st AS (
       SELECT source, {_MIX_WEIGHT} AS weight,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens{ep_sel}
       FROM documents GROUP BY source
     ),
-    stc AS (SELECT *, CAST({cap} AS BIGINT) AS mcap FROM st),
-    mtot AS (
-      SELECT CAST(sum(weight) AS BIGINT) AS tw,
-             CAST(sum(mcap) AS BIGINT) AS ta
-      FROM stc
-    ),
-    mrk AS (
-      SELECT *,
-             CAST(mcap AS DOUBLE) / CAST(weight AS DOUBLE) AS mratio,
-             sum(mcap) OVER mw AS mca,
-             sum(weight) OVER mw AS mcw
-      FROM stc CROSS JOIN mtot
-      WINDOW mw AS (ORDER BY CAST(mcap AS DOUBLE) / CAST(weight AS DOUBLE), source
-                    ROWS UNBOUNDED PRECEDING)
-    ),
-    mcond AS (
-      SELECT *, CASE WHEN ta <= {budget} THEN 1
-                     WHEN mcap * (tw - mcw) <= weight * ({budget} - mca) THEN 1
-                     ELSE 0 END AS cnd
-      FROM mrk
-    ),
-    msat AS (
-      SELECT *, (min(cnd) OVER (ORDER BY mratio, source ROWS UNBOUNDED PRECEDING)) = 1 AS saturated
-      FROM mcond
-    ),
-    mstot AS (
-      SELECT COALESCE(sum(CASE WHEN saturated THEN mcap END), 0) AS sa,
-             COALESCE(sum(CASE WHEN saturated THEN weight END), 0) AS sw
-      FROM msat
-    ),
-    mal AS (
-      SELECT m.*, greatest(0, {budget} - t.sa) AS brem, m.tw - t.sw AS wrem,
-             CASE WHEN m.saturated OR (m.tw - t.sw) <= 0 THEN 0
-                  ELSE (m.weight * greatest(0, {budget} - t.sa)) // (m.tw - t.sw) END AS shr,
-             CASE WHEN m.saturated OR (m.tw - t.sw) <= 0 THEN -1
-                  ELSE (m.weight * greatest(0, {budget} - t.sa)) % (m.tw - t.sw) END AS remn
-      FROM msat m CROSS JOIN mstot t
-    ),
-    mss AS (SELECT COALESCE(sum(shr), 0) AS shtot FROM mal),
-    mfin AS (
-      SELECT a.*, s.shtot,
-             row_number() OVER (ORDER BY a.remn DESC, a.source) AS xr
-      FROM mal a CROSS JOIN mss s
-    ),
-    wf AS (
-      SELECT source, weight, avail_tokens{ep_out},
-             CAST(CASE WHEN saturated THEN mcap
-                       WHEN wrem <= 0 THEN 0
-                       ELSE shr + (CASE WHEN xr <= brem - shtot THEN 1 ELSE 0 END)
-                  END AS BIGINT) AS alloc_tokens,
-             saturated
-      FROM mfin
-    )"""
+    {_waterfill_chain(budget, "st", epochs)}"""
 
 
 def _mix_stats(spark: SparkSession, sf_dir: str):
@@ -8994,7 +9282,11 @@ _PINNED = [
     "robots_agent_section",
     "robots_wildcard_filter",
     "recrawl_schedule",
+    "streaming_recrawl_schedule",
     "mixture_epoch_allocate",
+    "crawl_budget_allocate",
+    "crawl_budget_apply",
+    "crawl_delay_schedule",
     # round-9 queries whose SHARED operator code changed this round
     # (frontier_schedule lost its broadcast hint; the robots fixture
     # gained the lowercase directive; mixture's CTE chain was

@@ -19,6 +19,7 @@ SKIP = {
     "streaming_sketch_merge",
     "streaming_weighted_sample",  # foreachBatch replay runs in-build
     "streaming_warc_ingest",  # dump write + foreachBatch run in-build
+    "streaming_recrawl_schedule",  # delivery writes + foreachBatch in-build
     "video_scan",
     "jsonl_ingest",  # building its DataFrame writes the JSONL fixture
     "csv_ingest",  # same: builds by writing the CSV fixture
@@ -234,6 +235,10 @@ def test_no_cartesian_product_anywhere(plans):
         # teleport broadcast, same as host_pagerank (build-timed, not
         # plan-swept, but the frontier side shares the plan here)
         "frontier_schedule",
+        # round-10: pagerank's 1-row teleport broadcast + the
+        # waterfill 1-row broadcasts over the hosts-count table
+        "crawl_budget_allocate",
+        "crawl_budget_apply",
     }
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name

@@ -511,6 +511,48 @@ def test_select_agent_section_group_semantics(spark):
     assert "c.com" not in out  # no matching group -> no section at all
 
 
+def test_parse_crawl_delay_and_per_host_rate_waves(spark):
+    """Crawl-delay extraction (case-insensitive, trimmed, try_cast,
+    max-of-several) and frontier_schedule's per-host rate_col: waves
+    divide by each host's OWN rate."""
+    section = spark.createDataFrame(
+        [
+            ("a.com", "Disallow: /x\ncrawl-delay:  3 \nCrawl-delay: 2"),
+            ("b.com", "Crawl-delay: nan\nAllow: /"),   # non-numeric -> dropped
+            ("c.com", "Crawl-delay: 0"),                # non-positive -> dropped
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay"] for r in rows(web.parse_crawl_delay(section))}
+    assert got == {"a.com": 3}  # max of 3 and 2; b/c dropped
+    fr = spark.createDataFrame(
+        [("h1", f"https://h1/{i}", 3) for i in range(7)]
+        + [("h2", f"https://h2/{i}", 1) for i in range(3)],
+        "host string, canonical_url string, rate long",
+    )
+    out = rows(web.frontier_schedule(fr, rate_col="rate"), "host", "slot_in_host")
+    for r in out:
+        assert r["fetch_wave"] == (r["slot_in_host"] - 1) // (3 if r["host"] == "h1" else 1)
+    # politeness bound per host's own rate
+    waves = {}
+    for r in out:
+        waves.setdefault((r["host"], r["fetch_wave"]), 0)
+        waves[(r["host"], r["fetch_wave"])] += 1
+    assert max(v for (h, w), v in waves.items() if h == "h1") <= 3
+    assert max(v for (h, w), v in waves.items() if h == "h2") <= 1
+
+
+def test_select_agent_section_keeps_crawl_delay_lines(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: mybot\nDisallow: /x\nCrawl-delay: 5\n"
+                    "User-agent: *\nCrawl-delay: 9")],
+        "host string, robots_txt string",
+    )
+    out = rows(web.select_agent_section(robots, "mybot"))
+    # the mybot group's delay is kept, the losing * group's is not
+    assert out[0]["robots_txt"] == "Disallow: /x\nCrawl-delay: 5"
+
+
 def test_recrawl_outcomes_all_four(spark):
     sm = spark.createDataFrame(
         [
