@@ -750,6 +750,87 @@ def select_agent_section(
     )
 
 
+def url_bloom_bits(
+    seen: DataFrame,
+    url_col: str = "canonical_url",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """The SET-BIT table of a partitioned Bloom filter over the crawl
+    history's URLs — the URL-keyed twin of dedup.band_bloom_bits
+    (same layout: hash ``s`` owns its own m-bit array, key → bit
+    ``xxhash64(s, url) mod m``, realized as (salt, pos) rows).
+    Bounded by k·m rows REGARDLESS of history size (set bits saturate),
+    so it broadcasts at any scale — a 10¹¹-URL history compresses to a
+    fixed-size artifact rebuilt per crawl epoch."""
+    parts = [
+        seen.select(
+            F.lit(s).alias("salt"),
+            F.pmod(F.xxhash64(F.lit(s), url_col), F.lit(m_bits)).alias("pos"),
+        )
+        for s in range(k_hashes)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def frontier_seen_filter(
+    frontier: DataFrame,
+    seen: DataFrame,
+    url_col: str = "canonical_url",
+    m_bits: int = 1 << 18,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Drop frontier URLs already in the crawl history — the seen-set
+    dedup every crawler runs between discovery and scheduling — WITHOUT
+    joining the whole frontier against the 10¹¹-row history: a
+    partitioned Bloom over the history (`url_bloom_bits`) splits the
+    frontier scan-side into
+
+        definitely-new   (some Bloom bit unset — no false negatives,
+                          so these never need the exact join)
+        possibly-seen    (all k bits set: true members + false
+                          positives)
+
+    and only the possibly-seen sliver enters the exact LEFT ANTI
+    equi-join against the history.  The OUTPUT is bloom-independent —
+    definitely-new ∪ (possibly-seen ANTI seen) ≡ frontier ANTI seen
+    bit-for-bit whatever ``m_bits`` is — which is what lets the DuckDB
+    oracle replay it as a plain NOT EXISTS (the incremental_dedup_bloom
+    pattern on the URL axis).  Scale shape: k broadcast joins against
+    the bounded bit table (all-JVM, no shuffle of the frontier), one
+    shuffle anti-join whose LEFT side is the sliver; false positives
+    only waste a probe the anti-join rejects."""
+    bits = url_bloom_bits(seen, url_col, m_bits, k_hashes)
+    fr = frontier
+    hit_cols = []
+    for s in range(k_hashes):
+        pos_s = F.pmod(F.xxhash64(F.lit(s), url_col), F.lit(m_bits))
+        hit = f"_hit{s}"
+        fr = fr.join(
+            F.broadcast(
+                bits.filter(F.col("salt") == s)
+                .select(F.col("pos").alias(f"_pos{s}"))
+                .withColumn(hit, F.lit(1))
+            ),
+            pos_s == F.col(f"_pos{s}"),
+            "left",
+        ).drop(f"_pos{s}")
+        hit_cols.append(hit)
+    all_set = None
+    for hit in hit_cols:
+        c = F.col(hit).isNotNull()
+        all_set = c if all_set is None else (all_set & c)
+    definitely_new = fr.filter(~all_set).drop(*hit_cols)
+    maybe_seen = fr.filter(all_set).drop(*hit_cols)
+    confirmed_new = maybe_seen.join(
+        seen.select(F.col(url_col)), url_col, "left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new)
+
+
 def parse_crawl_delay(
     robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:

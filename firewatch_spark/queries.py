@@ -2125,6 +2125,56 @@ def crawl_delay_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "frontier_seen_filter",
+    f"""
+    WITH {_LINK_GRAPH_CTES},
+    {_FRONTIER_CTES},
+    seenh AS (SELECT DISTINCT CAST(doc_id % 97 AS INT) AS n FROM documents),
+    seen AS (
+      SELECT concat('https://h', CAST(n AS STRING), '.example.com/articles/',
+                    CAST(k AS STRING)) AS canonical_url
+      FROM seenh, (SELECT unnest(range(0, 40, 3)) AS k)
+    )
+    SELECT f.host, f.canonical_url
+    FROM frontier f
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = f.canonical_url)
+    """,
+)
+def frontier_seen_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-history SEEN-SET filtering (operators/web.py
+    url_bloom_bits + frontier_seen_filter) — the dedup step between
+    discovery and scheduling, done the way a 10¹¹-URL history demands:
+    a bounded partitioned Bloom over the history splits the frontier
+    scan-side into definitely-new (some bit unset — Bloom has no false
+    negatives, these skip the join entirely) and a possibly-seen
+    sliver that alone enters the exact LEFT ANTI equi-join.  The
+    output is bloom-independent by construction — ≡ frontier ANTI
+    seen bit-for-bit at any m_bits — so the oracle replays it as a
+    plain NOT EXISTS while the Spark plan keeps the production shape
+    (k broadcast bit-joins, one sliver-sized anti-join).  The fixture
+    history (every 3rd article slot per host) catches ~16 % of the
+    frontier (roots and :8443 variants are never seen), both paths
+    exercised."""
+    _, frontier = _link_frontier(spark, sf_dir)
+    hosts = (
+        _tbl(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).cast("int").alias("n"))
+        .distinct()
+    )
+    seen = hosts.select(
+        F.explode(F.expr("sequence(0, 39, 3)")).alias("k"), "n"
+    ).select(
+        F.expr(
+            "concat('https://h', CAST(n AS STRING), '.example.com/articles/', "
+            "CAST(k AS STRING))"
+        ).alias("canonical_url")
+    )
+    return web.frontier_seen_filter(frontier, seen).select(
+        "host", "canonical_url"
+    )
+
+
 # --- lastmod-aware re-crawl scheduling (VERDICT r9 #5) ---------------------
 
 _RECRAWL_FETCHED_AT = "2026-04-15"
@@ -9287,6 +9337,7 @@ _PINNED = [
     "crawl_budget_allocate",
     "crawl_budget_apply",
     "crawl_delay_schedule",
+    "frontier_seen_filter",
     # round-9 queries whose SHARED operator code changed this round
     # (frontier_schedule lost its broadcast hint; the robots fixture
     # gained the lowercase directive; mixture's CTE chain was

@@ -139,6 +139,7 @@ def test_forced_broadcasts_have_bounded_build_sides():
         ("similarity.py", "lut"): "queries x probes x subspaces x 256",
         ("similarity.py", "shortlist"): "queries x shortlist_k rows",
         ("dedup.py", "bloom_bits.filter"): "<= m_bits bloom positions",
+        ("web.py", "bits.filter"): "<= k*m_bits url-bloom set bits (constants)",
         ("queries.py", "qiv"): "sampled query vectors (constant n)",
         ("queries.py", "_tbl"): "TPC-H dimension tables (customer/nation/region)",
     }

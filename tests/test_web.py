@@ -553,6 +553,81 @@ def test_select_agent_section_keeps_crawl_delay_lines(spark):
     assert out[0]["robots_txt"] == "Disallow: /x\nCrawl-delay: 5"
 
 
+def test_select_agent_section_fuzz_against_python_reference(spark):
+    """Randomized multi-group robots files vs a Python mirror of the
+    RFC 9309 §2.2.1 semantics: UA-after-non-UA starts a group,
+    consecutive UA lines share one, longest case-insensitive prefix
+    token wins ('*' = 0), equal-spec groups combine, pre-group and
+    non-policy lines drop.  Deterministic seed."""
+    import random
+
+    rng = random.Random(42424)
+    agent = "fwbot/1.0"
+    tokens = ["*", "fw", "FWBot", "fwb", "other", "googlebot"]
+    policies = ["Allow: /a", "Disallow: /b", "disallow: /c", "Crawl-delay: 2"]
+    fillers = ["# comment", "", "Sitemap: https://x/s.xml"]
+    cases = []
+    for i in range(40):
+        lines = []
+        if rng.random() < 0.3:
+            lines.append(rng.choice(policies))  # orphan rule: dropped
+        for _ in range(rng.randint(1, 4)):  # groups
+            for _ in range(rng.randint(1, 2)):  # consecutive UA lines
+                lines.append(f"User-agent: {rng.choice(tokens)}")
+            for _ in range(rng.randint(0, 3)):
+                lines.append(rng.choice(policies + fillers))
+        cases.append((f"h{i}.test", "\n".join(lines)))
+
+    def ref(text):
+        lines = text.split("\n")
+        gid, groups, prev_ua = 0, {}, False
+        for pos, ln in enumerate(lines):
+            is_ua = ln.lower().startswith("user-agent:")
+            if is_ua and not prev_ua:
+                gid += 1
+                groups.setdefault(gid, {"toks": [], "rules": []})
+            if gid == 0:
+                prev_ua = is_ua
+                continue
+            if is_ua:
+                groups[gid]["toks"].append(ln[11:].strip().lower())
+            elif any(
+                ln.lower().startswith(p)
+                for p in ("allow:", "disallow:", "crawl-delay:")
+            ):
+                groups[gid]["rules"].append(ln)
+            prev_ua = is_ua
+        def spec(t):
+            if t == "*":
+                return 0
+            return len(t) if agent.lower().startswith(t) else None
+        best = None
+        for g in groups.values():
+            specs = [s for s in map(spec, g["toks"]) if s is not None]
+            g["spec"] = max(specs) if specs else None
+            if g["spec"] is not None:
+                best = g["spec"] if best is None else max(best, g["spec"])
+        if best is None:
+            return None
+        rules = []
+        for g in groups.values():
+            if g["spec"] == best:
+                rules.extend(g["rules"])
+        return "\n".join(rules) if rules else None
+
+    df = spark.createDataFrame(cases, "host string, robots_txt string")
+    got = {
+        r["host"]: r["robots_txt"]
+        for r in rows(web.select_agent_section(df, agent))
+    }
+    mism = []
+    for h, text in cases:
+        want = ref(text)
+        if got.get(h) != want:
+            mism.append((h, got.get(h), want, text))
+    assert not mism, mism[:3]
+
+
 def test_recrawl_outcomes_all_four(spark):
     sm = spark.createDataFrame(
         [
@@ -577,6 +652,27 @@ def test_recrawl_outcomes_all_four(spark):
     assert out["u_equal"] == ("unchanged", False, "2026-04-15")
     assert out["u_unknown"] == ("unknown", True, "2026-04-15")
     assert out["u_new"] == ("new", True, "")
+
+
+def test_frontier_seen_filter_bloom_independent(spark):
+    """Output must equal frontier ANTI seen at ANY m_bits — including
+    a saturated 2-bit filter where everything lands possibly-seen and
+    the exact join decides alone (no false negatives ever)."""
+    frontier = spark.createDataFrame(
+        [("h", f"https://h/{i}") for i in range(30)],
+        "host string, canonical_url string",
+    )
+    seen = spark.createDataFrame(
+        [(f"https://h/{i}",) for i in range(0, 30, 3)] + [("https://h/zzz",)],
+        "canonical_url string",
+    )
+    want = {f"https://h/{i}" for i in range(30) if i % 3 != 0}
+    for m in (2, 1 << 10, 1 << 18):
+        got = {
+            r["canonical_url"]
+            for r in web.frontier_seen_filter(frontier, seen, m_bits=m).collect()
+        }
+        assert got == want, m
 
 
 def test_robots_filter_fuzz_against_python_reference(spark):
