@@ -78,6 +78,7 @@ BUILD_TIMED = {
     "length_quantile_sketch",
     "warc_ingest",  # the WARC-shaped dump write happens in-build
     "crawl_pipeline",  # same dump write in-build
+    "web_corpus_pipeline",  # same dump write in-build (round 10)
     "streaming_sketch_merge",  # availableNow foreachBatch run in-build
     "dedup_index_roll",  # localCheckpoints the stored index in-build
     # stop-rule probes (vocab count, argmax collect) + per-round

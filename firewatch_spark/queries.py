@@ -1153,11 +1153,11 @@ def _warc_projection(parsed: DataFrame) -> DataFrame:
     )
 
 
-@q(
-    "crawl_pipeline",
-    f"""
-    WITH {_URL_CANON_CTES},
-    pages AS (SELECT doc_id, {_HTML_SYNTH} AS html FROM documents),
+# the dump->keeper->extracted CTE chain (consumes `canon` from
+# _URL_CANON_CTES + the documents html synth), ending in
+# ex(canonical_url, n_variants, keeper_md5, extracted) — shared by
+# crawl_pipeline and web_corpus_pipeline
+_CRAWL_EX_CTES = f"""pages AS (SELECT doc_id, {_HTML_SYNTH} AS html FROM documents),
     rec AS (
       SELECT c.canonical_url, p.html, md5(p.html) AS payload_md5
       FROM canon c JOIN pages p USING (doc_id)
@@ -1189,7 +1189,14 @@ def _warc_projection(parsed: DataFrame) -> DataFrame:
             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
           '[ \t\n\r\f]+', ' ', 'g')) AS extracted
       FROM keeper
-    )
+    )"""
+
+
+@q(
+    "crawl_pipeline",
+    f"""
+    WITH {_URL_CANON_CTES},
+    {_CRAWL_EX_CTES}
     SELECT canonical_url, n_variants, keeper_md5,
            md5(extracted) AS extracted_md5,
            CAST(length(extracted) AS BIGINT) AS text_len
@@ -1210,9 +1217,23 @@ def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end.  Extraction runs AFTER dedup on keepers only — at
     100 TB that ordering is the big lever: the regex chain runs once
     per unique page, not once per crawl variant."""
+    extracted = _crawl_extracted(spark, sf_dir, "fw_crawlpipe_")
+    return extracted.select(
+        "canonical_url",
+        "n_variants",
+        "keeper_md5",
+        F.md5(F.col("extracted")).alias("extracted_md5"),
+        F.length("extracted").cast("long").alias("text_len"),
+    )
+
+
+def _crawl_extracted(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """dump → parse → dead-letter drop → canonical keeper → HTML→text:
+    the Spark twin of _CRAWL_EX_CTES' ``ex``, shared by crawl_pipeline
+    and web_corpus_pipeline."""
     from .sources import warc as warc_src
 
-    data_dir = _write_warc_dump(spark, sf_dir, "fw_crawlpipe_")
+    data_dir = _write_warc_dump(spark, sf_dir, prefix)
     parsed = warc_src.read_warc(spark, data_dir)
     good = parsed.filter(~F.col("is_malformed"))
     canon = web.with_canonical_url(good, "url").select(
@@ -1223,14 +1244,7 @@ def crawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-identical crawl variants of one canonical URL extract ONCE,
     # keeping the "HTML→text once per unique page" lever honest.
     keeper = web.keeper_per_canonical(canon)
-    extracted = keeper.withColumn("extracted", web.html_to_text_expr("html"))
-    return extracted.select(
-        "canonical_url",
-        "n_variants",
-        "keeper_md5",
-        F.md5(F.col("extracted")).alias("extracted_md5"),
-        F.length("extracted").cast("long").alias("text_len"),
-    )
+    return keeper.withColumn("extracted", web.html_to_text_expr("html"))
 
 
 @q(
@@ -7543,33 +7557,39 @@ def token_cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GOPHER_SQL = """
-    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-    g AS (
-      SELECT doc_id, text, toks,
+def _gopher_ctes(src: str, id_col: str, text_col: str) -> str:
+    """The Gopher hard-rule CTE chain over ``src(id_col, text_col)``,
+    through ``gf(gid, n_tokens, n_distinct_stopwords, r_*, n_failed,
+    keep)`` — parameterized so the same audited rule algebra gates both
+    the documents-table `gopher_rules` row and compositions over
+    DERIVED text (web_corpus_pipeline's crawl-extracted corpus)."""
+    return f"""gt AS (SELECT {id_col} AS gid, {text_col} AS gtext,
+                 string_split({text_col}, ' ') AS toks FROM {src}),
+    gg AS (
+      SELECT gid, gtext, toks,
              CASE WHEN len(toks) >= 2
                   THEN list_transform(generate_series(1, len(toks) - 1),
                        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))
                   ELSE [concat_ws(' ', toks)] END AS grams
-      FROM t
+      FROM gt
     ),
-    tok_rows AS (
-      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx FROM t
+    gtok_rows AS (
+      SELECT gid, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx FROM gt
     ),
-    runs AS (
-      SELECT doc_id, tok,
-             idx - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY idx) AS grp
-      FROM tok_rows
+    gruns AS (
+      SELECT gid, tok,
+             idx - ROW_NUMBER() OVER (PARTITION BY gid, tok ORDER BY idx) AS grp
+      FROM gtok_rows
     ),
-    runlen AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS rl FROM runs GROUP BY doc_id, tok, grp
+    grunlen AS (
+      SELECT gid, CAST(count(*) AS BIGINT) AS rl FROM gruns GROUP BY gid, tok, grp
     ),
-    maxrun AS (SELECT doc_id, max(rl) AS max_run_len FROM runlen GROUP BY doc_id),
-    m AS (
-      SELECT g.doc_id,
+    gmaxrun AS (SELECT gid, max(rl) AS max_run_len FROM grunlen GROUP BY gid),
+    gm AS (
+      SELECT gg.gid,
              CAST(len(toks) AS BIGINT) AS n_tokens,
-             (length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS mwl,
-             (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))
+             (length(gtext) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS mwl,
+             (length(gtext) - length(regexp_replace(gtext, '[#…]', '', 'g')))
                / CAST(len(toks) AS DOUBLE) AS symr,
              len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
                / CAST(len(toks) AS DOUBLE) AS alphaf,
@@ -7580,10 +7600,10 @@ _GOPHER_SQL = """
                       x -> len(list_filter(grams, y -> y = x))))
                / CAST(len(grams) AS DOUBLE) AS topg,
              mr.max_run_len
-      FROM g JOIN maxrun mr ON g.doc_id = mr.doc_id
+      FROM gg JOIN gmaxrun mr ON gg.gid = mr.gid
     ),
-    f AS (
-      SELECT doc_id, n_tokens, n_distinct_stopwords,
+    gf AS (
+      SELECT gid, n_tokens, n_distinct_stopwords,
              (n_tokens >= 50 AND n_tokens <= 100000) AS r_word_count,
              (mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
              (symr <= 0.1) AS r_symbol_ratio,
@@ -7591,9 +7611,13 @@ _GOPHER_SQL = """
              (n_distinct_stopwords >= 2) AS r_stopwords,
              (topg <= 0.2) AS r_top_bigram,
              (max_run_len <= 4) AS r_max_run
-      FROM m
-    )
-    SELECT doc_id, n_tokens, n_distinct_stopwords,
+      FROM gm
+    )"""
+
+
+_GOPHER_SQL = f"""
+    WITH {_gopher_ctes("documents", "doc_id", "text")}
+    SELECT gid AS doc_id, n_tokens, n_distinct_stopwords,
            r_word_count, r_mean_word_len, r_symbol_ratio, r_alpha_words,
            r_stopwords, r_top_bigram, r_max_run,
            CAST((CASE WHEN r_word_count THEN 0 ELSE 1 END)
@@ -7605,7 +7629,7 @@ _GOPHER_SQL = """
               + (CASE WHEN r_max_run THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
            (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_alpha_words
             AND r_stopwords AND r_top_bigram AND r_max_run) AS keep
-    FROM f
+    FROM gf
     """
 
 
@@ -7791,6 +7815,117 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_max_run",
         "n_failed",
         "keep",
+    )
+
+
+_WEB_CORPUS_BUDGET = 2_000
+
+
+@q(
+    "web_corpus_pipeline",
+    f"""
+    WITH {_URL_CANON_CTES},
+    {_CRAWL_EX_CTES},
+    exm AS (
+      SELECT canonical_url, extracted FROM ex
+      UNION ALL
+      SELECT concat('https://mirror-', canonical_url), extracted FROM ex
+      WHERE substr(md5(extracted), 1, 1) IN ('0', '1', '2', '3')
+    ),
+    exd AS (
+      SELECT md5(extracted) AS text_md5,
+             min(canonical_url) AS url,
+             CAST(count(*) AS BIGINT) AS n_text_copies
+      FROM exm GROUP BY md5(extracted)
+    ),
+    corpus AS (
+      SELECT d.url, d.text_md5, d.n_text_copies, e.extracted
+      FROM exd d JOIN (
+        SELECT DISTINCT canonical_url, extracted FROM exm
+      ) e ON e.canonical_url = d.url
+    ),
+    {_gopher_ctes("corpus", "url", "extracted")},
+    kept AS (
+      SELECT c.url, c.text_md5, c.n_text_copies,
+             f.n_tokens, f.n_distinct_stopwords
+      FROM corpus c JOIN gf f ON f.gid = c.url
+      WHERE f.r_word_count AND f.r_mean_word_len AND f.r_symbol_ratio
+        AND f.r_alpha_words AND f.r_stopwords AND f.r_top_bigram
+        AND f.r_max_run
+    ),
+    bud AS (
+      SELECT *, sum(n_tokens) OVER (ORDER BY n_distinct_stopwords DESC, url
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM kept
+    )
+    SELECT url, text_md5, n_text_copies, n_tokens, n_distinct_stopwords,
+           CAST(cum - n_tokens AS BIGINT) AS cum_tokens_before
+    FROM bud WHERE cum - n_tokens < {_WEB_CORPUS_BUDGET}
+    """,
+)
+def web_corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE web-to-training-corpus flow in ONE attested row — the
+    capstone joining the crawl family to the curation family: raw
+    WARC-shaped dump → record parse + dead-letter drop → canonical-URL
+    keeper dedup → HTML→text on keepers only → TEXT-level exact dedup
+    (one keeper per distinct extracted text, min-URL — different URLs
+    serving identical content collapse here, the step URL dedup cannot
+    do — exercised by a planted MIRROR host republishing the ~quarter
+    of pages whose text-md5 starts 0-3: each collapses to its original
+    min-URL keeper with n_text_copies = 2, value-hash-pinned) → Gopher
+    hard-rule quality gate (the full audited rule algebra,
+    parameterized over the DERIVED text) → quality-ranked token-budget
+    selection (score = distinct-stopword count on the exact int grid,
+    budget {_WEB_CORPUS_BUDGET} tokens, boundary doc kept).
+    crawl_pipeline attests dump→text and curation_pipeline attests
+    clean→score→select over the documents table; THIS row attests the
+    splice — the corpus entering curation is the crawl's OUTPUT.
+    Scale shape: each stage keeps its audited plan (scan-side
+    extraction once per unique page, 32-byte keys in the dedup
+    shuffles, pure-Column rule folds, two-phase budget rank — no
+    one-task window)."""
+    ex = _crawl_extracted(spark, sf_dir, "fw_webcorpus_").select(
+        "canonical_url", "extracted"
+    )
+    mirrored = ex.filter(
+        F.expr("substr(md5(extracted), 1, 1) IN ('0', '1', '2', '3')")
+    ).select(
+        F.concat(F.lit("https://mirror-"), F.col("canonical_url")).alias(
+            "canonical_url"
+        ),
+        "extracted",
+    )
+    exm = ex.unionByName(mirrored)
+    exd = exm.groupBy(F.md5(F.col("extracted")).alias("text_md5")).agg(
+        F.min("canonical_url").alias("url"),
+        F.count(F.lit(1)).cast("long").alias("n_text_copies"),
+    )
+    corpus = exd.join(
+        exm.select(
+            F.col("canonical_url").alias("url"), "extracted"
+        ).distinct(),
+        "url",
+    )
+    gop = text.with_gopher_rules(corpus, text_col="extracted")
+    kept = gop.filter(F.col("keep")).select(
+        "url", "text_md5", "n_text_copies", "n_tokens", "n_distinct_stopwords"
+    )
+    sel = sampling.quality_budget_select(
+        kept,
+        _WEB_CORPUS_BUDGET,
+        score_col="n_distinct_stopwords",
+        tokens_col="n_tokens",
+        id_col="url",
+    )
+    return sel.join(
+        kept.select("url", "text_md5", "n_text_copies"), "url"
+    ).select(
+        "url",
+        "text_md5",
+        "n_text_copies",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_stopwords").cast("long").alias("n_distinct_stopwords"),
+        "cum_tokens_before",
     )
 
 
@@ -9338,6 +9473,7 @@ _PINNED = [
     "crawl_budget_apply",
     "crawl_delay_schedule",
     "frontier_seen_filter",
+    "web_corpus_pipeline",
     # round-9 queries whose SHARED operator code changed this round
     # (frontier_schedule lost its broadcast hint; the robots fixture
     # gained the lowercase directive; mixture's CTE chain was

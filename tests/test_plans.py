@@ -25,6 +25,7 @@ SKIP = {
     "csv_ingest",  # same: builds by writing the CSV fixture
     "warc_ingest",  # same: builds by writing the WARC-shaped dump
     "crawl_pipeline",  # same dump write in-build
+    "web_corpus_pipeline",  # same dump write in-build
     "curation_pipeline",  # localCheckpoints the scored corpus in-build
     "ann_ivf_upsert",  # builds by writing the stored base index; its
     # join shape is ivf_assign's, already swept via ann_ivf_cells
