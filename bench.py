@@ -110,6 +110,16 @@ BUILD_TIMED = {
 
 
 def main() -> None:
+    # Size the single local-mode JVM for the whole 167-query session:
+    # the default heap survived ~165 queries and then OOMed in task
+    # broadcast deserialization once web_corpus_pipeline's sf0.1
+    # payload DISTINCTs landed at the end of the alphabet (round 10).
+    # 16 g on the 128 GiB box matches tools/scale25.py's sizing
+    # discipline; PYSPARK_SUBMIT_ARGS is the one route that reaches a
+    # not-yet-started JVM (session.py documents why getOrCreate can't).
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell"
+    )
     from firewatch_spark.queries import registry
     from firewatch_spark.session import get_spark
 
