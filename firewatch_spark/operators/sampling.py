@@ -803,6 +803,48 @@ def quality_budget_select(
     )
 
 
+def with_global_rank(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "rank",
+) -> DataFrame:
+    """DESCENDING global (score, id) rank WITHOUT a one-task window —
+    `quality_budget_select`'s two-phase range-bucket machinery with
+    COUNT offsets instead of token sums: (1) each row's descending key
+    ``kv = max_score − score`` lands in one of ≤ 257 ordered range
+    buckets; per-bucket COUNTS become cumulative offsets via a tiny
+    window and broadcast back; (2) each bucket ranks locally by
+    (kv, id).  rank = offset + local rank — bit-identical to
+    ``ROW_NUMBER() OVER (ORDER BY score DESC, id)`` at any scale.
+    ``score_col`` must be an integer grid score; same spiked-
+    distribution caveat (and the same degenerate-collapse correctness)
+    as quality_budget_select."""
+    stats = df.agg(
+        F.max(score_col).alias("_max"), F.min(score_col).alias("_min")
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_kv", F.col("_max") - F.col(score_col))
+        .withColumn("_bucket", F.expr("_kv DIV ((_max - _min) DIV 256 + 1)"))
+    )
+    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.withColumn(
+        "_off", F.sum("_cnt").over(off_w) - F.col("_cnt")
+    ).select("_bucket", "_off")
+    local_w = Window.partitionBy("_bucket").orderBy("_kv", id_col)
+    return (
+        keyed.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            out_col, (F.col("_off") + F.row_number().over(local_w)).cast("long")
+        )
+        .drop("_kv", "_bucket", "_off", "_max", "_min")
+    )
+
+
 # Efraimidis–Spirakis priority keys live on the same measured ilog grid
 # as DSIR: the uniform draw uses 20 hash bits, so ilog's argument stays
 # in [1, 2^20] ⊂ the exhaustively-measured [1, 4e6] parity range.

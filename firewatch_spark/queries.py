@@ -4865,6 +4865,111 @@ def interpolated_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIER_BUDGET = 26_000
+_TIER_WEIGHT_SQL = (
+    "CASE tier WHEN 'head' THEN 5 WHEN 'middle' THEN 3 ELSE 1 END"
+)
+
+
+@q(
+    "quality_tier_mixture",
+    f"""
+    WITH {_jm_score_ctes("documents")},
+    interp AS (
+      SELECT doc_id,
+             CAST(sum(({_JM_LAM_NUM} * s_bg + {_JM_LAM_DEN - _JM_LAM_NUM} * s_uni)
+                      // {_JM_LAM_DEN}) AS BIGINT) AS score
+      FROM sc GROUP BY doc_id
+    ),
+    qd AS (
+      SELECT i.doc_id, i.score,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM interp i JOIN documents d USING (doc_id)
+    ),
+    qn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qd),
+    qr AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      FROM qd
+    ),
+    qt AS (
+      SELECT doc_id, score, n_tokens,
+             CASE WHEN (rk - 1) * 3 < n THEN 'head'
+                  WHEN (rk - 1) * 3 < 2 * n THEN 'middle'
+                  ELSE 'tail' END AS tier
+      FROM qr CROSS JOIN qn
+    ),
+    st AS (
+      SELECT tier AS source,
+             CAST({_TIER_WEIGHT_SQL} AS BIGINT) AS weight,
+             CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+      FROM qt GROUP BY tier
+    ),
+    {_waterfill_chain(_TIER_BUDGET, "st")},
+    mtq AS (
+      SELECT doc_id, tier, n_tokens,
+             md5('tb|' || CAST(doc_id AS VARCHAR)) AS mk
+      FROM qt
+    ),
+    mcq AS (
+      SELECT doc_id, tier, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY tier ORDER BY mk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS mcum
+      FROM mtq
+    )
+    SELECT c.doc_id, c.tier, c.n_tokens
+    FROM mcq c JOIN wf ON wf.source = c.tier
+    WHERE c.mcum - c.n_tokens < wf.alloc_tokens
+    """,
+)
+def quality_tier_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality-TIER mixture — the composition CCNet
+    actually ships (Wenzek et al. 2020: LM-score the corpus, cut it
+    into head/middle/tail TERCILES, then sample the tiers at different
+    rates): JM interpolated LM scoring → EXACT global tercile tiers
+    (rank by (score DESC, id) via `with_global_rank`'s two-phase
+    range-bucket machinery — no one-task window; tier boundaries are
+    pure int comparisons (rank−1)·3 vs n) → the exact integer
+    waterfiller across the three tiers (weights 5/3/1 — head-heavy,
+    the CCNet shape; the 26 k budget SATURATES the head tier, which
+    keeps every token it has, while the tail splits the remainder
+    proportionally — both branches value-hash-pinned) →
+    per-tier token budgets applied in deterministic md5 order with the
+    boundary doc kept.  Third consumer of the waterfill kernel (token
+    mixtures, crawl budgets, now quality tiers) and the second
+    composition over the JM scorer.  Every stage keeps its audited
+    plan; the tier table is 3 rows, the solver driver-scale."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = text.interpolated_lm_score(
+        docs, lam_num=_JM_LAM_NUM, lam_den=_JM_LAM_DEN
+    ).select("doc_id", F.col("sum_interp_scaled").alias("score"))
+    qd = scored.join(docs, "doc_id").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    ranked = sampling.with_global_rank(qd, "score", out_col="_rk")
+    total = qd.agg(F.count(F.lit(1)).alias("_n"))
+    qt = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "tier",
+        F.expr(
+            "CASE WHEN (_rk - 1) * 3 < _n THEN 'head' "
+            "WHEN (_rk - 1) * 3 < 2 * _n THEN 'middle' "
+            "ELSE 'tail' END"
+        ),
+    )
+    stats = (
+        qt.groupBy("tier")
+        .agg(F.sum("n_tokens").cast("long").alias("avail_tokens"))
+        .withColumn("weight", F.expr(f"CAST({_TIER_WEIGHT_SQL} AS BIGINT)"))
+    )
+    alloc = sampling.mixture_waterfill(stats, _TIER_BUDGET, source_col="tier")
+    out = sampling.token_budget_cap(
+        qt.select("doc_id", "tier", "text"),
+        0,
+        strata_col="tier",
+        budgets=alloc,
+    )
+    return out.select("doc_id", "tier", "n_tokens")
+
+
 @q("unigram_score", _UNIGRAM_SQL)
 def unigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (operators/text.py unigram_score) —
@@ -9474,6 +9579,7 @@ _PINNED = [
     "crawl_delay_schedule",
     "frontier_seen_filter",
     "web_corpus_pipeline",
+    "quality_tier_mixture",
     # round-9 queries whose SHARED operator code changed this round
     # (frontier_schedule lost its broadcast hint; the robots fixture
     # gained the lowercase directive; mixture's CTE chain was

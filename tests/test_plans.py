@@ -142,6 +142,7 @@ def test_forced_broadcasts_have_bounded_build_sides():
         ("dedup.py", "bloom_bits.filter"): "<= m_bits bloom positions",
         ("web.py", "bits.filter"): "<= k*m_bits url-bloom set bits (constants)",
         ("queries.py", "qiv"): "sampled query vectors (constant n)",
+        ("queries.py", "total"): "1-row corpus doc count (tier boundaries)",
         ("queries.py", "_tbl"): "TPC-H dimension tables (customer/nation/region)",
     }
     pkg = Path(__file__).resolve().parent.parent / "firewatch_spark"
@@ -233,6 +234,10 @@ def test_no_cartesian_product_anywhere(plans):
         "mixture_budget_apply",
         # identical waterfill 1-row broadcasts over the epoch caps
         "mixture_epoch_allocate",
+        # JM scorer's 1-row token-total broadcast + with_global_rank's
+        # 1-row (max, min) stats + the 1-row tier-boundary doc count +
+        # the waterfill 1-row broadcasts over the 3-row tier table
+        "quality_tier_mixture",
         # frontier_schedule composes web.pagerank → the 1-row n_hosts
         # teleport broadcast, same as host_pagerank (build-timed, not
         # plan-swept, but the frontier side shares the plan here)

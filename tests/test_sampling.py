@@ -281,6 +281,31 @@ def test_quality_budget_select_degenerate_score_distribution(spark):
     assert got == naive and len(got) == 10  # 9 full + the boundary doc
 
 
+def test_with_global_rank_matches_naive_window(spark):
+    """Two-phase range-bucket global rank == one-task ROW_NUMBER over
+    (score DESC, id), ties and degenerate all-equal scores included."""
+    from pyspark.sql import Window
+
+    data = [(i, (i * 37) % 11) for i in range(1, 101)]  # heavy ties
+    df = spark.createDataFrame(data, "doc_id long, score long")
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in sampling.with_global_rank(df, "score").collect()
+    }
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    naive = {
+        r["doc_id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == naive
+    flat = spark.createDataFrame([(i, 7) for i in range(1, 31)], "doc_id long, score long")
+    got_flat = {
+        r["doc_id"]: r["rank"]
+        for r in sampling.with_global_rank(flat, "score").collect()
+    }
+    assert got_flat == {i: i for i in range(1, 31)}
+
+
 def _waterfill(spark, rows_in, budget):
     df = spark.createDataFrame(rows_in, "source string, weight long, avail_tokens long")
     return {
