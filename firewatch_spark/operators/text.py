@@ -1572,3 +1572,187 @@ def interpolated_lm_score(
         F.sum("s_bg").alias("sum_bigram_scaled"),
         F.sum("s_uni").alias("sum_unigram_scaled"),
     )
+
+
+# BM25 fixed-point scales (the interpolated_lm_score / DSIR discipline:
+# integer floor-divisions + INT64 sums, no float summation order).
+BM25_IDF_SCALE = 10_000
+BM25_TF_SCALE = 1_000_000
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: dict[str, tuple[str, ...]],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval over the corpus — top-k documents per query, the
+    ranking function behind the lexical half of every
+    training-data-curation retrieval stage (hard-negative mining,
+    eval-set decontamination lookups, targeted corpus slicing).
+
+    Robertson/Okapi BM25 with k1 = 5/4, b = 3/4, and the idf shifted
+    by +1 (the Lucene convention, keeps every term non-negative):
+
+        idf(t)        = (N - df + 1/2)/(df + 1/2) + 1
+                      = (2N + 2)/(2df + 1)              (exact integers)
+        tfnorm(t, d)  = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+                      = 36·T·tf / (16·T·tf + 5·T + 15·dl·N)
+                        (multiplying through by 16·T, avgdl = T/N)
+
+    idf is kept RATIONAL (no libm log — tfidf_topk's bit-parity trade;
+    log is monotone per term and BM25's sum of shifted-rational idf
+    terms preserves the published ranking on this corpus) and the
+    whole score sits on the scaled-int grid:
+
+        idf_scaled    = (10^4 · (2N+2))   div (2df+1)
+        tfnorm_scaled = (10^6 · 36·T·tf)  div (16·T·tf + 5·T + 15·dl·N)
+        term_scaled   = (idf_scaled · tfnorm_scaled) div 10^4
+        score_scaled  = Σ_{t ∈ q ∩ d} term_scaled     (INT64 sum)
+
+    so the per-(query, doc) sum is an integer aggregation with no
+    float addition order anywhere — bit-exact in the DuckDB oracle.
+    Headroom: 10^6·36·T·tf < 2^63 up to T·tf ≈ 2.5e11 (a 10^9-token
+    corpus with tf ≤ 250); idf_scaled·tfnorm_scaled ≤
+    10^4·(2N+2) · 2.25e6 < 2^63 up to N ≈ 4e7 docs — raise the split
+    point (not the product) beyond that.
+
+    Scale shape: per-doc tf and dl in ONE token-keyed groupBy each
+    (map-side combinable); df from the distinct (doc, token) pairs the
+    tf agg already produced — no second corpus pass; N/T as a 1-row
+    broadcast.  The query-term table is a constant literal (a few
+    rows) joined on the token key, so only matching postings survive
+    the scan side; the final top-k is a row_number window partitioned
+    by query_id — key-parallel, no global sort.  A document missing a
+    query term simply contributes no posting row (term score 0), the
+    inverted-index convention."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qrows = [
+        (qid, t) for qid, terms in sorted(query_terms.items()) for t in terms
+    ]
+    queries = spark.createDataFrame(qrows, "query_id string, token string")
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+
+    postings = (
+        tf.join(F.broadcast(queries), "token")
+        .join(dfreq, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_scaled",
+            F.expr(
+                f"(CAST({BM25_IDF_SCALE} AS BIGINT) * (2 * n_docs + 2))"
+                " div (2 * df_docs + 1)"
+            ),
+        )
+        .withColumn(
+            "tfnorm_scaled",
+            F.expr(
+                f"(CAST({BM25_TF_SCALE} AS BIGINT) * 36 * total_tokens * tf)"
+                " div (16 * total_tokens * tf + 5 * total_tokens + 15 * dl * n_docs)"
+            ),
+        )
+        .withColumn(
+            "term_scaled",
+            F.expr(f"(idf_scaled * tfnorm_scaled) div {BM25_IDF_SCALE}"),
+        )
+    )
+    scored = postings.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.sum("term_scaled").alias("score_scaled"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .withColumn(
+            "score",
+            F.col("score_scaled").cast("double") / F.lit(float(BM25_TF_SCALE)),
+        )
+        .select("query_id", "rank", id_col, "n_terms_hit", "score_scaled", "score")
+    )
+
+
+C4_BADWORDS = ("badword1", "badword2")
+
+
+def with_c4_filters(
+    df: DataFrame,
+    badwords: tuple[str, ...] = C4_BADWORDS,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over multi-line
+    pages — the third member of the published-filter family next to
+    with_gopher_rules and the CCNet tiers:
+
+      line level: keep a line only if it (a) ends in a terminal
+        punctuation mark, (b) has >= ``min_words_per_line`` words,
+        (c) does not contain the word 'javascript';
+      page level: drop the page if it contains any bad word, the
+        phrase 'lorem ipsum', or a curly bracket '{'; after line
+        filtering, drop pages with fewer than ``min_sentences``
+        sentences (terminal-punctuation count of the cleaned text).
+
+    (C4's fourth page rule — three-sentence-span dedup — is the
+    separate span_dedup operator; composing them is the caller's
+    pipeline stage, exactly as in the paper.)
+
+    Per-rule boolean flags + counts follow the with_gopher_rules
+    auditable reject-reason convention; ``clean_md5``/``clean_len``
+    value-pin the reassembled text without carrying it.
+
+    The line filter runs INSIDE one let-bound higher-order expression
+    (``transform(array(filter(...)), K -> struct(...))[0]``) so the
+    split/filter work is evaluated once per row even though two
+    outputs (count, joined text) consume it — the Catalyst lambda
+    re-inlining trap measured in SCALE.md.  Pure Column expressions,
+    no UDF, no shuffle: a free rider on the ingest scan at 100 TB."""
+    terminal = "right(l, 1) IN ('.', '!', '?')"
+    line_keep = (
+        f"l -> {terminal} AND size(split(l, ' ')) >= {int(min_words_per_line)} "
+        "AND NOT contains(lower(l), 'javascript')"
+    )
+    bad_list = ", ".join(f"'{b}'" for b in badwords)
+    kept = (
+        f"transform(array(filter(split({text_col}, '\\n'), {line_keep})), "
+        "K -> struct(size(K) AS n_kept_lines, "
+        "array_join(K, '\\n') AS clean_text))[0]"
+    )
+    out = df.withColumn("_k", F.expr(kept)).select(
+        "*",
+        F.expr(f"size(split({text_col}, '\\n'))").cast("long").alias("n_lines"),
+        F.col("_k.n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.expr("size(split(_k.clean_text, '[.!?]')) - 1")
+        .cast("long")
+        .alias("n_sentences"),
+        F.expr(
+            f"exists(split(lower({text_col}), '[ \\n]'), t -> t IN ({bad_list}))"
+        ).alias("has_badword"),
+        F.expr(f"contains(lower({text_col}), 'lorem ipsum')").alias("has_lorem"),
+        F.expr(f"contains({text_col}, '{{')").alias("has_brace"),
+        F.length("_k.clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("_k.clean_text")).alias("clean_md5"),
+    )
+    return out.withColumn(
+        "keep",
+        (~F.col("has_badword"))
+        & (~F.col("has_lorem"))
+        & (~F.col("has_brace"))
+        & (F.col("n_sentences") >= F.lit(int(min_sentences))),
+    ).drop("_k")

@@ -4865,6 +4865,76 @@ def interpolated_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 query set: one rare discriminator ('dup' appears in ~5 % of
+# docs vs ~95 % for the rest of the vocabulary), one 3-term query (the
+# INT64 score sum is order-free, so term count is unconstrained), one
+# stopword-heavy query — together they exercise idf spread, multi-term
+# accumulation, and length normalization.
+_BM25_QUERIES = {
+    "q1": ("dup", "join"),
+    "q2": ("stream", "vector", "window"),
+    "q3": ("slow", "the"),
+}
+_BM25_K = 5
+_BM25_QT_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in sorted(_BM25_QUERIES.items()) for t in terms
+)
+
+_BM25_SQL = f"""
+    WITH qt AS (SELECT * FROM (VALUES {_BM25_QT_SQL}) AS v(query_id, token)),
+    tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+    post AS (
+      SELECT q.query_id, f.doc_id,
+             (10000 * (2 * c.n_docs + 2)) // (2 * d.df_docs + 1) AS idf_scaled,
+             (1000000 * 36 * c.total_tokens * f.tf)
+               // (16 * c.total_tokens * f.tf + 5 * c.total_tokens
+                   + 15 * l.dl * c.n_docs) AS tfnorm_scaled
+      FROM tf f
+      JOIN qt q USING (token)
+      JOIN dfq d USING (token)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN corpus c
+    ),
+    sc AS (
+      SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+             CAST(sum((idf_scaled * tfnorm_scaled) // 10000) AS BIGINT) AS score_scaled
+      FROM post GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
+      FROM sc
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms_hit,
+           score_scaled, CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
+    FROM rk WHERE rank <= {_BM25_K}
+    """
+
+
+@q("bm25_topk", _BM25_SQL)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/text.py bm25_topk) — the
+    lexical-retrieval rung above tfidf_topk: Okapi BM25 with k1 = 5/4,
+    b = 3/4, Lucene's +1-shifted idf kept RATIONAL
+    ((2N+2)/(2df+1), the tfidf_topk bit-parity trade) and the whole
+    score on the scaled-int grid (idf at 1e4, tf-normalization at 1e6,
+    integer floor-divisions, INT64 per-(query, doc) sums — the
+    interpolated_lm_score discipline), so multi-term accumulation has
+    no float addition order and the oracle is bit-exact.  Serves the
+    retrieval stages of data curation: hard-negative mining, targeted
+    slicing, decontamination lookups.  Scale shape: tf/dl/df from the
+    token-keyed aggs, the constant query-term literal joins on the
+    token key so only matching postings survive, corpus stats are a
+    1-row broadcast, and top-k is a per-query row_number window."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_topk(docs, _BM25_QUERIES, k=_BM25_K)
+
+
 _TIER_BUDGET = 26_000
 _TIER_WEIGHT_SQL = (
     "CASE tier WHEN 'head' THEN 5 WHEN 'middle' THEN 3 ELSE 1 END"
@@ -7923,6 +7993,108 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic multi-line page synthesis for the C4 filter — one SQL
+# snippet that parses IDENTICALLY in Spark and DuckDB (concat / substr
+# / CASE / % / greatest / length / chr(10) are common syntax), so both
+# engines derive the same pages and the gate pins the FILTER, not the
+# fixture.  Six lines per page, each a char-offset slice of the doc's
+# text with (doc_id, j)-keyed variation: terminal punctuation ./!/?/
+# none (j%4 — the no-punct lines fail C4's terminal rule), slice
+# length 10..60 chars (the 10-char lines fail the >=5-words rule), an
+# injected ' javascript' token every 11th (doc,line) (line-drop rule),
+# plus doc-level trailer lines: 'lorem ipsum' every 17th doc, a curly
+# brace every 19th, a badword every 23rd (page-drop rules).
+def _c4_line(j: int) -> str:
+    return (
+        "concat(substr(text, 1 + ((doc_id * 13 + {j} * 37) % "
+        "greatest(length(text) - 30, 1)), 10 + ((doc_id + {j}) % 6) * 10), "
+        "CASE WHEN (doc_id * 7 + {j}) % 11 = 0 THEN ' javascript' ELSE '' END, "
+        "CASE (doc_id + {j}) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!' "
+        "WHEN 2 THEN '?' ELSE '' END)"
+    ).format(j=j)
+
+
+_C4_SYNTH = (
+    "concat("
+    + ", chr(10), ".join(_c4_line(j) for j in range(6))
+    + ", CASE WHEN doc_id % 17 = 0 THEN concat(chr(10), "
+    "'lorem ipsum dolor sit amet consectetur.') ELSE '' END"
+    ", CASE WHEN doc_id % 19 = 3 THEN concat(chr(10), "
+    "'config = { key: value } and some words here.') ELSE '' END"
+    ", CASE WHEN doc_id % 23 = 5 THEN concat(chr(10), "
+    "'this line has badword1 in it today friends.') ELSE '' END"
+    ")"
+)
+
+_C4_SQL = f"""
+    WITH syn AS (SELECT doc_id, {_C4_SYNTH} AS txt FROM documents),
+    kept AS (
+      SELECT doc_id, txt,
+             CAST(len(string_split(txt, chr(10))) AS BIGINT) AS n_lines,
+             list_filter(string_split(txt, chr(10)),
+               l -> (right(l, 1) = '.' OR right(l, 1) = '!' OR right(l, 1) = '?')
+                    AND len(string_split(l, ' ')) >= 5
+                    AND NOT contains(lower(l), 'javascript')) AS ks
+      FROM syn
+    ),
+    asm AS (
+      SELECT doc_id, txt, n_lines,
+             CAST(len(ks) AS BIGINT) AS n_kept_lines,
+             array_to_string(ks, chr(10)) AS clean
+      FROM kept
+    ),
+    feat AS (
+      SELECT doc_id, n_lines, n_kept_lines,
+             CAST(len(regexp_split_to_array(clean, '[.!?]')) - 1 AS BIGINT)
+               AS n_sentences,
+             len(list_filter(string_split_regex(lower(txt), '[ \n]'),
+               t -> t = 'badword1' OR t = 'badword2')) > 0 AS has_badword,
+             contains(lower(txt), 'lorem ipsum') AS has_lorem,
+             contains(txt, '{{') AS has_brace,
+             CAST(length(clean) AS BIGINT) AS clean_len,
+             md5(clean) AS clean_md5
+      FROM asm
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_badword, has_lorem,
+           has_brace, clean_len, clean_md5,
+           (NOT has_badword AND NOT has_lorem AND NOT has_brace
+            AND n_sentences >= 3) AS keep
+    FROM feat
+    """
+
+
+@q("c4_filters", _C4_SQL)
+def c4_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (operators/text.py with_c4_filters — Raffel
+    et al. 2020 §2.2) over synthesized multi-line pages: terminal-
+    punctuation line keep, >=5-words-per-line, javascript line drop,
+    badword/lorem-ipsum/curly-brace page drops, and the >=3-sentences
+    page rule applied to the line-filtered text — per-rule flags, the
+    kept-line reassembly value-pinned by clean_md5, and the
+    conjunctive keep verdict.  Completes the published-filter family
+    (Gopher rules, CCNet tiers, C4).  Pure let-bound Column folds on
+    the scan — no UDF, no shuffle; at 100 TB this is a free rider on
+    the ingest pass, exactly where C4 runs it."""
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("text", F.expr(_C4_SYNTH))
+    )
+    out = text.with_c4_filters(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_badword",
+        "has_lorem",
+        "has_brace",
+        "clean_len",
+        "clean_md5",
+        "keep",
+    )
+
+
 _WEB_CORPUS_BUDGET = 2_000
 
 
@@ -9569,6 +9741,8 @@ _DRIVER_WINDOW = 50
 _ROTATION_ROUND = 10  # bump each round to advance the rotation
 _PINNED = [
     # round-10 additions — never driver-attested yet
+    "bm25_topk",
+    "c4_filters",
     "robots_agent_section",
     "robots_wildcard_filter",
     "recrawl_schedule",

@@ -657,3 +657,126 @@ def test_interpolated_lm_score_matches_python_reference(spark):
     # (c_bg = 1 over c_prev) yet its unigram term keeps the score well
     # above the bigram term alone
     assert out[5]["sum_interp_scaled"] > out[5]["sum_bigram_scaled"] * 7 // 10
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    corpus = {
+        1: "spark query engine spark spark",
+        2: "query planner rules",
+        3: "engine room crew crew crew crew crew crew",
+        4: "spark rules",
+    }
+    queries = {"qa": ("spark", "rules"), "qb": ("crew",)}
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    out = rows(text.bm25_topk(df, queries, k=3), "query_id", "rank")
+
+    # independent reference of the scaled-int math
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    n_docs = len(corpus)
+    total = sum(len(ts) for ts in toks.values())
+    dfreq = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    expect = []
+    for qid, terms in sorted(queries.items()):
+        scored = []
+        for d, ts in toks.items():
+            s, hit = 0, 0
+            for t in terms:
+                tf = ts.count(t)
+                if tf == 0:
+                    continue
+                hit += 1
+                idf = (10_000 * (2 * n_docs + 2)) // (2 * dfreq[t] + 1)
+                tfn = (1_000_000 * 36 * total * tf) // (
+                    16 * total * tf + 5 * total + 15 * len(ts) * n_docs
+                )
+                s += (idf * tfn) // 10_000
+            if hit:
+                scored.append((d, hit, s))
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        for rank, (d, hit, s) in enumerate(scored[:3], 1):
+            expect.append((qid, rank, d, hit, s, s / 1_000_000.0))
+    got = [
+        (
+            r["query_id"],
+            r["rank"],
+            r["doc_id"],
+            r["n_terms_hit"],
+            r["score_scaled"],
+            r["score"],
+        )
+        for r in out
+    ]
+    assert got == expect
+    # a doc with the rare term beats tf-heavy docs of the common term:
+    # doc 3 is the only 'crew' doc and must lead qb
+    assert got[[g[0] for g in got].index("qb")][2] == 3
+
+
+def test_bm25_length_normalization_prefers_short_doc(spark):
+    # same tf for 'spark' but doc 2 is much longer -> lower score
+    df = spark.createDataFrame(
+        [(1, "spark query"), (2, "spark " + " ".join(["pad"] * 30))],
+        "doc_id long, text string",
+    )
+    out = rows(text.bm25_topk(df, {"q": ("spark",)}, k=2), "rank")
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["score_scaled"] > out[1]["score_scaled"]
+
+
+def test_c4_filters_line_and_page_rules(spark):
+    pages = [
+        # 3 good lines -> kept; one no-punct line and one short line drop
+        (1, "alpha beta gamma delta epsilon.\n"
+            "one two three four five six!\n"
+            "seven eight nine ten eleven?\n"
+            "no terminal punctuation here at all\n"
+            "too short."),
+        # javascript line dropped -> only 2 sentences -> page dropped
+        (2, "alpha beta gamma delta epsilon.\n"
+            "please enable JavaScript to view this page.\n"
+            "one two three four five six!"),
+        # lorem ipsum page-level drop despite 3 good lines
+        (3, "alpha beta gamma delta epsilon.\n"
+            "one two three four five six!\n"
+            "lorem ipsum dolor sit amet consectetur?"),
+        # curly brace page drop
+        (4, "alpha beta gamma delta epsilon.\n"
+            "config = { a: 1 } and more words.\n"
+            "one two three four five six!"),
+        # badword page drop
+        (5, "alpha beta gamma delta epsilon.\n"
+            "this line has badword1 in it today.\n"
+            "one two three four five six!"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rows(text.with_c4_filters(df), "doc_id")}
+
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept_lines"] == 3
+    assert out[1]["n_sentences"] == 3 and out[1]["keep"]
+    # 'too short.' fails the 5-word rule even with terminal punct
+    assert out[2]["n_kept_lines"] == 2 and not out[2]["keep"]
+    assert out[3]["has_lorem"] and not out[3]["keep"]
+    assert out[4]["has_brace"] and not out[4]["keep"]
+    assert out[5]["has_badword"] and not out[5]["keep"]
+    # page-level flags do not change the kept-line reassembly
+    assert out[5]["n_kept_lines"] == 3
+    # clean_md5 pins the reassembled text
+    import hashlib
+
+    clean1 = "\n".join(pages[0][1].split("\n")[:3])
+    assert out[1]["clean_md5"] == hashlib.md5(clean1.encode()).hexdigest()
+    assert out[1]["clean_len"] == len(clean1)
+
+
+def test_c4_filters_empty_after_filtering(spark):
+    df = spark.createDataFrame(
+        [(1, "no punct line one\nno punct line two")], "doc_id long, text string"
+    )
+    r = rows(text.with_c4_filters(df), "doc_id")[0]
+    assert r["n_kept_lines"] == 0 and r["n_sentences"] == 0
+    assert r["clean_len"] == 0 and not r["keep"]

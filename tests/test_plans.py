@@ -116,6 +116,8 @@ def test_forced_broadcasts_have_bounded_build_sides():
         ("web.py", "n_hosts"): "1-row host-count agg (pagerank teleport)",
         ("text.py", "n_docs"): "1-row corpus doc count (idf)",
         ("text.py", "total"): "1-row corpus token total",
+        ("text.py", "corpus"): "1-row corpus (n_docs, total_tokens) agg",
+        ("text.py", "queries"): "constant query-term literal (bm25)",
         # <= 256/257-row GLOBAL hash/range bucket offset tables (the
         # corpus_shuffle two-phase convention: bucket count is a
         # CONSTANT, unlike frontier_schedule's per-host offsets)
@@ -207,6 +209,9 @@ def test_no_cartesian_product_anywhere(plans):
         # both PQ builds + the same exact audit side as ann_recall
         "ann_pq_recall",
         "tfidf_topk",
+        # 1-row corpus (n_docs, total_tokens) broadcast into the
+        # query-term postings — tfidf_topk's shape with BM25 scoring
+        "bm25_topk",
         "lang_rebalance",
         # 1-row min-count broadcast, same shape as lang_rebalance
         "temperature_rebalance",
