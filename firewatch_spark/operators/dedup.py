@@ -1851,3 +1851,272 @@ def image_text_pair_dedup(
         .drop("_ckeep")
     )
     return kept.select(*out_cols).unionByName(dropped1.select(*out_cols))
+
+
+def corpus_overlap_kmv(
+    docs: DataFrame,
+    k: int = 64,
+    shingle_n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise corpus-overlap estimation between sources with a
+    bottom-k (KMV) sketch — the "how much does dump N share with dump
+    N−1 / does dataset A leak into dataset B" audit every multi-source
+    training mix runs before choosing mixture weights.
+
+    Per group, the sketch is the k lexicographically-smallest md5
+    hashes of its DISTINCT word shingles (min-of-uniform-hash, the
+    MinHash argument; hex strings so the DuckDB oracle is verbatim).
+    For a pair (A, B) the Jaccard estimate is the bottom-k rule
+    [Bar-Yossef et al. 2002]:
+
+        est = |{h ∈ bottom_k(A ∪ B) : h ∈ A and h ∈ B}| / min(k, |A ∪ B|)
+
+    EXACT per-pair intersection/union counts over the full distinct-
+    shingle sets ride along as audit columns (the ann_recall
+    convention: the sketch's error is value-pinned, not asserted
+    away), so the output shows estimate, truth, and |est − exact|.
+
+    Scale shape: ONE distinct over (group, shingle-hash) — corpus-wide
+    but map-side combinable.  The per-group bottom-k is TWO-PHASE to
+    avoid a corpus-scale single-task window: phase 1 takes bottom-k
+    within each (group, 2-hex-prefix bucket) — 256 parallel windows
+    per group — and phase 2 takes bottom-k of the ≤256·k survivors;
+    exactly equal to the global bottom-k because every global bottom-k
+    element is inside its bucket's bottom-k.  Pair assembly joins the
+    driver-scale group list (one row per source, the mixture-table
+    contract) twice on equality; the exact-audit join is an equi-join
+    on the hash key.  All downstream tables are (groups² × k)-bounded."""
+    from pyspark.sql import Window
+
+    n = shingle_n
+    idx = ", ".join(f"element_at(TK, i + {j})" for j in range(n))
+    # let-bound tokenization (the with_minhash_signature binder): split
+    # evaluates once per row, not once per shingle position reference
+    sh_expr = (
+        f"transform(array(split({text_col}, ' ')), TK -> "
+        f"CASE WHEN size(TK) >= {n} "
+        f"THEN transform(sequence(1, size(TK) - {n - 1}), "
+        f"i -> concat_ws(' ', {idx})) "
+        f"ELSE array(concat_ws(' ', TK)) END)[0]"
+    )
+    sh = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.expr(sh_expr)).alias("_s"),
+        )
+        .select("g", F.md5(F.col("_s")).alias("h"))
+        .distinct()
+    )
+
+    w_bucket = Window.partitionBy("g", F.substring("h", 1, 2)).orderBy("h")
+    w_group = Window.partitionBy("g").orderBy("h")
+    sig = (
+        sh.withColumn("_brn", F.row_number().over(w_bucket))
+        .filter(F.col("_brn") <= k)
+        .withColumn("_rn", F.row_number().over(w_group))
+        .filter(F.col("_rn") <= k)
+        .select("g", "h")
+    )
+
+    groups = sh.select("g").distinct()
+    pairs = (
+        groups.alias("ga")
+        .join(
+            groups.alias("gb"),
+            F.col("ga.g") < F.col("gb.g"),
+        )
+        .select(F.col("ga.g").alias("src_a"), F.col("gb.g").alias("src_b"))
+    )
+
+    u = (
+        pairs.join(sig.alias("sa"), F.col("sa.g") == F.col("src_a"))
+        .select("src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(sig.alias("sb"), F.col("sb.g") == F.col("src_b")).select(
+                "src_a",
+                "src_b",
+                "h",
+                F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("src_a", "src_b").orderBy("h")
+    est = (
+        u.withColumn("_rn", F.row_number().over(w_pair))
+        .filter(F.col("_rn") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum(
+                (F.col("in_a") * F.col("in_b")).cast("long")
+            ).alias("n_common_sig"),
+        )
+    )
+
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("xa")
+        .join(sh.alias("xb"), F.col("xa.h") == F.col("xb.h"))
+        .filter(F.col("xa.g") < F.col("xb.g"))
+        .groupBy(F.col("xa.g").alias("src_a"), F.col("xb.g").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_exact_inter"))
+    )
+
+    out = (
+        est.join(sizes.withColumnRenamed("g", "src_a"), "src_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed("g", "src_b"), "src_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_exact_inter", F.coalesce("n_exact_inter", F.lit(0)))
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "k_eff",
+        "n_common_sig",
+        (F.col("n_common_sig").cast("double") / F.col("k_eff").cast("double")).alias(
+            "est_jaccard"
+        ),
+        "n_a",
+        "n_b",
+        "n_exact_inter",
+        (
+            F.col("n_exact_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_exact_inter")).cast("double")
+        ).alias("exact_jaccard"),
+    ).withColumn(
+        "est_abs_err",
+        F.abs(F.col("est_jaccard") - F.col("exact_jaccard")),
+    )
+
+
+LSH_PLAN_SCALE = 1_000_000_000
+
+
+def lsh_band_plan(
+    sims: DataFrame,
+    n_hashes: int = 128,
+    n_bins: int = 20,
+    target_num: int = 4,
+    target_den: int = 5,
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """LSH band/row planner — choose (bands b, rows-per-band r) with
+    b·r = ``n_hashes`` against the corpus's OBSERVED pair-similarity
+    distribution, the tuning step that decides whether a 100 TB
+    MinHash dedup over- or under-merges before anyone runs it.
+
+    Input: a DataFrame of pair similarities (e.g. the deterministic
+    sampled all-pairs of ngram_jaccard — unbiased sub- and supra-
+    threshold mass, which LSH candidates cannot give).  The sims are
+    binned into ``n_bins`` equal-width buckets (INT counts); for each
+    bucket midpoint s and each (b, r) the S-curve collision
+    probability
+
+        p(s; b, r) = 1 − (1 − s^r)^b
+
+    is evaluated by LEFT-FOLD multiplication (``aggregate(sequence(…),
+    1.0, (acc, _) → acc·s)``) — repeated exact-rounded multiplies in a
+    fixed order, bit-identical in DuckDB's list_reduce, where libm
+    ``pow`` would not be — then floor-scaled to the 1e9 integer grid.
+    Expected mis-bucketing mass vs the target threshold t =
+    ``target_num/target_den``:
+
+        fp_mass = Σ_{s<t} w(s)·p_scaled(s)          (merges it shouldn't)
+        fn_mass = Σ_{s≥t} w(s)·(1e9 − p_scaled(s))  (misses it should merge)
+
+    — INT64 sums, no float addition order.  The chosen config is the
+    cost argmin (ties → fewer bands, i.e. cheaper).
+
+    Scale shape: ONE aggregation over the sims (n_bins rows out), a
+    constant 8-row divisor grid broadcast, and window/agg over ≤
+    n_bins·|grid| rows — the planner costs nothing beyond its input
+    sample, whatever the corpus size."""
+    from pyspark.sql import Window
+
+    t_lo = float(target_num) / float(target_den)
+    grid_rows = []
+    r = 1
+    while r <= n_hashes:
+        if n_hashes % r == 0:
+            grid_rows.append((n_hashes // r, r))
+        r *= 2
+    spark = sims.sparkSession
+    grid = spark.createDataFrame(grid_rows, "n_bands int, rows_per_band int")
+
+    bins = (
+        sims.select(
+            F.least(
+                F.floor(F.col(sim_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn(
+            "s_mid",
+            (2 * F.col("bin") + 1).cast("double") / F.lit(float(2 * n_bins)),
+        )
+    )
+    scored = (
+        bins.crossJoin(F.broadcast(grid))
+        .withColumn(
+            "_sr",
+            F.expr(
+                "aggregate(sequence(1, rows_per_band), cast(1.0 as double), "
+                "(acc, x) -> acc * s_mid)"
+            ),
+        )
+        .withColumn(
+            "_miss",
+            F.expr(
+                "aggregate(sequence(1, n_bands), cast(1.0 as double), "
+                "(acc, x) -> acc * (1.0 - _sr))"
+            ),
+        )
+        .withColumn(
+            "p_scaled",
+            F.expr(f"CAST(floor((1.0 - _miss) * {LSH_PLAN_SCALE}) AS BIGINT)"),
+        )
+    )
+    agg = scored.groupBy("n_bands", "rows_per_band").agg(
+        F.sum(
+            F.when(F.col("s_mid") < t_lo, F.col("w") * F.col("p_scaled")).otherwise(
+                F.lit(0)
+            )
+        ).alias("fp_mass_scaled"),
+        F.sum(
+            F.when(
+                F.col("s_mid") >= t_lo,
+                F.col("w") * (F.lit(LSH_PLAN_SCALE) - F.col("p_scaled")),
+            ).otherwise(F.lit(0))
+        ).alias("fn_mass_scaled"),
+        F.sum("w").alias("n_pairs"),
+    )
+    w_rank = Window.orderBy(
+        (F.col("fp_mass_scaled") + F.col("fn_mass_scaled")).asc(),
+        F.col("n_bands").asc(),
+    )
+    return (
+        agg.withColumn(
+            "cost_scaled", F.col("fp_mass_scaled") + F.col("fn_mass_scaled")
+        )
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("chosen", F.col("rank") == 1)
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "n_pairs",
+            "fp_mass_scaled",
+            "fn_mass_scaled",
+            "cost_scaled",
+            "rank",
+            "chosen",
+        )
+    )

@@ -2759,6 +2759,128 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_PLAN_HASHES = 128
+_LSH_PLAN_GRID = ", ".join(
+    f"({_LSH_PLAN_HASHES // r}, {r})"
+    for r in [2**i for i in range(8)]
+)
+
+_LSH_BAND_PLAN_SQL = f"""
+    WITH sample_docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % {_JACCARD_SAMPLE} = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2)))
+                  ELSE [concat_ws(' ', toks)] END AS sh
+      FROM sample_docs
+    ),
+    vtoks AS (
+      SELECT doc_id,
+             list_slice(toks, 1, greatest(len(toks) - 6, 3)) AS toks
+      FROM sample_docs
+    ),
+    vsh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                       i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2)))
+                  ELSE [concat_ws(' ', toks)] END AS sh
+      FROM vtoks
+    ),
+    prs AS (
+      SELECT len(list_intersect(a.sh, b.sh)) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      UNION ALL
+      SELECT len(list_intersect(a.sh, b.sh)) /
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             AS jaccard
+      FROM sh a JOIN vsh b ON a.doc_id = b.doc_id
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS w,
+             CAST(2 * bin + 1 AS DOUBLE) / CAST(40 AS DOUBLE) AS s_mid
+      FROM (SELECT least(CAST(floor(jaccard * 20) AS BIGINT), 19) AS bin FROM prs)
+      GROUP BY bin
+    ),
+    grid AS (SELECT * FROM (VALUES {_LSH_PLAN_GRID}) AS v(n_bands, rows_per_band)),
+    sc AS (
+      SELECT *,
+             list_reduce(list_transform(range(1, rows_per_band + 1), x -> s_mid),
+                         (acc, x) -> acc * x) AS sr
+      FROM bins CROSS JOIN grid
+    ),
+    sc2 AS (
+      SELECT *,
+             CAST(floor((CAST(1.0 AS DOUBLE) -
+               list_reduce(list_transform(range(1, n_bands + 1),
+                           x -> CAST(1.0 AS DOUBLE) - sr),
+                           (acc, x) -> acc * x)) * 1000000000) AS BIGINT) AS p_scaled
+      FROM sc
+    ),
+    agg AS (
+      SELECT CAST(n_bands AS INT) AS n_bands,
+             CAST(rows_per_band AS INT) AS rows_per_band,
+             CAST(sum(w) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN s_mid < CAST(0.8 AS DOUBLE)
+                           THEN w * p_scaled ELSE 0 END) AS BIGINT) AS fp_mass_scaled,
+             CAST(sum(CASE WHEN s_mid >= CAST(0.8 AS DOUBLE)
+                           THEN w * (1000000000 - p_scaled) ELSE 0 END) AS BIGINT)
+               AS fn_mass_scaled
+      FROM sc2 GROUP BY 1, 2
+    )
+    SELECT n_bands, rows_per_band, n_pairs, fp_mass_scaled, fn_mass_scaled,
+           fp_mass_scaled + fn_mass_scaled AS cost_scaled,
+           CAST(row_number() OVER (ORDER BY fp_mass_scaled + fn_mass_scaled ASC,
+                                   n_bands ASC) AS BIGINT) AS rank,
+           row_number() OVER (ORDER BY fp_mass_scaled + fn_mass_scaled ASC,
+                              n_bands ASC) = 1 AS chosen
+    FROM agg
+    """
+
+
+@q("lsh_band_plan", _LSH_BAND_PLAN_SQL)
+def lsh_band_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band/row planner (operators/dedup.py lsh_band_plan): bin
+    the observed pair-similarity distribution (the deterministic
+    ngram_jaccard sample — unbiased mass on BOTH sides of the merge
+    threshold, which LSH candidates cannot give), evaluate the
+    1−(1−s^r)^b S-curve for every (b, r) divisor pair of 128 by
+    left-fold multiplication (bit-exact where libm pow is not),
+    floor-scale to the 1e9 grid, and charge each config its expected
+    false-merge + missed-merge mass vs the 0.8 target — INT64 sums,
+    argmin chosen (ties → fewer bands).  The sims mix the sampled
+    all-pairs (sub-threshold mass) with deterministic near-dup pairs
+    (each sampled doc vs its 6-token-truncated variant, jaccard ≈
+    0.85–0.95) so BOTH branches of the trade-off carry weight and the
+    argmin is interior, not a tie.  The tuning step that decides
+    whether a 100 TB MinHash dedup over- or under-merges; costs one
+    aggregation over the sims sample plus ≤ bins×8 grid rows."""
+    docs = _tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _JACCARD_SAMPLE == 0
+    )
+    variants = docs.withColumn(
+        "text",
+        F.expr(
+            "transform(array(split(text, ' ')), TK -> "
+            "array_join(slice(TK, 1, greatest(size(TK) - 6, 3)), ' '))[0]"
+        ),
+    )
+    sims = dedup.ngram_jaccard(
+        docs, docs, F.col("a.doc_id") < F.col("b.doc_id")
+    ).select("jaccard").unionByName(
+        dedup.ngram_jaccard(
+            docs, variants, F.col("a.doc_id") == F.col("b.doc_id")
+        ).select("jaccard")
+    )
+    return dedup.lsh_band_plan(sims, n_hashes=_LSH_PLAN_HASHES)
+
+
 def _simhash_sql() -> str:
     bits = []
     for p in range(64):
@@ -8095,6 +8217,172 @@ def c4_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic host synthesis for the blocklist filter — portable SQL
+# (concat / CASE / % / lower), giving ~120 distinct hosts with varied
+# subdomain depth (2–5 labels) and TLD so suffix matching at every
+# level is exercised.
+# (the subdomain key mixes in length(text) because doc_id mod 4 is
+# CONSTANT within a source in the testdata — an affine doc_id key
+# would give every source exactly one subdomain shape)
+_BLOCKLIST_HOST_SYNTH = """
+    lower(concat(
+      CASE (doc_id + length(text)) % 4 WHEN 0 THEN 'ads.' WHEN 1 THEN 'blog.'
+           WHEN 2 THEN '' ELSE 'cdn.media.' END,
+      source,
+      CASE doc_id % 3 WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.org'
+           ELSE '.example.net' END))"""
+
+# (entry, category) fixture: one exact deep host, one mid-level
+# subdomain entry, one registrable-level entry (blocks every subdomain
+# of src2.example.org), one suffix entry below the registrable level
+# ('example.net' blocks every *.example.net host), one that matches
+# nothing, and an OVERLAP — 'cdn.media.src2.example.org' hosts match
+# both the deep 'media.src2.example.org' entry and the registrable
+# 'src2.example.org' entry, pinning longest-match attribution.
+_BLOCKLIST_ENTRIES = (
+    ("ads.src1.example.com", "ads"),
+    ("media.src3.example.com", "tracker"),
+    ("media.src2.example.org", "tracker"),
+    ("src2.example.org", "adult"),
+    ("example.net", "malware"),
+    ("src9.example.xyz", "spam"),
+)
+_BLOCKLIST_SQL_ROWS = ", ".join(
+    f"('{e}', '{c}')" for e, c in _BLOCKLIST_ENTRIES
+)
+
+_DOMAIN_BLOCKLIST_SQL = f"""
+    WITH bl AS (SELECT * FROM (VALUES {_BLOCKLIST_SQL_ROWS}) AS v(entry, category)),
+    hosts AS (SELECT doc_id, {_BLOCKLIST_HOST_SYNTH} AS host FROM documents),
+    cand AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(host, '.'))),
+               i -> array_to_string(list_slice(string_split(host, '.'), i,
+                    len(string_split(host, '.'))), '.'))) AS suffix
+      FROM hosts
+    ),
+    hits AS (
+      SELECT c.doc_id,
+             arg_max(b.entry, len(string_split(c.suffix, '.'))) AS matched_entry,
+             arg_max(b.category, len(string_split(c.suffix, '.'))) AS category,
+             CAST(max(len(string_split(c.suffix, '.'))) AS BIGINT) AS match_labels
+      FROM cand c JOIN bl b ON c.suffix = b.entry
+      GROUP BY c.doc_id
+    )
+    SELECT h.doc_id, h.host, m.matched_entry, m.category, m.match_labels,
+           m.matched_entry IS NOT NULL AS blocked
+    FROM hosts h LEFT JOIN hits m USING (doc_id)
+    """
+
+
+@q("domain_blocklist_filter", _DOMAIN_BLOCKLIST_SQL)
+def domain_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hostname-blocklist filtering with parent-domain suffix matching
+    (operators/web.py domain_blocklist_filter) — the UT1/RefinedWeb
+    adult-and-ads gate: a URL is blocked when its host or ANY
+    label-boundary parent domain is listed; overlapping entries
+    attribute by LONGEST match (windowless argmax — distinct suffixes
+    of one host have distinct label counts).  The fixture plants
+    exact-host, mid-level, registrable-level, and below-registrable
+    entries plus an overlap pair, so every precedence rung is
+    value-pinned.  Scale shape: bounded (~label-count) suffix explode,
+    ONE plain equi-join on the suffix key (UT1-scale lists are corpus-
+    cardinality — never force-broadcast; AQE upgrades small lists),
+    id-keyed argmax, left join back."""
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("host", F.expr(_BLOCKLIST_HOST_SYNTH))
+        .drop("source", "text")
+    )
+    bl = spark.createDataFrame(
+        list(_BLOCKLIST_ENTRIES), "entry string, category string"
+    )
+    out = web.domain_blocklist_filter(docs, bl)
+    return out.select(
+        "doc_id", "host", "matched_entry", "category", "match_labels", "blocked"
+    )
+
+
+_KMV_K = 64
+
+_KMV_OVERLAP_SQL = f"""
+    WITH toks AS (SELECT source AS g, string_split(text, ' ') AS toks FROM documents),
+    shl AS (
+      SELECT g,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                       i -> list_extract(toks, i) || ' ' ||
+                            list_extract(toks, i + 1) || ' ' ||
+                            list_extract(toks, i + 2))
+                  ELSE [concat_ws(' ', toks)] END AS sh
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT g, md5(s) AS h
+           FROM (SELECT g, unnest(sh) AS s FROM shl)),
+    sig AS (SELECT g, h FROM (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM sh
+    ) WHERE rn <= {_KMV_K}),
+    grp AS (SELECT DISTINCT g FROM sh),
+    pairs AS (SELECT a.g AS src_a, b.g AS src_b FROM grp a JOIN grp b ON a.g < b.g),
+    u AS (
+      SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sig s ON s.g = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sig s ON s.g = p.src_b
+      ) GROUP BY 1, 2, 3
+    ),
+    bk AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+      FROM u
+    ) WHERE rn <= {_KMV_K}),
+    est AS (
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_eff,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_common_sig
+      FROM bk GROUP BY 1, 2
+    ),
+    sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.g AS src_a, b.g AS src_b, CAST(count(*) AS BIGINT) AS n_exact_inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2
+    )
+    SELECT e.src_a, e.src_b, e.k_eff, e.n_common_sig,
+           CAST(e.n_common_sig AS DOUBLE) / CAST(e.k_eff AS DOUBLE) AS est_jaccard,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           COALESCE(i.n_exact_inter, 0) AS n_exact_inter,
+           CAST(COALESCE(i.n_exact_inter, 0) AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_exact_inter, 0) AS DOUBLE)
+             AS exact_jaccard,
+           abs(CAST(e.n_common_sig AS DOUBLE) / CAST(e.k_eff AS DOUBLE)
+               - CAST(COALESCE(i.n_exact_inter, 0) AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_exact_inter, 0) AS DOUBLE))
+             AS est_abs_err
+    FROM est e
+    JOIN sizes sa ON sa.g = e.src_a
+    JOIN sizes sb ON sb.g = e.src_b
+    LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+    """
+
+
+@q("corpus_overlap_minhash", _KMV_OVERLAP_SQL)
+def corpus_overlap_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimation with a bottom-k (KMV) sketch
+    (operators/dedup.py corpus_overlap_kmv) — the cross-dump /
+    cross-dataset contamination audit run before choosing mixture
+    weights: per source, the 64 smallest md5 shingle hashes; per pair,
+    the bottom-k rule over the union, with EXACT intersection/union
+    counts riding along so the sketch's error is value-pinned (the
+    ann_recall convention).  Scale shape: one map-side-combinable
+    distinct over (source, hash); two-phase bottom-k (256 prefix-
+    bucket windows, then ≤256·k survivors) so no corpus-scale
+    single-task window; everything downstream is (sources² × k)-
+    bounded.  The exact audit is one equi-join on the hash key."""
+    docs = _tbl(spark, sf_dir, "documents").select("source", "text")
+    return dedup.corpus_overlap_kmv(docs, k=_KMV_K, shingle_n=3)
+
+
 _WEB_CORPUS_BUDGET = 2_000
 
 
@@ -9743,6 +10031,9 @@ _PINNED = [
     # round-10 additions — never driver-attested yet
     "bm25_topk",
     "c4_filters",
+    "domain_blocklist_filter",
+    "corpus_overlap_minhash",
+    "lsh_band_plan",
     "robots_agent_section",
     "robots_wildcard_filter",
     "recrawl_schedule",

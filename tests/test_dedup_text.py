@@ -641,3 +641,107 @@ def test_image_text_pair_dedup_two_round_policy(spark):
         6: "kept",
         7: "dup_image",
     }
+
+
+def test_corpus_overlap_kmv_exact_when_k_covers_union(spark):
+    # shingle_n=3: 'a b c d' -> shingles {'a b c', 'b c d'}
+    docs = [
+        ("A", 1, "a b c d"),        # {abc, bcd}
+        ("A", 2, "a b c"),          # {abc}     (dup shingle, distinct-collapsed)
+        ("B", 3, "b c d e"),        # {bcd, cde}
+        ("C", 4, "x y z"),          # {xyz} — disjoint from A and B
+    ]
+    df = spark.createDataFrame(docs, "source string, doc_id long, text string")
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in rows(dedup.corpus_overlap_kmv(df, k=64), "src_a", "src_b")
+    }
+    ab = out[("A", "B")]
+    # A = {abc, bcd}, B = {bcd, cde}: inter 1, union 3 -> 1/3
+    assert ab["n_a"] == 2 and ab["n_b"] == 2 and ab["n_exact_inter"] == 1
+    assert ab["k_eff"] == 3 and ab["n_common_sig"] == 1
+    # k >= |union| -> the sketch IS the union: est == exact, err == 0
+    assert ab["est_jaccard"] == ab["exact_jaccard"] == pytest.approx(1 / 3)
+    assert ab["est_abs_err"] == 0.0
+    ac = out[("A", "C")]
+    assert ac["n_common_sig"] == 0 and ac["est_jaccard"] == 0.0
+    assert ac["n_exact_inter"] == 0 and ac["exact_jaccard"] == 0.0
+
+
+def test_corpus_overlap_kmv_two_phase_equals_global_bottom_k(spark):
+    # many shingles, tiny k: the bucketed phase-1 window must not
+    # change the global bottom-k result. Python-reference the whole
+    # estimator at k=4.
+    import hashlib
+
+    docs = [
+        ("A", i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(6)
+    ] + [
+        ("B", 100 + i, " ".join(f"w{i}x{j}" for j in range(6, 18)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "source string, doc_id long, text string")
+    k = 4
+    got = rows(dedup.corpus_overlap_kmv(df, k=k), "src_a", "src_b")[0]
+
+    def shset(rows_):
+        s = set()
+        for _, _, t in rows_:
+            ts = t.split(" ")
+            for i in range(len(ts) - 2):
+                s.add(hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest())
+        return s
+
+    a = shset(d for d in docs if d[0] == "A")
+    b = shset(d for d in docs if d[0] == "B")
+    union_bottom = sorted(a | b)[:k]
+    want_common = sum(1 for h in union_bottom if h in a and h in b)
+    assert got["k_eff"] == k
+    assert got["n_common_sig"] == want_common
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["n_exact_inter"] == len(a & b)
+
+
+def test_lsh_band_plan_matches_python_reference(spark):
+    import math
+
+    sims = [0.1] * 50 + [0.3] * 20 + [0.85] * 10 + [0.95] * 5
+    df = spark.createDataFrame([(s,) for s in sims], "jaccard double")
+    out = rows(dedup.lsh_band_plan(df, n_hashes=16), "rank")
+
+    # python reference (same fold-multiply + floor-scale arithmetic)
+    bins = {}
+    for s in sims:
+        b = min(int(s * 20), 19)
+        bins[b] = bins.get(b, 0) + 1
+    grid = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+    expect = []
+    for nb, r in grid:
+        fp = fn = 0
+        for b, w in bins.items():
+            s_mid = (2 * b + 1) / 40.0
+            sr = 1.0
+            for _ in range(r):
+                sr *= s_mid
+            miss = 1.0
+            for _ in range(nb):
+                miss *= 1.0 - sr
+            p_scaled = math.floor((1.0 - miss) * 1_000_000_000)
+            if s_mid < 0.8:
+                fp += w * p_scaled
+            else:
+                fn += w * (1_000_000_000 - p_scaled)
+        expect.append((nb, r, fp, fn))
+    expect.sort(key=lambda x: (x[2] + x[3], x[0]))
+    got = [
+        (r["n_bands"], r["rows_per_band"], r["fp_mass_scaled"], r["fn_mass_scaled"])
+        for r in out
+    ]
+    assert got == expect
+    assert out[0]["chosen"] and not out[1]["chosen"]
+    assert all(r["n_pairs"] == len(sims) for r in out)
+    # sanity: 1 row/band merges everything (max fp), 16 rows/band
+    # merges nothing (max fn)
+    by_r = {r["rows_per_band"]: r for r in out}
+    assert by_r[1]["fp_mass_scaled"] == max(r["fp_mass_scaled"] for r in out)
+    assert by_r[16]["fn_mass_scaled"] == max(r["fn_mass_scaled"] for r in out)

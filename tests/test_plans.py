@@ -142,6 +142,7 @@ def test_forced_broadcasts_have_bounded_build_sides():
         ("similarity.py", "lut"): "queries x probes x subspaces x 256",
         ("similarity.py", "shortlist"): "queries x shortlist_k rows",
         ("dedup.py", "bloom_bits.filter"): "<= m_bits bloom positions",
+        ("dedup.py", "grid"): "constant 8-row (bands, rows) divisor grid",
         ("web.py", "bits.filter"): "<= k*m_bits url-bloom set bits (constants)",
         ("queries.py", "qiv"): "sampled query vectors (constant n)",
         ("queries.py", "total"): "1-row corpus doc count (tier boundaries)",
@@ -212,6 +213,13 @@ def test_no_cartesian_product_anywhere(plans):
         # 1-row corpus (n_docs, total_tokens) broadcast into the
         # query-term postings — tfidf_topk's shape with BM25 scoring
         "bm25_topk",
+        # sources × sources pair assembly (< join) — one row per
+        # source, the mixture-table driver-scale contract; every
+        # downstream table is (sources² × k)-bounded
+        "corpus_overlap_minhash",
+        # ngram_jaccard's sampled all-pairs (the audited verify-stage
+        # exception) + the ≤ n_bins × 8-row constant divisor grid
+        "lsh_band_plan",
         "lang_rebalance",
         # 1-row min-count broadcast, same shape as lang_rebalance
         "temperature_rebalance",

@@ -727,3 +727,43 @@ def test_robots_filter_fuzz_against_python_reference(spark):
         if out[u] != want:
             mism.append((u, out[u], want))
     assert not mism, mism[:5]
+
+
+def test_domain_blocklist_suffix_match_and_precedence(spark):
+    hosts = [
+        (1, "ads.src1.example.com"),       # exact deep entry
+        (2, "sub.ads.src1.example.com"),   # deep entry as parent
+        (3, "blog.src2.example.org"),      # registrable-level entry
+        (4, "cdn.media.src2.example.org"), # overlap: mid beats registrable
+        (5, "anything.example.net"),       # below-registrable entry
+        (6, "clean.example.com"),          # no match
+        (7, "com"),                        # 1-label host: no suffixes
+    ]
+    bl = spark.createDataFrame(
+        [
+            ("ads.src1.example.com", "ads"),
+            ("media.src2.example.org", "tracker"),
+            ("src2.example.org", "adult"),
+            ("example.net", "malware"),
+        ],
+        "entry string, category string",
+    )
+    df = spark.createDataFrame(hosts, "doc_id long, host string")
+    out = {r["doc_id"]: r for r in rows(web.domain_blocklist_filter(df, bl), "doc_id")}
+
+    assert out[1]["blocked"] and out[1]["category"] == "ads"
+    assert out[1]["match_labels"] == 4
+    # parent-domain semantics: a deeper host is blocked by its suffix
+    assert out[2]["blocked"] and out[2]["matched_entry"] == "ads.src1.example.com"
+    assert out[3]["blocked"] and out[3]["category"] == "adult"
+    # longest match attributes the block
+    assert out[4]["matched_entry"] == "media.src2.example.org"
+    assert out[4]["category"] == "tracker" and out[4]["match_labels"] == 4
+    assert out[5]["blocked"] and out[5]["category"] == "malware"
+    assert not out[6]["blocked"] and out[6]["matched_entry"] is None
+    assert not out[7]["blocked"]
+    # substring matches must NOT block: 'xample.net' is not a label
+    # boundary suffix of 'anything.example.net' — covered by the
+    # equi-join on whole suffixes, pinned here with a lookalike host
+    df2 = spark.createDataFrame([(8, "notexample.net")], "doc_id long, host string")
+    assert not rows(web.domain_blocklist_filter(df2, bl), "doc_id")[0]["blocked"]
