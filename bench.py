@@ -106,6 +106,11 @@ BUILD_TIMED = {
     "streaming_warc_ingest",
     # localCheckpoints the scored corpus in-build (load-bearing cut)
     "curation_pipeline",
+    # round-10: frontier write + availableNow foreachBatch run in-build
+    "streaming_blocklist_filter",
+    # rides bpe_apply's trained-merge materializations (the
+    # bpe_apply_trained shape) before the lang aggregation
+    "tokenizer_compression",
 }
 
 

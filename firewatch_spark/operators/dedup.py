@@ -2120,3 +2120,62 @@ def lsh_band_plan(
             "chosen",
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Dolma-style paragraph/line-level exact dedup: keep only the
+    globally FIRST occurrence of each distinct line (lowest
+    (doc_id, line_idx)) and reassemble — span_dedup's sibling with
+    NATURAL boundaries (newlines) instead of fixed token windows, the
+    form Dolma/RefinedWeb run to strip navigation chrome and repeated
+    boilerplate paragraphs from a crawl without dropping documents.
+
+    Output per input doc: (doc_id, n_lines, n_kept, clean_text).
+
+    Scale shape — identical to span_dedup's mega-bucket-proof plan: a
+    boilerplate line repeated across millions of pages reduces via
+    groupBy(md5(line)).agg(min(coords)) map-side partials, never one
+    window task sorting the hot key; line TEXT travels only on
+    well-distributed keys ((doc, idx) keep-flag join, per-doc
+    reassembly)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    ).withColumn("_h", F.md5(F.col("line").cast("binary")))
+    meta = lines.select(id_col, "line_idx", "_h")
+    firsts = meta.groupBy("_h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("line_idx").alias("i"))
+        ).alias("_first")
+    )
+    kept_meta = meta.join(firsts, "_h").select(
+        id_col,
+        "line_idx",
+        (
+            (F.col("_first.d") == F.col(id_col))
+            & (F.col("_first.i") == F.col("line_idx"))
+        ).alias("_keep"),
+    )
+    flagged = lines.drop("_h").join(kept_meta, [id_col, "line_idx"])
+    kept_struct = F.when(
+        F.col("_keep"),
+        F.struct(F.col("line_idx").alias("i"), F.col("line").alias("s")),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_kept",
+            F.array_join(F.expr("transform(_kept, x -> x.s)"), "\n").alias(
+                "clean_text"
+            ),
+        )
+    )

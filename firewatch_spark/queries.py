@@ -7403,6 +7403,67 @@ def _bpe_apply_sql(n_merges: int) -> str:
 _BPE_APPLY_N = 3
 
 
+_TOKENIZER_COMPRESSION_SQL = f"""
+    WITH ap AS (SELECT * FROM ({_bpe_apply_sql(_BPE_APPLY_N)}) t),
+    per AS (
+      SELECT d.lang,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+             ap.n_merges, d.n_chars
+      FROM documents d JOIN ap USING (doc_id)
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_words) - sum(n_merges) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_words) - sum(n_merges) AS DOUBLE)
+             / CAST(sum(n_words) AS DOUBLE) AS tokens_per_word,
+           CAST(sum(n_chars) AS DOUBLE)
+             / CAST(sum(n_words) - sum(n_merges) AS DOUBLE) AS chars_per_token
+    FROM per GROUP BY lang
+    """
+
+
+@q("tokenizer_compression", _TOKENIZER_COMPRESSION_SQL)
+def tokenizer_compression_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer compression audit — the
+    fertility/compression metric every tokenizer evaluation reports
+    (tokens per word, bytes per token): train the top-3 merge table
+    once on the corpus (top_adjacent_pairs), APPLY it in rank order
+    (operators/text.py bpe_apply — the shipped-tokenizer path), then
+    aggregate by language.  Each applied merge reduces the token count
+    by exactly one, so tokens-after = words − merges with no second
+    tokenization pass.  A language whose frequent pairs match the
+    trained table compresses harder — the signal used to spot
+    under-served languages before committing a tokenizer to a 100 TB
+    run.  Integer sums + final IEEE divisions (bit-exact oracle);
+    plan cost is the audited bpe_apply chain plus one lang-keyed
+    map-side-combinable aggregation."""
+    docs = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    merges = text.top_adjacent_pairs(docs.select("doc_id", "text"), _BPE_APPLY_N)
+    ap = text.bpe_apply(docs.select("doc_id", "text"), merges)
+    per = (
+        docs.withColumn("n_words", F.size(F.split("text", " ")).cast("long"))
+        .join(ap, "doc_id")
+        .select("lang", "n_words", "n_merges", "n_chars")
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        (F.sum("n_words") - F.sum("n_merges")).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        (
+            (F.sum("n_words") - F.sum("n_merges")).cast("double")
+            / F.sum("n_words").cast("double")
+        ).alias("tokens_per_word"),
+        (
+            F.sum("n_chars").cast("double")
+            / (F.sum("n_words") - F.sum("n_merges")).cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
 @q("bpe_apply_trained", _bpe_apply_sql(_BPE_APPLY_N))
 def bpe_apply_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION (operators/text.py bpe_apply) — the other
@@ -8381,6 +8442,209 @@ def corpus_overlap_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded.  The exact audit is one equi-join on the hash key."""
     docs = _tbl(spark, sf_dir, "documents").select("source", "text")
     return dedup.corpus_overlap_kmv(docs, k=_KMV_K, shingle_n=3)
+
+
+# the streamed twin attests the SAME oracle: the block decision is
+# row-pure given the static list, so union-of-batches == whole-frontier
+@q("streaming_blocklist_filter", _DOMAIN_BLOCKLIST_SQL)
+def streaming_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering as a REAL Structured Streaming
+    pipeline — how a fetch frontier is actually policed: discovered
+    URLs arrive continuously and each micro-batch is suffix-joined
+    against the static blocklist before anything is fetched (the
+    stream-static join shape of incremental_dedup, with the batch
+    operator unchanged inside ``foreachBatch`` — one code path for
+    both modes).  The ~120-host frontier arrives through a 4-file
+    parquet stream one file per micro-batch; every batch explodes
+    suffixes, joins the list, and appends its verdicts idempotently
+    (batch-id-owned overwrite).  The decision is row-pure given the
+    static list, so the STREAMED verdict table attests against the
+    SAME oracle as batch `domain_blocklist_filter` — the crawl
+    family's streaming proof.  Per-batch state is zero."""
+    import os
+    import shutil
+    import tempfile
+
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    tmp = None
+    try:
+        hosts = (
+            _tbl(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            .withColumn("host", F.expr(_BLOCKLIST_HOST_SYNTH))
+            .select("doc_id", "host")
+        )
+        tmp = tempfile.mkdtemp(prefix="fw_blocklist_stream_")
+        in_dir = os.path.join(tmp, "frontier")
+        hosts.repartition(4).write.mode("overwrite").parquet(in_dir)
+        out_dir = os.path.join(tmp, "verdicts")
+
+        bl = spark.createDataFrame(
+            list(_BLOCKLIST_ENTRIES), "entry string, category string"
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, host string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            web.domain_blocklist_filter(batch_df, bl).select(
+                "doc_id", "host", "matched_entry", "category",
+                "match_labels", "blocked",
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+        query = (
+            stream.writeStream.foreachBatch(run_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert query.awaitTermination(300), (
+            "streaming blocklist filter did not drain in 300s"
+        )
+        query.stop()
+        result = (
+            spark.read.parquet(out_dir).drop("batch_id").localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return result.select(
+        "doc_id", "host", "matched_entry", "category", "match_labels", "blocked"
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+    WITH syn AS (SELECT doc_id, {_C4_SYNTH} AS txt FROM documents),
+    ln AS (
+      SELECT doc_id,
+             unnest(string_split(txt, chr(10))) AS line,
+             CAST(generate_subscripts(string_split(txt, chr(10)), 1) - 1 AS BIGINT)
+               AS line_idx
+      FROM syn
+    ),
+    flag AS (
+      SELECT doc_id, line_idx, line,
+             row_number() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, line_idx) AS rn
+      FROM ln
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                               ORDER BY line_idx), '') AS clean_text
+    FROM flag GROUP BY doc_id
+    """
+
+
+@q("line_dedup", _LINE_DEDUP_SQL)
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style line/paragraph exact dedup (operators/dedup.py
+    line_dedup) over the C4 multi-line pages: keep the globally first
+    occurrence of each distinct line, reassemble the survivors —
+    span_dedup's sibling with NATURAL newline boundaries, the pass
+    that strips repeated boilerplate paragraphs (the fixture's
+    lorem/brace/badword trailer lines recur across every 17th/19th/
+    23rd page and collapse to one global keeper each).  Same
+    mega-bucket-proof shape as span_dedup: groupBy(line-hash) min-
+    coords, no window over the hash, text only on distributed keys."""
+    docs = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("text", F.expr(_C4_SYNTH))
+    )
+    return dedup.line_dedup(docs)
+
+
+_QUALITY_ENSEMBLE_SQL = f"""
+    WITH {_jm_score_ctes("documents")},
+    interp AS (
+      SELECT doc_id,
+             CAST(sum(({_JM_LAM_NUM} * s_bg + {_JM_LAM_DEN - _JM_LAM_NUM} * s_uni)
+                      // {_JM_LAM_DEN}) AS BIGINT) AS score
+      FROM sc GROUP BY doc_id
+    ),
+    qn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM interp),
+    qr AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      FROM interp
+    ),
+    qt AS (
+      SELECT doc_id,
+             CASE WHEN (rk - 1) * 3 < n THEN 'head'
+                  WHEN (rk - 1) * 3 < 2 * n THEN 'middle'
+                  ELSE 'tail' END AS tier
+      FROM qr CROSS JOIN qn
+    ),
+    gop AS (SELECT doc_id, keep AS gopher_keep FROM ({_GOPHER_SQL}) g),
+    c4f AS (SELECT doc_id, keep AS c4_keep FROM ({_C4_SQL}) c)
+    SELECT q.doc_id, g.gopher_keep, c.c4_keep, q.tier,
+           CAST(CAST(g.gopher_keep AS INT) + CAST(c.c4_keep AS INT)
+                + CAST(q.tier <> 'tail' AS INT) AS BIGINT) AS n_pass,
+           (g.gopher_keep AND c.c4_keep AND q.tier <> 'tail') AS keep
+    FROM qt q JOIN gop g USING (doc_id) JOIN c4f c USING (doc_id)
+    """
+
+
+@q("quality_filter_ensemble", _QUALITY_ENSEMBLE_SQL)
+def quality_filter_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stacked published-filter gate as ONE attested row — what a
+    production curation pipeline actually applies before mixing:
+    Gopher hard rules (Rae et al.) AND C4 line/page rules (Raffel et
+    al.) AND the CCNet tercile tier (Wenzek et al., tail dropped),
+    with per-filter verdicts and the pass count kept so every
+    rejection is attributable to its paper (the auditable
+    reject-reason convention, now across filters instead of within
+    one).  Each leg reuses its audited operator unchanged
+    (with_gopher_rules / with_c4_filters / JM scoring +
+    with_global_rank terciles); the ensemble is two doc-keyed
+    equi-joins.  Conjunction is the published composition —
+    RefinedWeb/FineWeb stack exactly these families."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    gop = text.with_gopher_rules(docs).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    c4 = text.with_c4_filters(
+        docs.withColumn("text", F.expr(_C4_SYNTH))
+    ).select("doc_id", F.col("keep").alias("c4_keep"))
+    scored = text.interpolated_lm_score(
+        docs, lam_num=_JM_LAM_NUM, lam_den=_JM_LAM_DEN
+    ).select("doc_id", F.col("sum_interp_scaled").alias("score"))
+    total = scored.agg(F.count(F.lit(1)).alias("_n"))
+    tiers = (
+        sampling.with_global_rank(scored, "score", out_col="_rk")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN (_rk - 1) * 3 < _n THEN 'head' "
+                "WHEN (_rk - 1) * 3 < 2 * _n THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("tier"),
+        )
+    )
+    out = tiers.join(gop, "doc_id").join(c4, "doc_id")
+    return out.select(
+        "doc_id",
+        "gopher_keep",
+        "c4_keep",
+        "tier",
+        (
+            F.col("gopher_keep").cast("int")
+            + F.col("c4_keep").cast("int")
+            + (F.col("tier") != "tail").cast("int")
+        )
+        .cast("long")
+        .alias("n_pass"),
+        (
+            F.col("gopher_keep")
+            & F.col("c4_keep")
+            & (F.col("tier") != "tail")
+        ).alias("keep"),
+    )
 
 
 _WEB_CORPUS_BUDGET = 2_000
@@ -10034,6 +10298,10 @@ _PINNED = [
     "domain_blocklist_filter",
     "corpus_overlap_minhash",
     "lsh_band_plan",
+    "tokenizer_compression",
+    "line_dedup",
+    "streaming_blocklist_filter",
+    "quality_filter_ensemble",
     "robots_agent_section",
     "robots_wildcard_filter",
     "recrawl_schedule",

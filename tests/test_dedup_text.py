@@ -745,3 +745,22 @@ def test_lsh_band_plan_matches_python_reference(spark):
     by_r = {r["rows_per_band"]: r for r in out}
     assert by_r[1]["fp_mass_scaled"] == max(r["fp_mass_scaled"] for r in out)
     assert by_r[16]["fn_mass_scaled"] == max(r["fn_mass_scaled"] for r in out)
+
+
+def test_line_dedup_keeps_global_first_and_reassembles(spark):
+    docs = [
+        (1, "alpha one.\nshared boilerplate line.\nbeta two."),
+        (2, "shared boilerplate line.\ngamma three.\nshared boilerplate line."),
+        (3, "shared boilerplate line."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rows(dedup.line_dedup(df), "doc_id")}
+
+    # doc 1 owns the first occurrence of the shared line
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == docs[0][1]
+    # doc 2 loses BOTH copies (cross-doc and its own in-doc repeat)
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "gamma three."
+    # doc 3 loses its only line -> empty reassembly
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""

@@ -20,6 +20,7 @@ SKIP = {
     "streaming_weighted_sample",  # foreachBatch replay runs in-build
     "streaming_warc_ingest",  # dump write + foreachBatch run in-build
     "streaming_recrawl_schedule",  # delivery writes + foreachBatch in-build
+    "streaming_blocklist_filter",  # frontier write + foreachBatch in-build
     "video_scan",
     "jsonl_ingest",  # building its DataFrame writes the JSONL fixture
     "csv_ingest",  # same: builds by writing the CSV fixture
@@ -251,6 +252,9 @@ def test_no_cartesian_product_anywhere(plans):
         # 1-row (max, min) stats + the 1-row tier-boundary doc count +
         # the waterfill 1-row broadcasts over the 3-row tier table
         "quality_tier_mixture",
+        # same JM + with_global_rank + tier-boundary 1-row broadcasts
+        # (no waterfill leg)
+        "quality_filter_ensemble",
         # frontier_schedule composes web.pagerank → the 1-row n_hosts
         # teleport broadcast, same as host_pagerank (build-timed, not
         # plan-swept, but the frontier side shares the plan here)
