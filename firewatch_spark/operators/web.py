@@ -1000,3 +1000,36 @@ def domain_blocklist_filter(
     return df.join(hits, id_col, "left").withColumn(
         "blocked", F.col("matched_entry").isNotNull()
     )
+
+
+def parse_sitemap_index(
+    df: DataFrame, xml_col: str = "sitemap_xml", keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Parse the sitemaps.org <sitemapindex> format — the level ABOVE
+    parse_sitemap's <urlset>: large sites publish an index whose
+    <sitemap> entries point at the real sub-sitemaps, and a crawler
+    must walk index → sub-sitemap → pages.  Same block-scoped
+    two-level regex discipline as parse_sitemap (a lastmod can never
+    pair with a neighboring entry's loc); emits one row per <sitemap>
+    entry with (sm_loc, sm_lastmod).  Scan-side extract+explode, no
+    shuffle."""
+    blocks = df.select(
+        *keep,
+        F.explode(
+            F.expr(
+                f"regexp_extract_all({xml_col}, '(?s)<sitemap>(.*?)</sitemap>', 1)"
+            )
+        ).alias("_block"),
+    )
+    return (
+        blocks.withColumn(
+            "sm_loc",
+            F.expr("trim(regexp_extract(_block, '(?s)<loc>(.*?)</loc>', 1))"),
+        )
+        .withColumn(
+            "sm_lastmod",
+            F.expr("trim(regexp_extract(_block, '(?s)<lastmod>(.*?)</lastmod>', 1))"),
+        )
+        .filter(F.col("sm_loc") != "")
+        .drop("_block")
+    )

@@ -1794,6 +1794,168 @@ def sitemap_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sitemapindex synthesis per host h(N): two live sub-sitemaps — the
+# articles one clean, the promo one DELIBERATELY messy (padded
+# whitespace, WWW., mixed case: index locs flow through the SAME
+# canonicalizer before the body join) — plus, on every 5th host, a
+# stale entry whose sub-sitemap no longer exists (the dead-letter row).
+_SMIDX_SYNTH = """
+    concat('<?xml version="1.0"?><sitemapindex>',
+      '<sitemap><loc>https://h', CAST(n AS STRING),
+        '.example.com/sitemap-articles.xml</loc><lastmod>2026-03-0',
+        CAST(n % 9 + 1 AS STRING), '</lastmod></sitemap>',
+      '<sitemap><loc> https://WWW.h', CAST(n AS STRING),
+        '.Example.COM/sitemap-promo.xml </loc></sitemap>',
+      CASE WHEN n % 5 = 0 THEN concat('<sitemap><loc>https://h',
+        CAST(n AS STRING), '.example.com/sitemap-old.xml</loc></sitemap>')
+        ELSE '' END,
+      '</sitemapindex>')"""
+
+# sub-sitemap BODIES keyed by their canonical URL: articles carries two
+# pages (one with lastmod), promo one page; sitemap-old has no body row
+_SMIDX_BODY_ART = """
+    concat('<?xml version="1.0"?><urlset>',
+      '<url><loc>https://h', CAST(n AS STRING), '.example.com/articles/',
+        CAST(n % 40 AS STRING), '</loc><lastmod>2026-0',
+        CAST(n % 9 + 1 AS STRING), '-20</lastmod></url>',
+      '<url><loc>https://h', CAST(n AS STRING), '.example.com/articles/',
+        CAST((n * 3 + 1) % 40 AS STRING), '</loc></url>',
+      '</urlset>')"""
+_SMIDX_BODY_PROMO = """
+    concat('<?xml version="1.0"?><urlset>',
+      '<url><loc>https://h', CAST(n AS STRING), '.example.com/promo/',
+        CAST(n AS STRING), '</loc></url>',
+      '</urlset>')"""
+
+_SMIDX_CANON = _canon_ctes("sient", "sm_loc", "si")
+_SMIDX_PAGE_CANON = _canon_ctes("pgent", "loc", "pg")
+
+_SITEMAP_INDEX_SQL = f"""
+    WITH smhost AS (
+      SELECT DISTINCT CAST(doc_id % 97 AS INT) AS n FROM documents
+    ),
+    sidx AS (SELECT n, {_SMIDX_SYNTH} AS idx_xml FROM smhost),
+    siblk AS (
+      SELECT n, unnest(regexp_extract_all(idx_xml,
+               '(?s)<sitemap>(.*?)</sitemap>', 1)) AS block
+      FROM sidx
+    ),
+    sient AS (
+      SELECT n,
+             trim(regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1)) AS sm_loc
+      FROM siblk
+      WHERE trim(regexp_extract(block, '(?s)<loc>(.*?)</loc>', 1)) <> ''
+    ),
+    {_SMIDX_CANON[0]},
+    bodies AS (
+      SELECT n, concat('https://h', CAST(n AS STRING),
+               '.example.com/sitemap-articles.xml') AS body_url,
+             {_SMIDX_BODY_ART} AS xml
+      FROM smhost
+      UNION ALL
+      SELECT n, concat('https://h', CAST(n AS STRING),
+               '.example.com/sitemap-promo.xml') AS body_url,
+             {_SMIDX_BODY_PROMO} AS xml
+      FROM smhost
+    ),
+    fetched AS (
+      SELECT s.n, s.canonical_url AS sub_url, b.xml
+      FROM {_SMIDX_CANON[1]} s
+      LEFT JOIN bodies b ON b.n = s.n AND b.body_url = s.canonical_url
+    ),
+    pgent AS (
+      SELECT n, sub_url,
+             trim(regexp_extract(ub, '(?s)<loc>(.*?)</loc>', 1)) AS loc,
+             trim(regexp_extract(ub, '(?s)<lastmod>(.*?)</lastmod>', 1)) AS lastmod
+      FROM (
+        SELECT n, sub_url, unnest(regexp_extract_all(xml,
+                 '(?s)<url>(.*?)</url>', 1)) AS ub
+        FROM fetched WHERE xml IS NOT NULL
+      )
+      WHERE trim(regexp_extract(ub, '(?s)<loc>(.*?)</loc>', 1)) <> ''
+    ),
+    {_SMIDX_PAGE_CANON[0]}
+    SELECT split_part(split_part(split_part(sub_url, '://', 2), '/', 1), ':', 1)
+             AS host,
+           split_part(sub_url, '.example.com', 2) AS sub_path,
+           'ok' AS status, canonical_url, lastmod
+    FROM {_SMIDX_PAGE_CANON[1]}
+    UNION ALL
+    SELECT split_part(split_part(split_part(sub_url, '://', 2), '/', 1), ':', 1),
+           split_part(sub_url, '.example.com', 2),
+           'missing', NULL, NULL
+    FROM fetched WHERE xml IS NULL
+    """
+
+
+@q("sitemap_index_ingest", _SITEMAP_INDEX_SQL)
+def sitemap_index_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-INDEX ingestion (operators/web.py parse_sitemap_index →
+    parse_sitemap) — the nested discovery walk real large sites
+    require: parse the <sitemapindex>, canonicalize its sub-sitemap
+    locs with the SAME canonicalizer as hrefs (pinned by the planted
+    messy promo loc), join each loc to its fetched body, parse every
+    live body's <urlset> through the existing page path, and surface
+    index entries whose sub-sitemap no longer exists as 'missing'
+    dead-letter rows instead of dropping them silently (every 5th
+    host plants one).  Scan-side extract+explode at both levels; the
+    body join is a per-host equi-join — at scale the fetch layer, not
+    a shuffle problem."""
+    hosts = (
+        _tbl(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).cast("int").alias("n"))
+        .distinct()
+    )
+    idx = hosts.withColumn("idx_xml", F.expr(_SMIDX_SYNTH))
+    subs = web.parse_sitemap_index(idx, xml_col="idx_xml", keep=("n",)).drop(
+        "sm_lastmod"
+    )
+    subs_c = web.with_canonical_url(subs, "sm_loc").select(
+        "n", F.col("canonical_url").alias("sub_url")
+    )
+    bodies = hosts.select(
+        "n",
+        F.expr(
+            "concat('https://h', CAST(n AS STRING), "
+            "'.example.com/sitemap-articles.xml')"
+        ).alias("body_url"),
+        F.expr(_SMIDX_BODY_ART).alias("xml"),
+    ).unionByName(
+        hosts.select(
+            "n",
+            F.expr(
+                "concat('https://h', CAST(n AS STRING), "
+                "'.example.com/sitemap-promo.xml')"
+            ).alias("body_url"),
+            F.expr(_SMIDX_BODY_PROMO).alias("xml"),
+        )
+    )
+    fetched = subs_c.join(
+        bodies,
+        (subs_c["n"] == bodies["n"]) & (bodies["body_url"] == subs_c["sub_url"]),
+        "left",
+    ).select(subs_c["n"], "sub_url", "xml")
+    live = fetched.filter(F.col("xml").isNotNull())
+    pages = web.parse_sitemap(live, xml_col="xml", keep=("n", "sub_url"))
+    pages_c = web.with_canonical_url(pages, "loc")
+    host_of = "split_part(split_part(split_part(sub_url, '://', 2), '/', 1), ':', 1)"
+    ok = pages_c.select(
+        F.expr(host_of).alias("host"),
+        F.expr("split_part(sub_url, '.example.com', 2)").alias("sub_path"),
+        F.lit("ok").alias("status"),
+        "canonical_url",
+        "lastmod",
+    )
+    missing = fetched.filter(F.col("xml").isNull()).select(
+        F.expr(host_of).alias("host"),
+        F.expr("split_part(sub_url, '.example.com', 2)").alias("sub_path"),
+        F.lit("missing").alias("status"),
+        F.lit(None).cast("string").alias("canonical_url"),
+        F.lit(None).cast("string").alias("lastmod"),
+    )
+    return ok.unionByName(missing)
+
+
 @q(
     "frontier_pipeline",
     f"""
@@ -7594,6 +7756,143 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# threshold grid k/4 for k in -8..8: the keep test 4·feat_sum > k·n_tokens
+# is a PURE INT comparison — no float threshold ambiguity at any cutoff
+_QSWEEP_KS = list(range(-8, 9))
+_QSWEEP_GRID = ", ".join(f"({k})" for k in _QSWEEP_KS)
+
+_QSWEEP_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks,
+               tk -> strpos('0123456789abcdef', substring(md5('qw|' || tk), 1, 1)) - 8))
+             AS BIGINT) AS feat_sum
+      FROM t
+    ),
+    grid AS (SELECT * FROM (VALUES {_QSWEEP_GRID}) AS v(k))
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(k AS DOUBLE) / CAST(4 AS DOUBLE) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN 4 * feat_sum > k * n_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN 4 * feat_sum > k * n_tokens THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS n_tokens_kept,
+           CAST(sum(CASE WHEN 4 * feat_sum > k * n_tokens THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_docs_kept
+    FROM s CROSS JOIN grid
+    GROUP BY k
+    """
+
+
+@q("quality_threshold_sweep", _QSWEEP_SQL)
+def quality_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-cutoff selection curve (the FineWeb-Edu step: sweep
+    the quality classifier's threshold and read off kept-token volume
+    before committing a cutoff to a 100 TB filter run): per threshold
+    k/4 over the linear score's full range, the kept doc count, kept
+    TOKEN count, and kept fraction.  The keep test is the pure int
+    comparison 4·feat_sum > k·n_tokens — no float threshold ambiguity
+    at any cutoff (with_quality_classifier's sign-exact convention,
+    generalized off zero).  ONE classifier pass (the audited
+    with_quality_classifier fold), a 17-row constant grid broadcast,
+    and a map-side-combinable grid-keyed aggregation."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = text.with_quality_classifier(docs).select("n_tokens", "feat_sum")
+    grid = spark.createDataFrame([(k,) for k in _QSWEEP_KS], "k long")
+    kept = F.expr("4 * feat_sum > k * n_tokens")
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "n_tokens_kept"
+            ),
+            (
+                F.sum(kept.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("frac_docs_kept"),
+        )
+        .select(
+            "k",
+            (F.col("k").cast("double") / F.lit(4.0)).alias("threshold"),
+            "n_docs",
+            "n_docs_kept",
+            "n_tokens_kept",
+            "frac_docs_kept",
+        )
+    )
+
+
+_DEDUP_SAVINGS_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    g AS (
+      SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS c,
+             CAST(max(len(string_split(text, ' '))) AS BIGINT) AS t
+      FROM corpus GROUP BY 1
+    )
+    SELECT c AS n_copies, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum(c - 1) AS BIGINT) AS n_dup_docs,
+           CAST(sum(t) AS BIGINT) AS tokens_unique,
+           CAST(sum((c - 1) * t) AS BIGINT) AS tokens_removed
+    FROM g GROUP BY c
+    """
+
+
+@q("dedup_savings_report", _DEDUP_SAVINGS_SQL)
+def dedup_savings_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report — the copy-count histogram + token-savings
+    accounting every dedup run publishes before anyone trusts it
+    ("what fraction of the crawl was copies, and how many training
+    tokens did collapsing them free"): per copy-count c, the number
+    of content groups, total/duplicate doc counts, unique tokens
+    kept, and tokens removed = Σ (c−1)·t.  The corpus plants a
+    deterministic duplicate mix (every 4th doc republished once,
+    every 20th twice — the web_corpus_pipeline mirror convention) so
+    the histogram carries c ∈ {{1, 2, 3}} rows.  exact_dedup's plan
+    shape: ONE groupBy on the 32-byte content hash with map-side
+    partials (count/max travel, never text), then a tiny
+    histogram-keyed agg — at 100 TB the report is a free rider on
+    the dedup pass itself."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    g = (
+        corpus.select(
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            F.size(F.split("text", " ")).cast("long").alias("t"),
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("t").alias("t"))
+    )
+    return g.groupBy(F.col("c").alias("n_copies")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") - 1).alias("n_dup_docs"),
+        F.sum("t").alias("tokens_unique"),
+        F.sum((F.col("c") - 1) * F.col("t")).alias("tokens_removed"),
+    )
+
+
 @q("quality_classifier", _QCLS_SQL)
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick linear quality classifier (operators/text.py
@@ -10302,6 +10601,9 @@ _PINNED = [
     "line_dedup",
     "streaming_blocklist_filter",
     "quality_filter_ensemble",
+    "quality_threshold_sweep",
+    "dedup_savings_report",
+    "sitemap_index_ingest",
     "robots_agent_section",
     "robots_wildcard_filter",
     "recrawl_schedule",

@@ -146,6 +146,7 @@ def test_forced_broadcasts_have_bounded_build_sides():
         ("dedup.py", "grid"): "constant 8-row (bands, rows) divisor grid",
         ("web.py", "bits.filter"): "<= k*m_bits url-bloom set bits (constants)",
         ("queries.py", "qiv"): "sampled query vectors (constant n)",
+        ("queries.py", "grid"): "constant 17-row threshold grid (sweep)",
         ("queries.py", "total"): "1-row corpus doc count (tier boundaries)",
         ("queries.py", "_tbl"): "TPC-H dimension tables (customer/nation/region)",
     }
@@ -255,6 +256,8 @@ def test_no_cartesian_product_anywhere(plans):
         # same JM + with_global_rank + tier-boundary 1-row broadcasts
         # (no waterfill leg)
         "quality_filter_ensemble",
+        # corpus × the constant 17-row threshold grid broadcast
+        "quality_threshold_sweep",
         # frontier_schedule composes web.pagerank → the 1-row n_hosts
         # teleport broadcast, same as host_pagerank (build-timed, not
         # plan-swept, but the frontier side shares the plan here)

@@ -767,3 +767,41 @@ def test_domain_blocklist_suffix_match_and_precedence(spark):
     # equi-join on whole suffixes, pinned here with a lookalike host
     df2 = spark.createDataFrame([(8, "notexample.net")], "doc_id long, host string")
     assert not rows(web.domain_blocklist_filter(df2, bl), "doc_id")[0]["blocked"]
+
+
+def test_parse_sitemap_index_blocks_and_messy_loc(spark):
+    xml = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>https://a.example.com/sitemap-1.xml</loc>"
+        "<lastmod>2026-01-01</lastmod></sitemap>"
+        "<sitemap><loc> https://WWW.a.Example.COM/sitemap-2.xml </loc></sitemap>"
+        "<sitemap><loc></loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame([(1, xml)], "n int, sitemap_xml string")
+    out = rows(web.parse_sitemap_index(df, keep=("n",)), "sm_loc")
+    # the empty-loc block is dropped, both real entries survive
+    assert len(out) == 2
+    assert out[0]["sm_loc"] == "https://WWW.a.Example.COM/sitemap-2.xml"
+    assert out[1]["sm_lastmod"] == "2026-01-01"
+    # lastmod never leaks across blocks
+    assert out[0]["sm_lastmod"] == ""
+
+
+def test_sitemap_index_ingest_flags_missing_subsitemaps(spark):
+    from firewatch_spark.queries import registry
+
+    df = registry()["sitemap_index_ingest"].fn(spark, "/root/testdata/sf0.001")
+    out = rows(df, "host", "sub_path", "status", "canonical_url")
+    missing = [r for r in out if r["status"] == "missing"]
+    ok = [r for r in out if r["status"] == "ok"]
+    # every 5th of the 97 hosts plants a dead sitemap-old.xml entry
+    assert len(missing) == 20
+    assert all(r["sub_path"] == "/sitemap-old.xml" for r in missing)
+    assert all(r["canonical_url"] is None for r in missing)
+    # 97 hosts x (2 articles + 1 promo) live pages
+    assert len(ok) == 97 * 3
+    # the messy WWW./mixed-case promo loc canonicalized before the join
+    promo = [r for r in ok if r["sub_path"] == "/sitemap-promo.xml"]
+    assert len(promo) == 97
+    assert all(r["canonical_url"].startswith("https://h") for r in promo)
