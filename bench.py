@@ -108,6 +108,17 @@ BUILD_TIMED = {
     "curation_pipeline",
     # round-10: frontier write + availableNow foreachBatch run in-build
     "streaming_blocklist_filter",
+    # localCheckpoints the per-source shingle-hash table in-build (the
+    # 4-consumer cut; 1.59× → 0.43× linear at the 25× probe)
+    "corpus_overlap_minhash",
+    # localCheckpoints the JM-scored corpus in-build (the
+    # curation_pipeline cut; rank phases + count re-ran the scorer)
+    "quality_filter_ensemble",
+    # the JM scorer now cuts pairs/bigram-vocab lineage in-build
+    # (uncut, the static planner broadcast the corpus-scale bigram
+    # vocabulary — 173–570 s at the 25× probe vs ~115–176 s cut)
+    "interpolated_lm_score",
+    "quality_tier_mixture",  # composes the JM scorer (same cut)
     # rides bpe_apply's trained-merge materializations (the
     # bpe_apply_trained shape) before the lang aggregation
     "tokenizer_compression",
@@ -332,6 +343,29 @@ def main() -> None:
         # log-ratio table + two-phase rank — should track the linear
         # token-fold floor (quality_classifier), never the pair ops
         "dsir_importance_sample",
+        # round-10: postings join + per-query top-k (constant query
+        # set — the posting count, not the corpus, should scale)
+        "bm25_topk",
+        # pure let-bound line folds — the quality_classifier floor
+        "c4_filters",
+        # groupBy(line-hash) min-coords + reassembly — span_dedup's
+        # shape on natural boundaries
+        "line_dedup",
+        # distinct (source, hash) + two-phase bottom-k + exact-audit
+        # equi-join — the audit join is the only corpus-scale edge
+        "corpus_overlap_minhash",
+        # bounded suffix explode + plain equi-join on the suffix key
+        "domain_blocklist_filter",
+        # trained-merge apply rounds + one lang-keyed agg (BUILD_TIMED)
+        "tokenizer_compression",
+        # JM scorer + two-phase global rank + two doc-keyed joins —
+        # the stacked filter gate, JM-dominated
+        "quality_filter_ensemble",
+        # quality_threshold_sweep / dedup_savings_report are NOT slope
+        # targets: they ride quality_classifier's fold and
+        # dedup_exact's hash-groupBy respectively, both already proven;
+        # lsh_band_plan is sample-bound by ngram_jaccard (deliberately
+        # quadratic in its 1/25 sample, like ngram_jaccard itself)
     ]
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope

@@ -1860,6 +1860,7 @@ def corpus_overlap_kmv(
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Pairwise corpus-overlap estimation between sources with a
     bottom-k (KMV) sketch — the "how much does dump N share with dump
@@ -1894,21 +1895,31 @@ def corpus_overlap_kmv(
     n = shingle_n
     idx = ", ".join(f"element_at(TK, i + {j})" for j in range(n))
     # let-bound tokenization (the with_minhash_signature binder): split
-    # evaluates once per row, not once per shingle position reference
+    # evaluates once per row, not once per shingle position reference.
+    # md5 runs INSIDE the row-local lambda and duplicates collapse
+    # row-locally (array_distinct) BEFORE the explode, so only 32-char
+    # hashes ever leave the row — exploding raw shingle strings into
+    # the distinct shuffle measured 152 s vs 35 s at the 25× probe.
     sh_expr = (
         f"transform(array(split({text_col}, ' ')), TK -> "
         f"CASE WHEN size(TK) >= {n} "
         f"THEN transform(sequence(1, size(TK) - {n - 1}), "
-        f"i -> concat_ws(' ', {idx})) "
-        f"ELSE array(concat_ws(' ', TK)) END)[0]"
+        f"i -> md5(concat_ws(' ', {idx}))) "
+        f"ELSE array(md5(concat_ws(' ', TK))) END)[0]"
     )
-    sh = (
+    # the distinct (group, hash) table feeds FOUR consumers (the
+    # sketch, per-group sizes, and both sides of the exact-audit
+    # join): materialize it ONCE — unmaterialized, Spark recomputes
+    # the corpus-scale explode+distinct per consumer and the audit
+    # self-join sorts raw lineage (measured 1.59× linear at the 25×
+    # probe before this cut).  Production stores this table anyway —
+    # it IS the per-source shingle index.
+    ckpt = make_checkpointer(docs.sparkSession, checkpoint_dir)
+    sh = ckpt(
         docs.select(
             F.col(group_col).alias("g"),
-            F.explode(F.expr(sh_expr)).alias("_s"),
-        )
-        .select("g", F.md5(F.col("_s")).alias("h"))
-        .distinct()
+            F.explode(F.expr(f"array_distinct({sh_expr})")).alias("h"),
+        ).distinct()
     )
 
     w_bucket = Window.partitionBy("g", F.substring("h", 1, 2)).orderBy("h")

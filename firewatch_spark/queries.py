@@ -8909,9 +8909,12 @@ def quality_filter_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c4 = text.with_c4_filters(
         docs.withColumn("text", F.expr(_C4_SYNTH))
     ).select("doc_id", F.col("keep").alias("c4_keep"))
+    # the JM-scored corpus feeds with_global_rank's two phases AND the
+    # count — cut the lineage once (curation_pipeline's load-bearing
+    # cut; unmaterialized, the bigram scorer re-runs per consumer)
     scored = text.interpolated_lm_score(
         docs, lam_num=_JM_LAM_NUM, lam_den=_JM_LAM_DEN
-    ).select("doc_id", F.col("sum_interp_scaled").alias("score"))
+    ).select("doc_id", F.col("sum_interp_scaled").alias("score")).localCheckpoint()
     total = scored.agg(F.count(F.lit(1)).alias("_n"))
     tiers = (
         sampling.with_global_rank(scored, "score", out_col="_rk")

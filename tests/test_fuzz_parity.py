@@ -339,3 +339,157 @@ def test_gopher_rules_match_python_reference(spark):
             )
         )
         assert r["n_failed"] == n_failed and r["keep"] == (n_failed == 0)
+
+
+def test_bm25_matches_python_reference_fuzz(spark):
+    """Full top-k table (ranks, hits, scaled scores) vs a pure-Python
+    mirror of the scaled-int BM25 over a random corpus and random
+    multi-term queries."""
+    from firewatch_spark.operators import text as T
+
+    rng = random.Random(29)
+    data = _rand_corpus(29)
+    vocab = [f"w{i}" for i in range(25)] + ["the", "a", "of", "and"]
+    queries = {
+        f"q{j}": tuple(rng.sample(vocab, rng.randint(1, 4))) for j in range(5)
+    }
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    got = [
+        (r["query_id"], r["rank"], r["doc_id"], r["n_terms_hit"], r["score_scaled"])
+        for r in rows(T.bm25_topk(df, queries, k=7), "query_id", "rank")
+    ]
+
+    toks = {d: t.split(" ") for d, t in data}
+    n_docs = len(data)
+    total = sum(len(ts) for ts in toks.values())
+    dfreq = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    expect = []
+    for qid, terms in sorted(queries.items()):
+        scored = []
+        for d, ts in toks.items():
+            s = hit = 0
+            for t in terms:
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                hit += 1
+                idf = (10_000 * (2 * n_docs + 2)) // (2 * dfreq[t] + 1)
+                tfn = (1_000_000 * 36 * total * tf) // (
+                    16 * total * tf + 5 * total + 15 * len(ts) * n_docs
+                )
+                s += (idf * tfn) // 10_000
+            if hit:
+                scored.append((d, hit, s))
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        expect += [
+            (qid, rk, d, h, s) for rk, (d, h, s) in enumerate(scored[:7], 1)
+        ]
+    assert got == expect
+
+
+def test_c4_filters_match_python_reference_fuzz(spark):
+    """Every line/page rule, counts, and the clean-text md5 vs a
+    pure-Python mirror over random multi-line pages with random
+    punctuation endings and random marker injections."""
+    import hashlib
+
+    from firewatch_spark.operators import text as T
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(25)] + ["the", "a", "of", "and"]
+    pages = []
+    for i in range(60):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            words = [rng.choice(vocab) for _ in range(rng.randint(1, 9))]
+            if rng.random() < 0.15:
+                words.append("JavaScript" if rng.random() < 0.5 else "javascript")
+            if rng.random() < 0.08:
+                words.append("lorem ipsum")
+            if rng.random() < 0.08:
+                words.append("{")
+            if rng.random() < 0.08:
+                words.append(rng.choice(["badword1", "badword2"]))
+            line = " ".join(words) + rng.choice([".", "!", "?", "", ","])
+            lines.append(line)
+        pages.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(pages, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in T.with_c4_filters(df).collect()}
+
+    for doc_id, txt in pages:
+        lines = txt.split("\n")
+        kept = [
+            l
+            for l in lines
+            if l[-1:] in (".", "!", "?")
+            and len(l.split(" ")) >= 5
+            and "javascript" not in l.lower()
+        ]
+        clean = "\n".join(kept)
+        n_sent = sum(clean.count(c) for c in ".!?")
+        bad = any(
+            t in ("badword1", "badword2")
+            for t in txt.lower().replace("\n", " ").split(" ")
+        )
+        lorem = "lorem ipsum" in txt.lower()
+        brace = "{" in txt
+        r = got[doc_id]
+        assert r["n_lines"] == len(lines), doc_id
+        assert r["n_kept_lines"] == len(kept), doc_id
+        assert r["n_sentences"] == n_sent, doc_id
+        assert r["has_badword"] == bad and r["has_lorem"] == lorem, doc_id
+        assert r["has_brace"] == brace, doc_id
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest(), doc_id
+        assert r["keep"] == (not bad and not lorem and not brace and n_sent >= 3)
+
+
+def test_domain_blocklist_matches_python_reference_fuzz(spark):
+    """blocked / matched_entry / match_labels vs a pure-Python
+    longest-suffix reference over random hosts and a blocklist mixing
+    real suffixes of those hosts with decoys."""
+    from firewatch_spark.operators import web as W
+
+    rng = random.Random(37)
+    subs = ["ads", "blog", "cdn", "media", "shop", "x"]
+    mids = [f"site{i}" for i in range(12)]
+    tlds = ["example.com", "example.org", "example.net"]
+    hosts = []
+    for i in range(80):
+        depth = rng.randint(0, 3)
+        labels = [rng.choice(subs) for _ in range(depth)] + [
+            rng.choice(mids)
+        ] + rng.choice(tlds).split(".")
+        hosts.append((i, ".".join(labels)))
+    # entries: random label-boundary suffixes of random hosts + decoys
+    entries = set()
+    for _ in range(12):
+        h = rng.choice(hosts)[1].split(".")
+        start = rng.randint(0, len(h) - 2)
+        entries.add(".".join(h[start:]))
+    entries |= {"nomatch.example.xyz", "decoy.test"}
+    bl = [(e, f"cat{j % 3}") for j, e in enumerate(sorted(entries))]
+
+    df = spark.createDataFrame(hosts, "doc_id long, host string")
+    bldf = spark.createDataFrame(bl, "entry string, category string")
+    got = {r["doc_id"]: r for r in W.domain_blocklist_filter(df, bldf).collect()}
+
+    cat = dict(bl)
+    for doc_id, host in hosts:
+        labels = host.split(".")
+        matches = [
+            ".".join(labels[i:])
+            for i in range(len(labels) - 1)
+            if ".".join(labels[i:]) in cat
+        ]
+        r = got[doc_id]
+        if not matches:
+            assert not r["blocked"] and r["matched_entry"] is None, doc_id
+        else:
+            best = max(matches, key=lambda e: len(e.split(".")))
+            assert r["blocked"], doc_id
+            assert r["matched_entry"] == best, doc_id
+            assert r["category"] == cat[best], doc_id
+            assert r["match_labels"] == len(best.split(".")), doc_id
