@@ -1774,3 +1774,44 @@ def with_c4_filters(
         & (~F.col("has_brace"))
         & (F.col("n_sentences") >= F.lit(int(min_sentences))),
     ).drop("_k")
+
+
+def with_lang_confidence(
+    df: DataFrame, margin_threshold: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Language ID with a CONFIDENCE gate — the rule CCNet-class
+    pipelines actually apply: a predicted language only sticks when
+    the classifier is sure, otherwise the doc is tagged 'und'
+    (undetermined) and either dropped or routed to a heavier model.
+    On the hit-count heuristic, confidence is the INT margin between
+    the best and second-best profile scores (top1 − top2), with the
+    extra guard top1 > 0 (an all-miss doc has no evidence at all, even
+    though its margin is 0 ≥ 0 ... > threshold edge).
+
+    Adds: ``margin``, ``is_confident`` (margin ≥ threshold AND
+    top1 > 0), ``effective_lang`` (predicted or 'und').  All-integer
+    comparisons — no float threshold ambiguity.  Pure Column algebra
+    over with_lang_id's scores; still zero shuffle."""
+    out = with_lang_id(df, text_col)
+    langs = list(LANG_PROFILES)
+    arr = "array_sort(array(" + ", ".join(f"score_{l}" for l in langs) + "))"
+    out = (
+        out.withColumn("_sorted", F.expr(arr))
+        .withColumn(
+            "margin",
+            (F.expr("element_at(_sorted, -1)") - F.expr("element_at(_sorted, -2)"))
+            .cast("long"),
+        )
+        .withColumn(
+            "is_confident",
+            (F.col("margin") >= F.lit(int(margin_threshold)))
+            & (F.expr("element_at(_sorted, -1)") > 0),
+        )
+        .drop("_sorted")
+    )
+    return out.withColumn(
+        "effective_lang",
+        F.when(F.col("is_confident"), F.col("predicted_lang")).otherwise(
+            F.lit("und")
+        ),
+    )

@@ -1033,3 +1033,30 @@ def parse_sitemap_index(
         .filter(F.col("sm_loc") != "")
         .drop("_block")
     )
+
+
+def parse_sitemap_directives(
+    df: DataFrame, robots_col: str = "robots_txt", keep: tuple[str, ...] = ("host",)
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives from robots.txt — the de-facto
+    sitemaps.org extension every crawler honors and the missing link
+    of the discovery chain (robots → sitemap-index → sitemap → pages).
+    Directive names are case-insensitive like every robots line (the
+    ADVICE r9 lesson applied up front), values are full URLs, a file
+    may carry SEVERAL, and the value is taken by anchored regex —
+    split-on-colon would truncate at the scheme's ':'.  Emits one row
+    per directive with ``sm_url``; hosts with no directive emit
+    nothing (the caller composes the /sitemap.xml default probe).
+    Scan-side split+filter, no shuffle."""
+    lines = df.select(
+        *keep,
+        F.explode(F.split(F.col(robots_col), "\n")).alias("_line"),
+    )
+    return (
+        lines.withColumn(
+            "sm_url",
+            F.expr(r"trim(regexp_extract(_line, '(?i)^\\s*sitemap:\\s*(.*)$', 1))"),
+        )
+        .filter(F.col("sm_url") != "")
+        .drop("_line")
+    )

@@ -1794,6 +1794,93 @@ def sitemap_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# robots.txt synthesis for Sitemap: discovery — per host h(N): every
+# 7th host has NO directive (falls back to the /sitemap.xml default
+# probe), n%7==1 uses a lowercase 'sitemap:' key, n%7==2 an uppercase
+# key with a MESSY url (WWW., mixed case — canonicalizer reuse), the
+# rest carry TWO directives.
+_RSD_SYNTH = """
+    concat('User-agent: *', chr(10), 'Disallow: /private', chr(10),
+      CASE n % 7
+        WHEN 0 THEN ''
+        WHEN 1 THEN concat('sitemap: https://h', CAST(n AS STRING),
+                           '.example.com/sitemap-index.xml')
+        WHEN 2 THEN concat('SITEMAP:   https://WWW.h', CAST(n AS STRING),
+                           '.Example.COM/sitemap-index.xml')
+        ELSE concat('Sitemap: https://h', CAST(n AS STRING),
+                    '.example.com/sitemap-index.xml', chr(10),
+                    'Sitemap: https://h', CAST(n AS STRING),
+                    '.example.com/sitemap-news.xml')
+      END)"""
+
+_RSD_CANON = _canon_ctes("rsdent", "sm_url", "rsd")
+
+_ROBOTS_SITEMAP_SQL = f"""
+    WITH smhost AS (
+      SELECT DISTINCT CAST(doc_id % 97 AS INT) AS n FROM documents
+    ),
+    rb AS (
+      SELECT concat('h', CAST(n AS STRING), '.example.com') AS host,
+             {_RSD_SYNTH} AS robots_txt
+      FROM smhost
+    ),
+    lines AS (
+      SELECT host, unnest(string_split(robots_txt, chr(10))) AS l FROM rb
+    ),
+    rsdent AS (
+      SELECT host,
+             trim(regexp_extract(l, '(?i)^\\s*sitemap:\\s*(.*)$', 1)) AS sm_url
+      FROM lines
+      WHERE trim(regexp_extract(l, '(?i)^\\s*sitemap:\\s*(.*)$', 1)) <> ''
+    ),
+    {_RSD_CANON[0]},
+    directives AS (
+      SELECT host, canonical_url AS sitemap_url, 'directive' AS src
+      FROM {_RSD_CANON[1]}
+    )
+    SELECT host, sitemap_url, src FROM directives
+    UNION ALL
+    SELECT r.host, concat('https://', r.host, '/sitemap.xml'), 'default'
+    FROM rb r
+    WHERE NOT EXISTS (SELECT 1 FROM directives d WHERE d.host = r.host)
+    """
+
+
+@q("robots_sitemap_discovery", _ROBOTS_SITEMAP_SQL)
+def robots_sitemap_discovery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (operators/web.py
+    parse_sitemap_directives) — the missing link of the discovery
+    chain: every crawler reads the de-facto ``Sitemap:`` directive
+    (case-insensitive key, full-URL value extracted by anchored regex
+    because split-on-colon truncates at the scheme), canonicalizes it
+    with the SAME canonicalizer as hrefs (pinned by the planted messy
+    uppercase-key row), honors MULTIPLE directives per file, and falls
+    back to probing /sitemap.xml for hosts whose robots carries none
+    (every 7th host plants that branch).  Scan-side split+filter; the
+    fallback is one host-keyed anti-join."""
+    hosts = (
+        _tbl(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 97).cast("int").alias("n"))
+        .distinct()
+    )
+    rb = hosts.select(
+        F.expr("concat('h', CAST(n AS STRING), '.example.com')").alias("host"),
+        F.expr(_RSD_SYNTH).alias("robots_txt"),
+    )
+    dirs = web.parse_sitemap_directives(rb, keep=("host",))
+    dirs_c = web.with_canonical_url(dirs, "sm_url").select(
+        "host",
+        F.col("canonical_url").alias("sitemap_url"),
+        F.lit("directive").alias("src"),
+    )
+    defaults = rb.join(dirs_c, "host", "left_anti").select(
+        "host",
+        F.expr("concat('https://', host, '/sitemap.xml')").alias("sitemap_url"),
+        F.lit("default").alias("src"),
+    )
+    return dirs_c.unionByName(defaults)
+
+
 # sitemapindex synthesis per host h(N): two live sub-sitemaps — the
 # articles one clean, the promo one DELIBERATELY messy (padded
 # whitespace, WWW., mixed case: index locs flow through the SAME
@@ -3661,6 +3748,58 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.with_lang_id(docs)
     return out.select(
         "doc_id", *[f"score_{l}" for l in text.LANG_PROFILES], "predicted_lang"
+    )
+
+
+_LANG_CONF_MARGIN = 2
+
+
+def _lang_conf_sql() -> str:
+    langs = list(text.LANG_PROFILES)
+    scores = ",\n             ".join(
+        f"CAST(len(list_filter(toks, t -> t IN {text._in_list(text.LANG_PROFILES[l])})) AS BIGINT) AS score_{l}"
+        for l in langs
+    )
+    pred = f"'{langs[-1]}'"
+    for lang in reversed(langs[:-1]):
+        later = [f"score_{l2}" for l2 in langs[langs.index(lang) + 1 :]]
+        maxl = later[0] if len(later) == 1 else f"GREATEST({', '.join(later)})"
+        pred = f"CASE WHEN score_{lang} >= {maxl} THEN '{lang}' ELSE {pred} END"
+    arr = "list_sort([" + ", ".join(f"score_{l}" for l in langs) + "])"
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+             {scores}
+          FROM t),
+    m AS (
+      SELECT doc_id, {', '.join('score_' + l for l in langs)},
+             {pred} AS predicted_lang,
+             CAST({arr}[-1] - {arr}[-2] AS BIGINT) AS margin,
+             ({arr}[-1] - {arr}[-2] >= {_LANG_CONF_MARGIN}
+              AND {arr}[-1] > 0) AS is_confident
+      FROM s
+    )
+    SELECT doc_id, predicted_lang, margin, is_confident,
+           CASE WHEN is_confident THEN predicted_lang ELSE 'und' END
+             AS effective_lang
+    FROM m
+    """
+
+
+@q("lang_id_confident", _lang_conf_sql())
+def lang_id_confident_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-gated language ID (operators/text.py
+    with_lang_confidence) — the CCNet drop rule: the argmax language
+    sticks only when the best-vs-second-best INT margin clears the
+    threshold AND the winner has any evidence at all; everything else
+    is tagged 'und' for dropping or heavier-model routing.
+    All-integer comparisons, pure scan-side Column algebra on top of
+    the audited lang_id scores — zero shuffle, a free rider on the
+    ingest pass like the rest of the filter family."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.with_lang_confidence(docs, margin_threshold=_LANG_CONF_MARGIN)
+    return out.select(
+        "doc_id", "predicted_lang", "margin", "is_confident", "effective_lang"
     )
 
 
@@ -10607,6 +10746,8 @@ _PINNED = [
     "quality_threshold_sweep",
     "dedup_savings_report",
     "sitemap_index_ingest",
+    "robots_sitemap_discovery",
+    "lang_id_confident",
     "robots_agent_section",
     "robots_wildcard_filter",
     "recrawl_schedule",
@@ -10618,28 +10759,11 @@ _PINNED = [
     "frontier_seen_filter",
     "web_corpus_pipeline",
     "quality_tier_mixture",
-    # round-9 queries whose SHARED operator code changed this round
-    # (frontier_schedule lost its broadcast hint; the robots fixture
-    # gained the lowercase directive; mixture's CTE chain was
-    # re-parameterized) — re-attest the new plans/hashes immediately
-    "frontier_schedule",
-    "frontier_pipeline",
-    "robots_frontier_filter",
-    "mixture_allocate",
-    "mixture_budget_apply",
-    "weighted_sample",
-    "streaming_weighted_sample",
-    # VERDICT r9 "Next round" #7: the 8 queries whose last driver
-    # attestation dates to round 5 while dedup.py/queries.py changed
-    # under them — pinned so the stalest attestations refresh first
-    "incremental_dedup",
-    "json_extract",
-    "multimodal_decode",
-    "pricing_summary",
-    "repetition_stats",
-    "segment_set_ops",
-    "sliding_window",
-    "value_percentiles",
+    # operators whose SHARED code changed in session 2 (the JM scorer
+    # now cuts pairs/bigram-vocab lineage) — re-attest the new path
+    "interpolated_lm_score",
+    "quality_tier_mixture",
+    "curation_pipeline",
     # permanent pins (see ordering note above)
     "streaming_session_parity",
     "streaming_ep2_parity",

@@ -780,3 +780,24 @@ def test_c4_filters_empty_after_filtering(spark):
     r = rows(text.with_c4_filters(df), "doc_id")[0]
     assert r["n_kept_lines"] == 0 and r["n_sentences"] == 0
     assert r["clean_len"] == 0 and not r["keep"]
+
+
+def test_lang_confidence_margin_and_und_fallback(spark):
+    # en profile words dominate doc 1; doc 2 ties en/es scores (margin
+    # 0); doc 3 hits no profile at all (top1 = 0)
+    docs = [
+        (1, "the and with that have the and"),
+        (2, "the el"),
+        (3, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in rows(text.with_lang_confidence(df, margin_threshold=2), "doc_id")
+    }
+    assert out[1]["is_confident"] and out[1]["effective_lang"] == "en"
+    assert out[1]["margin"] >= 2
+    assert not out[2]["is_confident"] and out[2]["effective_lang"] == "und"
+    # zero-evidence docs are never confident even with margin 0 >= 0
+    assert not out[3]["is_confident"] and out[3]["effective_lang"] == "und"
+    assert out[3]["margin"] == 0

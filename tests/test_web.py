@@ -805,3 +805,24 @@ def test_sitemap_index_ingest_flags_missing_subsitemaps(spark):
     promo = [r for r in ok if r["sub_path"] == "/sitemap-promo.xml"]
     assert len(promo) == 97
     assert all(r["canonical_url"].startswith("https://h") for r in promo)
+
+
+def test_parse_sitemap_directives_case_and_colon_handling(spark):
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "sitemap: https://a.example.com/one.xml\n"
+        "SITEMAP:   https://a.example.com/two.xml\n"
+        "Sitemap:https://a.example.com/three.xml\n"
+        "# Sitemap: commented out — still a directive line? no: leading #\n"
+        "NotASitemap: https://a.example.com/four.xml"
+    )
+    df = spark.createDataFrame([("a.example.com", robots)], "host string, robots_txt string")
+    out = rows(web.parse_sitemap_directives(df), "sm_url")
+    urls = [r["sm_url"] for r in out]
+    # case-insensitive key, optional space, URL's scheme colon intact
+    assert urls == [
+        "https://a.example.com/one.xml",
+        "https://a.example.com/three.xml",
+        "https://a.example.com/two.xml",
+    ]
