@@ -1517,6 +1517,7 @@ def _dup_islands(
     gram_n: int,
     text_col: str,
     id_col: str,
+    cross_doc_keep_first: bool = False,
 ) -> DataFrame:
     """Shared front half of the sliding-duplicate-substring family
     (coverage MEASUREMENT and span REMOVAL): every ``gram_n``-token
@@ -1525,12 +1526,27 @@ def _dup_islands(
     rows — one per duplicated window, island = gaps-and-islands group
     id over the doc's position axis.
 
+    ``cross_doc_keep_first=False`` (the dup_span_removal /
+    dup_ngram_coverage semantics): EVERY occurrence of a >1×-seen gram
+    is an island member — within-doc self-repeats count, and all
+    copies of a cross-doc repeat are marked.
+
+    ``cross_doc_keep_first=True`` (the cross_doc_span_dedup / Lee et
+    al. first-occurrence-keep semantics): each gram content elects a
+    keeper document (min id); only occurrences in OTHER documents are
+    island members, so exactly one document retains each repeated
+    span (including all its own internal repeats of it) and grams
+    repeated only within a single doc are untouched.
+
     Plan shape (all linear in corpus tokens — see
     with_dup_ngram_coverage's docstring for the full rationale):
     explode window starts → md5 each gram → map-side-combinable
-    groupBy(gram md5) duplication count + semi-join back (never a
-    window over the hot hash) → per-doc-keyed running-max-end island
-    numbering."""
+    groupBy(gram md5) duplication count (keep-first mode: min/max doc
+    id, same one-row-per-gram partial) + semi-join back (never a
+    window over the hot hash; keep-first joins the (hash, keeper)
+    table — only hashes actually spanning >= 2 docs survive the
+    filter, so the join side stays the duplicated subset) →
+    per-doc-keyed running-max-end island numbering."""
     end_off = gram_n - 1
     piece = f"concat_ws(' ', slice(__T__, _start, {gram_n}))"
     grams = (
@@ -1555,13 +1571,29 @@ def _dup_islands(
             F.md5(F.expr(piece).cast("binary")).alias("_h"),
         )
     )
-    dup_hashes = (
-        grams.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") > 1)
-        .select("_h")
-    )
-    dup = grams.join(dup_hashes, "_h", "semi")
+    if cross_doc_keep_first:
+        keepers = (
+            grams.groupBy("_h")
+            .agg(
+                F.min(id_col).alias("_keep_doc"),
+                F.max(id_col).alias("_max_doc"),
+            )
+            .filter(F.col("_max_doc") > F.col("_keep_doc"))
+            .select("_h", "_keep_doc")
+        )
+        dup = (
+            grams.join(keepers, "_h")
+            .filter(F.col(id_col) > F.col("_keep_doc"))
+            .drop("_keep_doc")
+        )
+    else:
+        dup_hashes = (
+            grams.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") > 1)
+            .select("_h")
+        )
+        dup = grams.join(dup_hashes, "_h", "semi")
     w = Window.partitionBy(id_col).orderBy("_start")
     return (
         dup.withColumn("_end", F.col("_start") + end_off)
@@ -1668,6 +1700,57 @@ def dup_span_removal(
     O(corpus tokens × islands-per-doc) worst case, and islands-per-doc
     is ≤ tokens/gram_n."""
     islands = _dup_islands(docs, gram_n, text_col, id_col)
+    return _remove_islands(docs, islands, text_col, id_col)
+
+
+def cross_doc_span_dedup(
+    docs: DataFrame,
+    gram_n: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-DOCUMENT repeated-substring removal with first-occurrence
+    keep — the Lee-et-al. "Deduplicating Training Data Makes Language
+    Models Better" ExactSubstr pass in the form C4/Pile-style cleanups
+    run it (VERDICT r10 #3): any ``gram_n``-token span whose content
+    also occurs in ANOTHER document is cut from every document except
+    one elected keeper (min doc id), so the corpus retains exactly one
+    copy of each repeated span instead of zero.  Contrast
+    `dup_span_removal`, which cuts ALL copies (and within-doc
+    self-repeats): here the keeper doc keeps the span — including its
+    own internal repeats of it — and a span repeated only inside one
+    document is untouched; this is the variant whose output is still a
+    complete training corpus rather than a repeat-free residue.
+
+    Output per doc (same contract as dup_span_removal): ``n_tokens``,
+    ``n_removed_tokens``, ``cleaned_md5``.
+
+    Plan shape: the `_dup_islands` keep-first stage — gram-hash
+    postings reduced to ONE (hash, keeper-doc) row each via
+    map-side-combinable min/max, filtered to hashes spanning >= 2
+    docs, equi-joined back (never a window over the hot hash; a
+    boilerplate gram repeated across millions of docs reaches the
+    exchange as one partial row per map task) — then the shared
+    island-merge + scan-side token rebuild.  O(corpus tokens), no pair
+    expansion; AQE's skew-join splits any hot gram hash in the join
+    back."""
+    islands = _dup_islands(
+        docs, gram_n, text_col, id_col, cross_doc_keep_first=True
+    )
+    return _remove_islands(docs, islands, text_col, id_col)
+
+
+def _remove_islands(
+    docs: DataFrame,
+    islands: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared back half of the span-removal family: merged-island rows
+    → per-doc (lo, hi) interval arrays → one equi-join back to the docs
+    scan → scan-side token rebuild → (id, n_tokens, n_removed_tokens,
+    cleaned_md5) rows.  See dup_span_removal's docstring for the full
+    plan rationale."""
     per_doc = (
         islands.groupBy(id_col, "_island")
         .agg(
@@ -2144,6 +2227,10 @@ def line_dedup(
     boilerplate paragraphs from a crawl without dropping documents.
 
     Output per input doc: (doc_id, n_lines, n_kept, clean_text).
+    NULL text coalesces to '' (one empty line) so the doc keeps its
+    output row — posexplode of a null split would silently DROP the
+    doc_id, a row-count change downstream joins don't expect
+    (ADVICE r10).
 
     Scale shape — identical to span_dedup's mega-bucket-proof plan: a
     boilerplate line repeated across millions of pages reduces via
@@ -2153,7 +2240,9 @@ def line_dedup(
     reassembly)."""
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_idx", "line"),
     ).withColumn("_h", F.md5(F.col("line").cast("binary")))
     meta = lines.select(id_col, "line_idx", "_h")
     firsts = meta.groupBy("_h").agg(

@@ -341,6 +341,49 @@ def embedding_near_dup(
     )
 
 
+def cell_near_dup(
+    corpus: DataFrame,
+    cells: DataFrame,
+    threshold: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine near-duplicate pairs WITHIN trained IVF cells — the
+    SemDeDup pair stage (Abbas et al. 2023: cluster the embeddings,
+    then compare only within a cluster).  Same shape as
+    `embedding_near_dup` with the learned cell replacing the LSH
+    bucket: one self-equi-join on ``centroid_id``, exact scaled-int
+    cosine inside, threshold.  Candidate count is Σ cell², never n² —
+    and unlike fixed hyperplanes the trained cells adapt to the data's
+    density, which is why SemDeDup clusters rather than hashes.  At
+    100 TB the knob is k: production runs size k ∝ √n (SemDeDup used
+    50k clusters for LAION) so expected cell size stays O(√n) and
+    Σ cell² stays near-linear; k here is the caller's `ivf_train` k.
+
+    ``cells`` is an (id, centroid_id) assignment table (ivf_assign
+    output); each vector is in exactly one cell, so no pair is emitted
+    twice."""
+    b = with_norm2(with_scaled_vec(ensure_parallelism(corpus), vec_col))
+    b = b.join(cells.select(id_col, "centroid_id"), id_col)
+    a = b.select(
+        F.col(id_col).alias("doc_a"), "centroid_id",
+        F.col("iv").alias("aiv"), F.col("n2").alias("an2"),
+    )
+    c = b.select(
+        F.col(id_col).alias("doc_b"), "centroid_id",
+        F.col("iv").alias("biv"), F.col("n2").alias("bn2"),
+    )
+    pairs = a.join(c, ["centroid_id"]).filter(F.col("doc_a") < F.col("doc_b"))
+    scored = pairs.withColumn("_dot", _dot("aiv", "biv")).withColumn(
+        "cos_sim",
+        F.col("_dot").cast("double")
+        / F.sqrt(F.col("an2").cast("double") * F.col("bn2").cast("double")),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold).select(
+        "centroid_id", "doc_a", "doc_b", "cos_sim"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the centroid-cell scale path.
 

@@ -1720,12 +1720,23 @@ def with_c4_filters(
     with_gopher_rules and the CCNet tiers:
 
       line level: keep a line only if it (a) ends in a terminal
-        punctuation mark, (b) has >= ``min_words_per_line`` words,
-        (c) does not contain the word 'javascript';
+        punctuation mark — period / ! / ? / end quotation mark
+        (straight '"' or closing '”'), the full Raffel §2.2 set
+        (ADVICE r10: the quote marks were missing), (b) has >=
+        ``min_words_per_line`` words, (c) does not contain the word
+        'javascript';
       page level: drop the page if it contains any bad word, the
         phrase 'lorem ipsum', or a curly bracket '{'; after line
         filtering, drop pages with fewer than ``min_sentences``
-        sentences (terminal-punctuation count of the cleaned text).
+        sentences ([.!?] count of the cleaned text — a quote-terminated
+        sentence still counts via the punctuation preceding its quote).
+
+    ``badwords`` entries are bound as ESCAPED SQL literals (a single
+    quote in an entry can no longer break the expression — ADVICE
+    r10), and multi-word phrases (UT1/LDNOOBW lists carry them) match
+    as token-boundary substrings of the whitespace-normalized lowered
+    page, so 'blue pill' matches 'the blue pill today' but not
+    'blue pills'.  Single-word entries keep exact token membership.
 
     (C4's fourth page rule — three-sentence-span dedup — is the
     separate span_dedup operator; composing them is the caller's
@@ -1741,12 +1752,27 @@ def with_c4_filters(
     outputs (count, joined text) consume it — the Catalyst lambda
     re-inlining trap measured in SCALE.md.  Pure Column expressions,
     no UDF, no shuffle: a free rider on the ingest scan at 100 TB."""
-    terminal = "right(l, 1) IN ('.', '!', '?')"
+    terminal = "right(l, 1) IN ('.', '!', '?', '\"', '”')"
     line_keep = (
         f"l -> {terminal} AND size(split(l, ' ')) >= {int(min_words_per_line)} "
         "AND NOT contains(lower(l), 'javascript')"
     )
-    bad_list = ", ".join(f"'{b}'" for b in badwords)
+    esc = lambda s: s.replace("'", "''")
+    singles = [b for b in badwords if " " not in b]
+    phrases = [b for b in badwords if " " in b]
+    bad_terms = []
+    if singles:
+        bad_list = ", ".join(f"'{esc(b.lower())}'" for b in singles)
+        bad_terms.append(
+            f"exists(split(lower({text_col}), '[ \\n]'), t -> t IN ({bad_list}))"
+        )
+    if phrases:
+        # token-boundary phrase match on the whitespace-normalized page
+        norm = f"concat(' ', replace(lower({text_col}), chr(10), ' '), ' ')"
+        bad_terms.extend(
+            f"contains({norm}, ' {esc(p.lower())} ')" for p in phrases
+        )
+    bad_expr = " OR ".join(bad_terms) if bad_terms else "false"
     kept = (
         f"transform(array(filter(split({text_col}, '\\n'), {line_keep})), "
         "K -> struct(size(K) AS n_kept_lines, "
@@ -1759,9 +1785,7 @@ def with_c4_filters(
         F.expr("size(split(_k.clean_text, '[.!?]')) - 1")
         .cast("long")
         .alias("n_sentences"),
-        F.expr(
-            f"exists(split(lower({text_col}), '[ \\n]'), t -> t IN ({bad_list}))"
-        ).alias("has_badword"),
+        F.expr(bad_expr).alias("has_badword"),
         F.expr(f"contains(lower({text_col}), 'lorem ipsum')").alias("has_lorem"),
         F.expr(f"contains({text_col}, '{{')").alias("has_brace"),
         F.length("_k.clean_text").cast("long").alias("clean_len"),

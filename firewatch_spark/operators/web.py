@@ -968,10 +968,14 @@ def domain_blocklist_filter(
     while 'ads.src1.example.com' blocks only that one subdomain.
 
     When several entries match one host (a deep entry and a
-    registrable-level entry), the LONGEST match attributes the block —
-    deterministic without a window because distinct suffixes of one
-    host have distinct label counts, so ``max_by(entry, match_labels)``
-    has a unique argmax (the robots longest-match convention).
+    registrable-level entry), the LONGEST match attributes the block
+    (the robots longest-match convention).  Attribution is ONE
+    ``max(struct(match_labels, entry, category))`` — the struct's
+    lexicographic order makes entry and category come from the SAME
+    winning row even if the blocklist carries duplicate entry rows
+    with differing categories (ADVICE r10: two independent ``max_by``
+    calls could mix a category from one tied row with the entry of
+    another), and the total order makes the tie-break deterministic.
 
     Output: every input row with ``blocked``, the attributed
     ``matched_entry`` / ``category`` / ``match_labels`` (NULL when not
@@ -992,9 +996,13 @@ def domain_blocklist_filter(
         cand.join(blocklist, cand["_suffix"] == blocklist["entry"])
         .groupBy(id_col)
         .agg(
-            F.expr("max_by(entry, match_labels)").alias("matched_entry"),
-            F.expr("max_by(category, match_labels)").alias("category"),
-            F.max("match_labels").alias("match_labels"),
+            F.max(F.struct("match_labels", "entry", "category")).alias("_best")
+        )
+        .select(
+            id_col,
+            F.col("_best.entry").alias("matched_entry"),
+            F.col("_best.category").alias("category"),
+            F.col("_best.match_labels").alias("match_labels"),
         )
     )
     return df.join(hits, id_col, "left").withColumn(

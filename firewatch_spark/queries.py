@@ -23,7 +23,10 @@ query).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -6139,8 +6142,10 @@ def udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_COV_N = 16
 
 # the duplicated-window + gaps-and-islands CTE chain, shared by the
-# coverage MEASUREMENT oracle and the span REMOVAL oracle (round 7)
-_DUP_COV_CTES = f"""
+# coverage MEASUREMENT oracle, the span REMOVAL oracle (round 7) and
+# the cross-doc first-occurrence-keep REMOVAL oracle (round 11) — the
+# three differ only in the `dd` mark stage
+_DUP_GRAM_CTES = f"""
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     g AS (
       SELECT doc_id, unnest(generate_series(1, len(toks) - {_DUP_COV_N - 1})) AS s, toks
@@ -6150,9 +6155,26 @@ _DUP_COV_CTES = f"""
       SELECT doc_id, s,
              md5(array_to_string(list_slice(toks, s, s + {_DUP_COV_N - 1}), ' ')) AS h
       FROM g
-    ),
+    )"""
+
+# mark EVERY occurrence of a >1x-seen gram (dup_span_removal /
+# dup_ngram_coverage semantics)
+_DUP_MARK_ALL = f"""
     d AS (SELECT doc_id, s, count(*) OVER (PARTITION BY h) AS cnt FROM h),
-    dd AS (SELECT doc_id, s, s + {_DUP_COV_N - 1} AS e FROM d WHERE cnt > 1),
+    dd AS (SELECT doc_id, s, s + {_DUP_COV_N - 1} AS e FROM d WHERE cnt > 1)"""
+
+# mark only occurrences OUTSIDE the gram's keeper doc (min doc_id) —
+# the Lee-et-al. first-occurrence-keep / cross_doc_span_dedup semantics
+_DUP_MARK_XDOC = f"""
+    d AS (
+      SELECT doc_id, s,
+             MIN(doc_id) OVER (PARTITION BY h) AS keep_doc,
+             MAX(doc_id) OVER (PARTITION BY h) AS max_doc
+      FROM h
+    ),
+    dd AS (SELECT doc_id, s, s + {_DUP_COV_N - 1} AS e FROM d WHERE doc_id > keep_doc)"""
+
+_DUP_ISLAND_TAIL = """
     isl AS (
       SELECT doc_id, s, e,
              MAX(e) OVER (PARTITION BY doc_id ORDER BY s
@@ -6170,6 +6192,8 @@ _DUP_COV_CTES = f"""
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM marked
     )"""
+
+_DUP_COV_CTES = f"{_DUP_GRAM_CTES},{_DUP_MARK_ALL},{_DUP_ISLAND_TAIL}"
 
 _DUP_COV_SQL = f"""
     WITH {_DUP_COV_CTES},
@@ -6206,8 +6230,7 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_dup_ngram_coverage(docs, gram_n=_DUP_COV_N)
 
 
-_DUP_REMOVAL_SQL = f"""
-    WITH {_DUP_COV_CTES},
+_DUP_REMOVAL_TAIL = """
     ivl AS (
       SELECT doc_id, island, MIN(s) AS lo, MAX(e) AS hi
       FROM numbered GROUP BY doc_id, island
@@ -6236,6 +6259,16 @@ _DUP_REMOVAL_SQL = f"""
     FROM t LEFT JOIN rem USING (doc_id) LEFT JOIN cl USING (doc_id)
     """
 
+_DUP_REMOVAL_SQL = f"""
+    WITH {_DUP_COV_CTES},
+    {_DUP_REMOVAL_TAIL}
+    """
+
+_XDOC_REMOVAL_SQL = f"""
+    WITH {_DUP_GRAM_CTES},{_DUP_MARK_XDOC},{_DUP_ISLAND_TAIL},
+    {_DUP_REMOVAL_TAIL}
+    """
+
 
 @q("dup_span_removal", _DUP_REMOVAL_SQL)
 def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6249,6 +6282,25 @@ def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions."""
     docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.dup_span_removal(docs, gram_n=_DUP_COV_N)
+
+
+@q("cross_doc_span_dedup", _XDOC_REMOVAL_SQL)
+def cross_doc_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT repeated-substring removal with first-occurrence
+    keep (operators/dedup.py cross_doc_span_dedup — VERDICT r10 #3):
+    any 16-token span that also occurs in another document is cut
+    everywhere EXCEPT its keeper doc (min doc_id), so the corpus keeps
+    exactly one copy of each repeated span — the Lee-et-al. ExactSubstr
+    cleanup in the form whose output is still a complete training
+    corpus (dup_span_removal's all-copies cut is the repeat-free
+    residue form; within-doc-only repeats are untouched here).  Gram
+    postings reduce to one (hash, keeper) row via map-side min/max
+    partials, filtered to hashes spanning >= 2 docs, one equi-join
+    back, shared island merge + scan-side rebuild — O(corpus tokens),
+    no pairs.  The oracle swaps only the mark CTE: keep_doc =
+    MIN(doc_id) OVER (PARTITION BY gram hash)."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.cross_doc_span_dedup(docs, gram_n=_DUP_COV_N)
 
 
 _UDAF_SQL = f"""
@@ -8653,7 +8705,8 @@ _C4_SQL = f"""
       SELECT doc_id, txt,
              CAST(len(string_split(txt, chr(10))) AS BIGINT) AS n_lines,
              list_filter(string_split(txt, chr(10)),
-               l -> (right(l, 1) = '.' OR right(l, 1) = '!' OR right(l, 1) = '?')
+               l -> (right(l, 1) = '.' OR right(l, 1) = '!' OR right(l, 1) = '?'
+                     OR right(l, 1) = '"' OR right(l, 1) = '”')
                     AND len(string_split(l, ' ')) >= 5
                     AND NOT contains(lower(l), 'javascript')) AS ks
       FROM syn
@@ -8761,12 +8814,16 @@ _DOMAIN_BLOCKLIST_SQL = f"""
       FROM hosts
     ),
     hits AS (
-      SELECT c.doc_id,
-             arg_max(b.entry, len(string_split(c.suffix, '.'))) AS matched_entry,
-             arg_max(b.category, len(string_split(c.suffix, '.'))) AS category,
-             CAST(max(len(string_split(c.suffix, '.'))) AS BIGINT) AS match_labels
-      FROM cand c JOIN bl b ON c.suffix = b.entry
-      GROUP BY c.doc_id
+      SELECT doc_id, entry AS matched_entry, category,
+             CAST(ml AS BIGINT) AS match_labels
+      FROM (
+        SELECT c.doc_id, b.entry, b.category,
+               len(string_split(c.suffix, '.')) AS ml,
+               row_number() OVER (PARTITION BY c.doc_id
+                    ORDER BY len(string_split(c.suffix, '.')) DESC,
+                             b.entry DESC, b.category DESC) AS rn
+        FROM cand c JOIN bl b ON c.suffix = b.entry
+      ) WHERE rn = 1
     )
     SELECT h.doc_id, h.host, m.matched_entry, m.category, m.match_labels,
            m.matched_entry IS NOT NULL AS blocked
@@ -8780,8 +8837,9 @@ def domain_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/web.py domain_blocklist_filter) — the UT1/RefinedWeb
     adult-and-ads gate: a URL is blocked when its host or ANY
     label-boundary parent domain is listed; overlapping entries
-    attribute by LONGEST match (windowless argmax — distinct suffixes
-    of one host have distinct label counts).  The fixture plants
+    attribute by LONGEST match via one struct-max (entry and category
+    always come from the same winning row — ADVICE r10).  The fixture
+    plants
     exact-host, mid-level, registrable-level, and below-registrable
     entries plus an overlap pair, so every precedence rung is
     value-pinned.  Scale shape: bounded (~label-count) suffix explode,
@@ -10400,6 +10458,110 @@ def embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# tuned on the synthetic embeddings' cosine distribution (p99 ≈ 0.30,
+# no planted exact dups): 0.35 yields non-trivial per-cell clusters
+# (~16% removal at sf0.01) — lower thresholds percolate every cell
+# into one giant component and the attestation degenerates
+_SEMDEDUP_THR = 0.35
+
+
+def _semantic_dedup_sql(k: int = _IVF_K, iters: int = 2,
+                        thr: float = _SEMDEDUP_THR) -> str:
+    """SemDeDup oracle: Lloyd-trained cells (the ivf_train CTE chain)
+    → argmin assignment → within-cell exact-cosine pairs → recursive
+    connected components → per-cell savings report."""
+    body, final = _ivf_train_ctes(k, iters)
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(a.iv)), "
+        "i -> list_extract(a.iv, i) * list_extract(b2.iv, i))) AS DOUBLE)"
+    )
+    cos = f"{dot} / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b2.n2 AS DOUBLE))"
+    return f"""
+    WITH RECURSIVE {body},
+    assd AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, len(v.iv)),
+                   j -> (list_extract(v.iv, j) - list_extract(c.civ, j))
+                      * (list_extract(v.iv, j) - list_extract(c.civ, j)))),
+                 centroid_id) AS rk
+        FROM iv v, {final} c
+      ) WHERE rk = 1
+    ),
+    nrm AS (
+      SELECT n.vec_id, n.iv,
+             CAST(list_sum(list_transform(n.iv, x -> x * x)) AS BIGINT) AS n2,
+             s.centroid_id
+      FROM iv n JOIN assd s USING (vec_id)
+    ),
+    prs AS (
+      SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+      FROM nrm a JOIN nrm b2
+        ON a.centroid_id = b2.centroid_id AND a.vec_id < b2.vec_id
+      WHERE {cos} >= {thr}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM prs
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    clus AS (SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT s.centroid_id AS cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(DISTINCT c.cluster_id) AS BIGINT) AS n_kept,
+           CAST(count(*) - count(DISTINCT c.cluster_id) AS BIGINT) AS n_removed,
+           CAST(count(*) - count(DISTINCT c.cluster_id) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS savings_frac
+    FROM assd s JOIN clus c USING (vec_id)
+    GROUP BY s.centroid_id
+    """
+
+
+@q("semantic_dedup_pipeline", _semantic_dedup_sql())
+def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC dedup (SemDeDup, Abbas et al. 2023 —
+    VERDICT r10 #4), composed from the audited pieces: Lloyd-trained
+    IVF cells (similarity.ivf_train) → cell assignment (ivf_assign) →
+    within-cell exact-cosine near-dup pairs (cell_near_dup — the
+    learned-cluster replacement for the LSH bucket) → min-label
+    connected components (near_dup_clusters) → per-cell savings
+    report: how many vectors each cell holds, how many semantic
+    keepers remain, and the removal fraction the curation budget gets
+    back.  Scale: centroids are a k-bounded broadcast; pair count is
+    Σ cell² with k the caller's control (SemDeDup sizes k ∝ √n);
+    components shuffle on ids, never in one task.  The oracle replays
+    the whole composition — train, assign, pairs, RECURSIVE closure,
+    report — value-hashed per cell."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, k=_IVF_K, iters=2)
+    cells = similarity.ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    pairs = similarity.cell_near_dup(emb, cells, threshold=_SEMDEDUP_THR)
+    clusters = dedup.near_dup_clusters(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    joined = cells.join(clusters.select("vec_id", "cluster_id"), "vec_id")
+    agg = joined.groupBy(F.col("centroid_id").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("cluster_id").cast("long").alias("n_kept"),
+    )
+    return agg.select(
+        "cell",
+        "n_vectors",
+        "n_kept",
+        (F.col("n_vectors") - F.col("n_kept")).cast("long").alias("n_removed"),
+        (
+            (F.col("n_vectors") - F.col("n_kept")).cast("double")
+            / F.col("n_vectors").cast("double")
+        ).alias("savings_frac"),
+    )
+
+
 # ===========================================================================
 # Group D — Structured Streaming parity (the stateful session operator
 # run as a real streaming query, checked against the batch oracle)
@@ -10708,63 +10870,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return session_stats_q(spark, "/root/testdata/sf0.001")
 
 
-# Driver correctness-window ordering — ROTATING since round 7
-# (VERDICT r6 #5).  The external gate hash-checks the FIRST
-# `_DRIVER_WINDOW` registered queries each round (rounds 2-6 all
-# checked exactly 50), so registration order decides who gets an
-# external attestation row.  Rounds 2-6 used a static head/tail split,
-# which left half the registry permanently outside the window; now:
+# Driver correctness-window ordering — STALENESS-DRIVEN since round 11
+# (VERDICT r10 "What's wrong" #2).  The external gate hash-checks the
+# FIRST `_DRIVER_WINDOW` registered queries each round, so registration
+# order decides who gets an external attestation row.  Rounds 7-10 used
+# a hand-maintained pin list + a name-sorted rotation offset; round 10
+# showed why that fails: the 33-entry pin list ate the window, a
+# duplicated pin silently shifted the offset (ADVICE r10), and 62
+# queries went >= 3 rounds without a driver row.  Now the order is
+# COMPUTED from the committed evidence itself:
 #
-#   * `_PINNED` comes first: genuinely-NEW queries (never
-#     driver-attested — they must land inside any window) plus four
-#     permanent pins — the two LIVE-STREAMING parity attestations (the
-#     only driver rows exercising a real micro-batched stateful query)
-#     and the two §2.6 custom-join flagships.
-#   * everything else rotates: the pool is sorted by name and the
-#     window's remaining slots advance by `slots` positions per round
-#     (`_ROTATION_ROUND` bumps each round), so every registered query
-#     re-earns a driver hash row every ceil(|pool| / slots) ≈ 3 rounds
-#     — consecutive windows are disjoint slices of the pool.
+#   * four permanent pins come first — the two LIVE-STREAMING parity
+#     attestations (the only driver rows exercising a real
+#     micro-batched stateful query) and the two §2.6 custom-join
+#     flagships;
+#   * everything else is sorted by (last GREEN driver attestation
+#     round, name) ascending, read from the repo's CORRECTNESS_r*.json
+#     artifacts at call time.  Never-attested queries sort first
+#     automatically (no manual "new this round" pin list to forget or
+#     duplicate), then the stalest cohort, oldest round first.  Each
+#     new CORRECTNESS file that lands advances the schedule by itself —
+#     there is no per-round constant to bump and no way for the window
+#     to starve a query: with |pool| ≈ 180 and ~46 free slots the
+#     worst-case re-attestation gap is ceil(180/46) = 4 rounds, and
+#     paying a query's row refreshes its round so it sorts to the back.
 #
 # Every query OUTSIDE the window stays continuously gated by
 # tests/test_registry.py's sf0.01 oracle replay (ADVICE r3 /
-# VERDICT r5 #6), so rotation never drops coverage — it only decides
-# which slice additionally gets the external driver's hash row.
+# VERDICT r5 #6), so the schedule never drops coverage — it only
+# decides which slice additionally gets the external driver's hash row.
 _DRIVER_WINDOW = 50
-_ROTATION_ROUND = 10  # bump each round to advance the rotation
-_PINNED = [
-    # round-10 additions — never driver-attested yet
-    "bm25_topk",
-    "c4_filters",
-    "domain_blocklist_filter",
-    "corpus_overlap_minhash",
-    "lsh_band_plan",
-    "tokenizer_compression",
-    "line_dedup",
-    "streaming_blocklist_filter",
-    "quality_filter_ensemble",
-    "quality_threshold_sweep",
-    "dedup_savings_report",
-    "sitemap_index_ingest",
-    "robots_sitemap_discovery",
-    "lang_id_confident",
-    "robots_agent_section",
-    "robots_wildcard_filter",
-    "recrawl_schedule",
-    "streaming_recrawl_schedule",
-    "mixture_epoch_allocate",
-    "crawl_budget_allocate",
-    "crawl_budget_apply",
-    "crawl_delay_schedule",
-    "frontier_seen_filter",
-    "web_corpus_pipeline",
-    "quality_tier_mixture",
-    # operators whose SHARED code changed in session 2 (the JM scorer
-    # now cuts pairs/bigram-vocab lineage) — re-attest the new path
-    "interpolated_lm_score",
-    "quality_tier_mixture",
-    "curation_pipeline",
-    # permanent pins (see ordering note above)
+_PERMANENT_PINS = [
     "streaming_session_parity",
     "streaming_ep2_parity",
     "asof_join",
@@ -10772,13 +10908,56 @@ _PINNED = [
 ]
 
 
+def _attested_round() -> dict[str, int]:
+    """Last round each query earned a GREEN driver row, from the
+    committed CORRECTNESS_r*.json artifacts (repo root, one per
+    round).  Green = hash_match when the row carries one, else
+    rows_match (the driver's weaker rows-only check for non-SQL
+    queries).  A red/errored row does NOT count — the query keeps its
+    old round and stays at the front of the schedule until a green row
+    lands.  Missing/corrupt artifacts are skipped: with no files at
+    all every query ties at "never attested" and the order degrades to
+    plain name sort."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("hash_match")
+                if row.get("hash_match") is not None
+                else row.get("rows_match")
+            )
+            if green is None and row.get("err") == "no_oracle":
+                # deliberately oracle-less query (e.g. HLL approx):
+                # the driver's weak rows-only check ran and returned —
+                # that IS its attestation row
+                green = row.get("spark_rows") is not None
+            if green:
+                out[name] = max(out.get(name, -1), rnd)
+    return out
+
+
 def _ordered() -> dict[str, QuerySpec]:
-    pinned = [n for n in _PINNED if n in _REGISTRY]
-    pool = sorted(n for n in _REGISTRY if n not in set(pinned))
-    slots = max(1, _DRIVER_WINDOW - len(pinned))
-    off = (_ROTATION_ROUND * slots) % len(pool)
-    rotated = pool[off:] + pool[:off]
-    return {n: _REGISTRY[n] for n in [*pinned, *rotated]}
+    pinned = [n for n in _PERMANENT_PINS if n in _REGISTRY]
+    last = _attested_round()
+    pool = sorted(
+        (n for n in _REGISTRY if n not in set(pinned)),
+        key=lambda n: (last.get(n, -1), n),
+    )
+    return {n: _REGISTRY[n] for n in [*pinned, *pool]}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -773,6 +773,41 @@ def test_c4_filters_line_and_page_rules(spark):
     assert out[1]["clean_len"] == len(clean1)
 
 
+def test_c4_filters_quote_terminal_and_badword_binding(spark):
+    # ADVICE r10: end quotation marks are terminal punctuation in
+    # Raffel §2.2; badwords bind as escaped literals and multi-word
+    # phrases match on token boundaries
+    pages = [
+        (1, 'he said "five whole words here."\n'
+            'she replied "six more words right there!"\n'
+            "a closing curly quote line ends here”"),
+        (2, "the blue pill arrived today in the post.\n"
+            "one two three four five six!\n"
+            "seven eight nine ten eleven?"),
+        (3, "blue pills are not the phrase listed.\n"
+            "one two three four five six!\n"
+            "seven eight nine ten eleven?"),
+        (4, "the o'neill word is quoted here today.\n"
+            "one two three four five six!\n"
+            "seven eight nine ten eleven?"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in rows(
+            text.with_c4_filters(df, badwords=("blue pill", "o'neill")),
+            "doc_id",
+        )
+    }
+    # straight-quote and curly-quote line endings are terminal
+    assert out[1]["n_kept_lines"] == 3
+    # multi-word phrase hits on token boundaries only
+    assert out[2]["has_badword"] and not out[2]["keep"]
+    assert not out[3]["has_badword"] and out[3]["keep"]
+    # an entry containing a single quote binds safely and matches
+    assert out[4]["has_badword"] and not out[4]["keep"]
+
+
 def test_c4_filters_empty_after_filtering(spark):
     df = spark.createDataFrame(
         [(1, "no punct line one\nno punct line two")], "doc_id long, text string"

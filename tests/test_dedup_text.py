@@ -764,3 +764,16 @@ def test_line_dedup_keeps_global_first_and_reassembles(spark):
     assert out[2]["clean_text"] == "gamma three."
     # doc 3 loses its only line -> empty reassembly
     assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+
+
+def test_line_dedup_null_text_keeps_doc_row(spark):
+    # ADVICE r10: a NULL-text doc must not vanish from the output
+    df = spark.createDataFrame(
+        [(1, "alpha one."), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in rows(dedup.line_dedup(df), "doc_id")}
+    assert set(out) == {1, 2}
+    # NULL coalesces to one empty line (kept: first occurrence of '')
+    assert out[2]["n_lines"] == 1 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == ""
+    assert out[1]["clean_text"] == "alpha one."

@@ -230,6 +230,70 @@ def test_dup_span_removal_matches_python_reference(spark):
     assert got == expected
 
 
+def _py_cross_doc_span_dedup(docs: dict[int, str], gram_n: int):
+    """Pure-Python mirror of operators/dedup.py cross_doc_span_dedup:
+    each gram content elects its min-doc keeper; a position is removed
+    iff it lies in a window whose content also occurs in a LOWER doc
+    id."""
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    keeper: dict[str, int] = {}
+    spans_docs: dict[str, set[int]] = {}
+    for did in sorted(toks):
+        tk = toks[did]
+        for s in range(len(tk) - gram_n + 1):
+            g = " ".join(tk[s : s + gram_n])
+            keeper.setdefault(g, did)
+            spans_docs.setdefault(g, set()).add(did)
+    out = {}
+    for did, tk in toks.items():
+        removed: set[int] = set()
+        for s in range(len(tk) - gram_n + 1):
+            g = " ".join(tk[s : s + gram_n])
+            if len(spans_docs[g]) > 1 and keeper[g] < did:
+                removed.update(range(s, s + gram_n))
+        surv = [t for i, t in enumerate(tk) if i not in removed]
+        out[did] = (len(tk), len(removed), " ".join(surv))
+    return out
+
+
+def test_cross_doc_span_dedup_matches_python_reference(spark):
+    """VERDICT r10 #3: the first-occurrence-keep cross-doc removal,
+    fuzzed against the Python mirror on the same planted-duplicate
+    corpus shape as dup_span_removal — keeper docs must retain their
+    spans (and their own self-repeats of them), later docs lose them,
+    single-doc self-repeats stay."""
+    import hashlib
+
+    from firewatch_spark.operators import dedup
+
+    rng = random.Random(43)
+    vocab = [f"w{i}" for i in range(6)]
+    docs: dict[int, str] = {}
+    for i in range(50):
+        if docs and rng.random() < 0.2:
+            docs[i] = docs[rng.choice(list(docs))]
+        else:
+            docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 24)))
+    gram_n = 3
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_md5"])
+        for r in rows(dedup.cross_doc_span_dedup(df, gram_n=gram_n))
+    }
+    expected = {
+        d: (n, rm, hashlib.md5(clean.encode()).hexdigest())
+        for d, (n, rm, clean) in _py_cross_doc_span_dedup(docs, gram_n).items()
+    }
+    assert got == expected
+    # the corpus-level contract: at least one doc keeps each repeated
+    # span, so total removal is strictly less than the all-copies form
+    # on any corpus with a cross-doc repeat
+    all_form = _py_dup_span_removal(docs, gram_n)
+    assert sum(rm for _, rm, _ in expected.values()) < sum(
+        rm for _, rm, _ in all_form.values()
+    )
+
+
 def _rand_corpus(seed: int, n_docs: int = 60):
     rng = random.Random(seed)
     vocab = [f"w{i}" for i in range(25)] + ["the", "a", "of", "and"]

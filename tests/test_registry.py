@@ -97,8 +97,8 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def _unwindowed_names():
-    """Registry entries outside the external driver's rotating 50-query
-    window this round (queries.py _ordered / _ROTATION_ROUND).  They
+    """Registry entries outside the external driver's 50-query window
+    this round (queries.py _ordered — staleness-sorted since r11).  They
     must keep a continuous gate: this replay runs them against the same
     DuckDB oracle AT THE DRIVER'S sf0.01 SCALE (VERDICT r5 #6) so
     cap/bucket-boundary bugs can't hide at the smaller fixture size —
@@ -112,3 +112,54 @@ def _unwindowed_names():
 @pytest.mark.parametrize("name", _unwindowed_names())
 def test_unwindowed_queries_keep_oracle_coverage(spark, sf_dir_mid, name):
     replay_against_oracle(spark, sf_dir_mid, name)
+
+
+def test_driver_window_is_staleness_sorted():
+    """The attestation schedule invariants (VERDICT r10 #2): permanent
+    pins lead, then the pool ascends by last-green-attestation round
+    (never-attested first), no duplicates, and every registry entry
+    appears exactly once — so the window can never starve a query and
+    there is no per-round constant to hand-bump (the r10 failure
+    mode)."""
+    from firewatch_spark import queries as Q
+
+    ordered = list(Q._ordered())
+    assert len(ordered) == len(set(ordered)) == len(Q.registry())
+    pins = [n for n in Q._PERMANENT_PINS if n in Q.registry()]
+    assert ordered[: len(pins)] == pins
+    last = Q._attested_round()
+    tail_rounds = [last.get(n, -1) for n in ordered[len(pins):]]
+    assert tail_rounds == sorted(tail_rounds)
+    # a query red/errored in its latest round must NOT count as
+    # attested then (it keeps its older green round)
+    import json
+    import os
+    import tempfile
+    from unittest import mock
+
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, "CORRECTNESS_r03.json"), "w") as fh:
+            json.dump(
+                {
+                    "green_hash": {"hash_match": True, "rows_match": True},
+                    "red_hash": {"hash_match": False, "rows_match": True},
+                    "no_oracle": {
+                        "hash_match": None,
+                        "rows_match": None,
+                        "spark_rows": 5,
+                        "err": "no_oracle",
+                    },
+                    "errored": {
+                        "hash_match": None,
+                        "rows_match": None,
+                        "spark_rows": None,
+                        "err": "boom",
+                    },
+                },
+                fh,
+            )
+        with mock.patch.object(Q.os.path, "dirname", return_value=td):
+            got = Q._attested_round()
+    # hash-green and the deliberate no-oracle row count; a red hash and
+    # a hard error do not
+    assert got == {"green_hash": 3, "no_oracle": 3}

@@ -769,6 +769,29 @@ def test_domain_blocklist_suffix_match_and_precedence(spark):
     assert not rows(web.domain_blocklist_filter(df2, bl), "doc_id")[0]["blocked"]
 
 
+def test_domain_blocklist_duplicate_entries_attribute_consistently(spark):
+    # ADVICE r10: duplicate blocklist entry rows with differing
+    # categories tie on match_labels; the struct-max must take entry
+    # AND category from the SAME row (deterministically the
+    # lexicographically-largest category for the tied entry)
+    bl = spark.createDataFrame(
+        [
+            ("ads.example.com", "ads"),
+            ("ads.example.com", "tracker"),
+            ("example.com", "zzz-parent"),
+        ],
+        "entry string, category string",
+    )
+    df = spark.createDataFrame(
+        [(1, "ads.example.com")], "doc_id long, host string"
+    )
+    r = rows(web.domain_blocklist_filter(df, bl), "doc_id")[0]
+    # longest match still wins over the parent entry, and the tied
+    # duplicate resolves to (entry, category) from one row
+    assert r["matched_entry"] == "ads.example.com"
+    assert r["category"] == "tracker" and r["match_labels"] == 3
+
+
 def test_parse_sitemap_index_blocks_and_messy_loc(spark):
     xml = (
         '<?xml version="1.0"?><sitemapindex>'
