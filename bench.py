@@ -122,7 +122,62 @@ BUILD_TIMED = {
     # rides bpe_apply's trained-merge materializations (the
     # bpe_apply_trained shape) before the lang aggregation
     "tokenizer_compression",
+    # round-11: ivf_train's per-iteration checkpoints + the label-
+    # propagation actions run in-build (the embedding_dedup_keep shape)
+    "semantic_dedup_pipeline",
 }
+
+
+# Evidence hygiene, round 11 (VERDICT r10 #1 — second offense): a
+# bench captured under ambient load fabricates regressions (r10's
+# committed artifact showed 3 phantom 3-4x slowdowns that idle reruns
+# disproved), so a non-idle machine is now a REFUSAL, not a warning.
+# The gate spin-waits for the 1-min load average to drop below
+# IDLE_LOAD1M (ambient load decays with its own 1-minute time
+# constant, so waiting is usually enough), then hard-fails — non-zero
+# exit, no artifact written, nothing on stdout — if the machine never
+# quiets down.  SPARK_GRAFT_BENCH_FORCE=1 restores the old
+# warn-and-stamp behavior for debugging ONLY; a forced artifact still
+# carries load_warning=true and must never be committed.
+IDLE_LOAD1M = 1.0
+IDLE_WAIT_SEC = 900
+IDLE_POLL_SEC = 15
+
+
+def wait_for_idle(
+    threshold: float = IDLE_LOAD1M,
+    timeout_sec: float = IDLE_WAIT_SEC,
+    poll_sec: float = IDLE_POLL_SEC,
+) -> float:
+    """Block until load1m < threshold; return the final load1m.
+    Raises SystemExit(2) if the machine is still busy after
+    timeout_sec (unless SPARK_GRAFT_BENCH_FORCE=1)."""
+    deadline = time.monotonic() + timeout_sec
+    load = os.getloadavg()[0]
+    while load >= threshold and time.monotonic() < deadline:
+        print(
+            f"bench: waiting for idle (load1m {load:.2f} >= {threshold}) ...",
+            file=sys.stderr,
+        )
+        time.sleep(poll_sec)
+        load = os.getloadavg()[0]
+    if load >= threshold:
+        if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
+            print(
+                f"bench: FORCED run under load1m {load:.2f} — artifact will "
+                "be flagged load_warning=true; do not commit it",
+                file=sys.stderr,
+            )
+            return load
+        print(
+            f"bench: REFUSING to run — load1m {load:.2f} >= {threshold} "
+            f"after waiting {timeout_sec:.0f}s; timings would measure "
+            "machine weather, not code (VERDICT r10 #1).  Re-run when "
+            "idle, or set SPARK_GRAFT_BENCH_FORCE=1 for a debug-only run.",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    return load
 
 
 def main() -> None:
@@ -139,23 +194,13 @@ def main() -> None:
     from firewatch_spark.queries import registry
     from firewatch_spark.session import get_spark
 
-    # Evidence hygiene (VERDICT r9 #2): round 9's committed artifact
-    # was captured under ambient machine load — every >1 s query
-    # inflated a uniform ~1.22x and the artifact read as a phantom
-    # 30 % regression.  Stamp the 1/5/15-min load averages at start
-    # (pre-bench ambient — the idleness signal; the END stamp mostly
-    # measures the bench's own load) and FLAG the artifact when the
-    # machine wasn't idle, so a weather-poisoned run can never again
-    # masquerade as a code regression.
+    # Evidence hygiene (VERDICT r9 #2 / r10 #1): refuse to measure a
+    # busy machine — see wait_for_idle.  The stamps stay in the
+    # artifact so a reader can verify the gate held (load_warning can
+    # only be true on a debug-forced run, which must not be committed).
+    wait_for_idle()
     load_start = os.getloadavg()
-    load_warning = load_start[0] > 4.0  # >4 runnable on 32 cores = not idle
-    if load_warning:
-        print(
-            f"WARNING: 1-min loadavg {load_start[0]:.1f} at bench start — "
-            "timings will reflect machine weather, not code; the artifact "
-            "is flagged load_warning=true",
-            file=sys.stderr,
-        )
+    load_warning = load_start[0] >= IDLE_LOAD1M
     # prior committed artifact, for the flagship sanity gate below
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -217,15 +262,15 @@ def main() -> None:
     # "regressions" in round 7 (class_filter 1.08→2.77 s on identical
     # code; idle rerun 0.13 s).  min is the noise-robust statistic for
     # fixed work — the flagship's min-of-5 proved the pattern in r6.
-    # Queries whose first run takes ≥ 10 s stay single-run: they are
-    # the heaviest build-timed iterative ones where a rerun doubles
-    # bench wall for little variance reduction.  The band was 3 s
-    # through r9; VERDICT r9 #2 showed the 3-10 s single-sample rows
-    # are exactly where one loaded window fabricates regressions, so
-    # min-of-2 now covers them (~12 queries, ~1 min extra wall).
+    # Per-query table is min-of-2 for EVERY query since round 11: the
+    # single-run band (>=3 s in r7-9, >=10 s in r10) was exactly where
+    # one loaded window fabricated regressions (VERDICT r10 "What's
+    # wrong" #3 — the >10 s rows had the least noise protection), and
+    # with the idle gate above the extra wall only costs when the
+    # machine is healthy anyway (idle, no row exceeds ~7 s).
     # BENCH_FULL.json keeps BOTH runs per query ({"t": min, "t1":
-    # first}) so machine weather is visible in the committed artifact.
-    MIN_OF_2_BELOW_SEC = 10.0
+    # first}) so residual jitter is visible in the committed artifact.
+    MIN_OF_2_BELOW_SEC = float("inf")
     times: dict[str, float] = {}
     times_detail: dict[str, dict[str, float]] = {}
     for name in sorted(reg):
@@ -351,6 +396,9 @@ def main() -> None:
         # groupBy(line-hash) min-coords + reassembly — span_dedup's
         # shape on natural boundaries
         "line_dedup",
+        # round-11: keep-first postings (min/max partials) + the same
+        # island/rebuild tail as dup_span_removal — must track it
+        "cross_doc_span_dedup",
         # distinct (source, hash) + two-phase bottom-k + exact-audit
         # equi-join — the audit join is the only corpus-scale edge
         "corpus_overlap_minhash",
@@ -365,7 +413,12 @@ def main() -> None:
         # targets: they ride quality_classifier's fold and
         # dedup_exact's hash-groupBy respectively, both already proven;
         # lsh_band_plan is sample-bound by ngram_jaccard (deliberately
-        # quadratic in its 1/25 sample, like ngram_jaccard itself)
+        # quadratic in its 1/25 sample, like ngram_jaccard itself);
+        # semantic_dedup_pipeline is quadratic-within-cell AT FIXED k
+        # BY DESIGN (SemDeDup's scale control is k ∝ √n, a caller
+        # parameter the registered fixed-k attestation can't vary —
+        # SCALE.md records the measured fixed-k slope and the k-scaling
+        # arithmetic instead)
     ]
     # Both points use IDENTICALLY-built dirs (32-file parquet): timing
     # the x1 point off SF_DIR's single-file layout confounds the slope

@@ -60,11 +60,26 @@ def with_canonical_url(
     (crawl frontiers store absolute URLs; relative-link resolution
     belongs upstream) and an ASCII host (IDNs arrive punycoded from
     any sane frontier).  NULL url → NULL canonical.
+
+    Delimiter semantics are FIRST-occurrence (fuzz-pinned against a
+    urllib.parse reference in tests/test_fuzz_parity.py): the query is
+    everything after the first ``?`` and may itself contain ``?`` or
+    ``://`` (redirect URLs embed whole URLs in params — round 11 fixed
+    two ``split_part(…, 2)`` truncations that cut such URLs at the
+    SECOND occurrence), and the fragment is everything after the first
+    ``#``.
     """
     drop_keys = ", ".join(f"'{k}'" for k in TRACKING_KEYS)
     df = (
         df.withColumn("_scheme", F.expr(f"lower(split_part({url_col}, '://', 1))"))
-        .withColumn("_rest", F.expr(f"split_part(split_part({url_col}, '://', 2), '#', 1)"))
+        # everything after the FIRST '://' (split_part(_, 2) would stop
+        # at a second '://' inside a query param), cut at the first '#'
+        .withColumn(
+            "_rest",
+            F.expr(
+                f"split_part(substr({url_col}, length(split_part({url_col}, '://', 1)) + 4), '#', 1)"
+            ),
+        )
         # authority = prefix before the FIRST of '/' or '?': a URL with
         # a query but no path (http://h?utm_x=1) must not absorb the
         # query into the host (ADVICE r7 #1) — split on '?' first, then
@@ -75,7 +90,15 @@ def with_canonical_url(
         # ASCII lower() preserves length, so the offset into _rest holds
         .withColumn("_pathq", F.expr("substr(_rest, length(_hostport) + 1)"))
         .withColumn("_path", F.expr("split_part(_pathq, '?', 1)"))
-        .withColumn("_q", F.expr("split_part(_pathq, '?', 2)"))
+        # query = everything after the FIRST '?' (split_part(_, 2)
+        # truncated queries containing a literal '?')
+        .withColumn(
+            "_q",
+            F.expr(
+                "CASE WHEN instr(_pathq, '?') > 0 "
+                "THEN substr(_pathq, instr(_pathq, '?') + 1) ELSE '' END"
+            ),
+        )
     )
     host = F.expr(
         "CASE WHEN substr(_hname, 1, 4) = 'www.' THEN substr(_hname, 5) ELSE _hname END"
@@ -551,9 +574,11 @@ def robots_filter(
     since host is the JOIN key, not a window partition), one groupBy
     max over matched (url, rule) pairs, one join back.  Output:
     frontier + (allowed, matched_rule)."""
+    # after-first-'://' via substr (split_part(_, 2) would truncate a
+    # URL whose query embeds another URL — round 11, fuzz-found)
     path = F.expr(
-        f"substr(split_part({url_col}, '://', 2), "
-        f"length(split_part(split_part({url_col}, '://', 2), '/', 1)) + 1)"
+        f"substr(substr({url_col}, length(split_part({url_col}, '://', 1)) + 4), "
+        f"length(split_part(substr({url_col}, length(split_part({url_col}, '://', 1)) + 4), '/', 1)) + 1)"
     )
     fr = frontier.withColumn("_path", path)
     j = fr.join(rules, host_col).filter(
@@ -629,9 +654,11 @@ def robots_filter_wildcard(
     (rule table = hosts × a handful of lines, AQE-broadcastable), the
     regex compiled per (url, rule) candidate pair — bounded by the
     same join, never corpus × corpus."""
+    # after-first-'://' via substr (split_part(_, 2) would truncate a
+    # URL whose query embeds another URL — round 11, fuzz-found)
     path = F.expr(
-        f"substr(split_part({url_col}, '://', 2), "
-        f"length(split_part(split_part({url_col}, '://', 2), '/', 1)) + 1)"
+        f"substr(substr({url_col}, length(split_part({url_col}, '://', 1)) + 4), "
+        f"length(split_part(substr({url_col}, length(split_part({url_col}, '://', 1)) + 4), '/', 1)) + 1)"
     )
     fr = frontier.withColumn("_path", path)
     j = (

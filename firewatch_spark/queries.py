@@ -840,7 +840,7 @@ _URL_CANON_CTES = f"""
     parts AS (
       SELECT doc_id, url,
              lower(split_part(url, '://', 1)) AS scheme,
-             split_part(split_part(url, '://', 2), '#', 1) AS rest
+             split_part(substr(url, length(split_part(url, '://', 1)) + 4), '#', 1) AS rest
       FROM urls
     ),
     fields AS (
@@ -852,7 +852,9 @@ _URL_CANON_CTES = f"""
     ),
     pq AS (
       SELECT *, split_part(pathq, '?', 1) AS p,
-             array_to_string(list_sort(list_filter(string_split(split_part(pathq, '?', 2), '&'),
+             array_to_string(list_sort(list_filter(string_split(
+               CASE WHEN instr(pathq, '?') > 0
+                    THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END, '&'),
                x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
                     AND NOT list_contains(['fbclid','gclid','ref','mc_eid','igshid'],
                                           split_part(x, '=', 1)))), '&') AS cq
@@ -1482,7 +1484,7 @@ def _canon_ctes(src: str, col: str, pfx: str) -> tuple[str, str]:
     return f"""{pfx}parts AS (
       SELECT *,
              lower(split_part({col}, '://', 1)) AS {pfx}scheme,
-             split_part(split_part({col}, '://', 2), '#', 1) AS {pfx}rest
+             split_part(substr({col}, length(split_part({col}, '://', 1)) + 4), '#', 1) AS {pfx}rest
       FROM {src}
     ),
     {pfx}fields AS (
@@ -1494,7 +1496,9 @@ def _canon_ctes(src: str, col: str, pfx: str) -> tuple[str, str]:
     ),
     {pfx}pq AS (
       SELECT *, split_part({pfx}pathq, '?', 1) AS {pfx}p,
-             COALESCE(array_to_string(list_sort(list_filter(string_split(split_part({pfx}pathq, '?', 2), '&'),
+             COALESCE(array_to_string(list_sort(list_filter(string_split(
+               CASE WHEN instr({pfx}pathq, '?') > 0
+                    THEN substr({pfx}pathq, instr({pfx}pathq, '?') + 1) ELSE '' END, '&'),
                x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
                     AND NOT list_contains(['fbclid','gclid','ref','mc_eid','igshid'],
                                           split_part(x, '=', 1)))), '&'), '') AS {pfx}cq
@@ -1638,8 +1642,8 @@ def _robots_match_ctes(frontier_cte: str) -> str:
     MAX) over ``frontier_cte`` joined to the ``rr`` rule table —
     consumed as ``fpaths LEFT JOIN rmatch USING (canonical_url)``."""
     return f"""fpaths AS (
-      SELECT *, substr(split_part(canonical_url, '://', 2),
-                    length(split_part(split_part(canonical_url, '://', 2), '/', 1)) + 1) AS rpath
+      SELECT *, substr(substr(canonical_url, length(split_part(canonical_url, '://', 1)) + 4),
+                    length(split_part(substr(canonical_url, length(split_part(canonical_url, '://', 1)) + 4), '/', 1)) + 1) AS rpath
       FROM {frontier_cte}
     ),
     rmatch AS (
@@ -2275,8 +2279,8 @@ _WILDCARD_MATCH_CTES = f"""rrw AS (
       FROM rrwp
     ),
     wfp AS (
-      SELECT *, substr(split_part(canonical_url, '://', 2),
-                    length(split_part(split_part(canonical_url, '://', 2), '/', 1)) + 1) AS rpath
+      SELECT *, substr(substr(canonical_url, length(split_part(canonical_url, '://', 1)) + 4),
+                    length(split_part(substr(canonical_url, length(split_part(canonical_url, '://', 1)) + 4), '/', 1)) + 1) AS rpath
       FROM frontier
     ),
     wmatch AS (

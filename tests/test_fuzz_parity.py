@@ -294,6 +294,114 @@ def test_cross_doc_span_dedup_matches_python_reference(spark):
     )
 
 
+def _py_canonical_url(url: str) -> str:
+    """urllib.parse-based reference of web.with_canonical_url's
+    documented rules (VERDICT r10 #5).  urlsplit supplies the
+    scheme/netloc/path/query/fragment decomposition (first-'?' query,
+    first-'#' fragment — exactly where hand-rolled split_part logic
+    can drift); the normalization rules are applied on top.  Port
+    comparison is TEXTUAL like the operator's (':0443' is preserved —
+    out-of-contract spellings, documented)."""
+    from urllib.parse import urlsplit
+
+    s = urlsplit(url)
+    scheme = s.scheme.lower()
+    netloc = s.netloc.lower()
+    hname, _, hport = netloc.partition(":")
+    host = hname[4:] if hname.startswith("www.") else hname
+    port = (
+        ""
+        if (
+            hport == ""
+            or (scheme == "https" and hport == "443")
+            or (scheme == "http" and hport == "80")
+        )
+        else ":" + hport
+    )
+    path = s.path
+    if path in ("", "/"):
+        path = "/"
+    elif path.endswith("/"):
+        path = path[:-1]
+    from firewatch_spark.operators.web import TRACKING_KEYS
+
+    params = sorted(
+        p
+        for p in s.query.split("&")
+        if p and not p.startswith("utm_") and p.partition("=")[0] not in TRACKING_KEYS
+    )
+    q = "&".join(params)
+    return f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "")
+
+
+def _gen_messy_urls(seed: int, n: int = 400) -> list[str]:
+    """Random absolute http(s) URLs inside the operator's documented
+    contract, biased toward the messy axes: case, www, ports, empty
+    ports, trailing/multi slashes, empty params, '=' in values,
+    tracking noise, '?' INSIDE the query, whole URLs embedded in a
+    query param (the second-'://' trap), multi-'#' fragments."""
+    rng = random.Random(seed)
+    urls = []
+    for _ in range(n):
+        scheme = rng.choice(["http", "https", "HTTP", "Https", "hTtPs"])
+        www = rng.choice(["", "", "www.", "WWW."])
+        host = rng.choice(
+            ["example.com", "Sub.Example.ORG", "a.b.c.example.net", "x.io"]
+        )
+        port = rng.choice(["", "", ":80", ":443", ":8080", ":8443", ":"])
+        segs = rng.randint(0, 3)
+        path = "".join(
+            "/" + rng.choice(["A", "b", "c-d", "e.html", "", "f%20g"])
+            for _ in range(segs)
+        )
+        if rng.random() < 0.3:
+            path += "/"
+        params = []
+        for _ in range(rng.randint(0, 5)):
+            k = rng.choice(
+                ["a", "B", "utm_source", "utm_x", "fbclid", "gclid", "ref",
+                 "q", "redirect", "empty"]
+            )
+            v = rng.choice(
+                ["1", "2", "x=y", "", "what?no", "https://other.example.com/p?u=1",
+                 "a b", "%3F"]
+            )
+            params.append(f"{k}={v}" if rng.random() < 0.9 else k)
+        if rng.random() < 0.15:
+            params.append("")
+        query = "&".join(params)
+        frag = rng.choice(["", "", "#top", "#a#b", "#?x=1"])
+        url = f"{scheme}://{www}{host}{port}{path}"
+        if query or rng.random() < 0.1:
+            url += "?" + query
+        url += frag
+        urls.append(url)
+    return urls
+
+
+def test_canonical_url_matches_urllib_reference(spark):
+    """VERDICT r10 #5: with_canonical_url fuzzed against the urllib
+    reference.  Found (and now pins the fixes for) two second-
+    occurrence split_part truncations: a '://' inside a query param
+    cut the URL, and a '?' inside the query cut the query."""
+    from firewatch_spark.operators import web
+
+    urls = sorted(set(_gen_messy_urls(seed=47)))
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["canonical_url"]
+        for r in rows(web.with_canonical_url(df), "doc_id")
+    }
+    mism = []
+    for i, u in enumerate(urls):
+        want = _py_canonical_url(u)
+        if got[i] != want:
+            mism.append((u, got[i], want))
+    assert not mism, mism[:5]
+
+
 def _rand_corpus(seed: int, n_docs: int = 60):
     rng = random.Random(seed)
     vocab = [f"w{i}" for i in range(25)] + ["the", "a", "of", "and"]

@@ -26,6 +26,10 @@ SAMPLE += ["unigram_score", "incremental_dedup", "udtf_chunks", "udaf_user_peak"
 # so the unwindowed sf0.01 replay below never reaches them; this keeps
 # a pytest-side gate on them too
 SAMPLE += ["quality_budget_select", "frontier_pipeline", "curation_pipeline"]
+# round-11 additions: never-attested queries sort INTO the driver
+# window (staleness order), so the unwindowed replay below skips them —
+# gate them here until their first driver row lands
+SAMPLE += ["cross_doc_span_dedup", "semantic_dedup_pipeline"]
 
 
 def replay_against_oracle(spark, sf_dir, name):
