@@ -20,7 +20,7 @@ Scale design (100 TB of embeddings):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import ensure_parallelism
@@ -381,6 +381,61 @@ def cell_near_dup(
     )
     return scored.filter(F.col("cos_sim") >= threshold).select(
         "centroid_id", "doc_a", "doc_b", "cos_sim"
+    )
+
+
+RRF_K = 60  # the Cormack/Clarke constant; 60 in every published use
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = RRF_K,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked retrieval lists — the standard hybrid-retrieval combiner
+    (BM25 ⊕ dense ANN) data-curation search stacks run because it
+    needs NO score calibration: each list contributes 1/(rrf_k + rank)
+    per (query, doc), summed across lists, re-ranked.
+
+    Bit-portability: the contribution is kept on the int64 grid as
+    ``RRF_SCALE div (rrf_k + rank)`` — integer floor division, so the
+    multi-list sum has no float addition order and the fused ranking
+    hash-replays in any engine (the BM25/interpolated_lm discipline).
+
+    Output: (query, rank, id, rrf_scaled, n_lists) — n_lists = how
+    many input lists surfaced the doc (the agreement signal RRF
+    rewards structurally).
+
+    Scale shape: unionByName of the (already small) top-k lists — each
+    is queries × k rows, never corpus-scale — one map-side-combinable
+    groupBy(query, doc) sum, and a per-query row_number window over
+    ≤ N·k survivors.  The expensive work lives in the upstream
+    retrieval operators; fusion itself is a free rider."""
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    cols = [query_col, id_col, rank_col]
+    uni = lists[0].select(*cols)
+    for other in lists[1:]:
+        uni = uni.unionByName(other.select(*cols))
+    contrib = uni.withColumn(
+        "_c", F.expr(f"CAST({RRF_SCALE} AS BIGINT) div ({int(rrf_k)} + {rank_col})")
+    )
+    fused = contrib.groupBy(query_col, id_col).agg(
+        F.sum("_c").alias("rrf_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_scaled"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_col, "rank", id_col, "rrf_scaled", "n_lists")
     )
 
 

@@ -5922,7 +5922,7 @@ def streaming_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing the last major family without one (dedup:
     streaming_incremental_dedup; ANN: streaming_ann_serve; sketches:
     streaming_sketch_merge).  The corpus arrives through a file source
-    in 3 micro-batches; each batch keeps its LOCAL top-n
+    in 2 micro-batches; each batch keeps its LOCAL top-n
     Efraimidis–Spirakis candidates inside ``foreachBatch`` and appends
     them idempotently (batch-id-owned overwrite — the
     streaming_incremental_dedup convention); after the drain, the
@@ -5946,7 +5946,7 @@ def streaming_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
         tmp = tempfile.mkdtemp(prefix="fw_wsample_")
         in_dir = os.path.join(tmp, "pool")
-        write_replay_chunks(docs, in_dir, order_col="doc_id", n_chunks=3)
+        write_replay_chunks(docs, in_dir, order_col="doc_id", n_chunks=2)
         out_dir = os.path.join(tmp, "cand")
 
         stream = (
@@ -6377,6 +6377,75 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % _ANN_SAMPLE == 0)
     return similarity.cosine_topk(emb, queries, k=5)
+
+
+# each lexical query doubles as a dense query through a deterministic
+# query VECTOR (an existing embedding row) — the hybrid-search setup
+_RRF_QVEC = {"q1": 0, "q2": _ANN_SAMPLE, "q3": 2 * _ANN_SAMPLE}
+_RRF_QMAP_SQL = ", ".join(f"('{q}', {v})" for q, v in sorted(_RRF_QVEC.items()))
+
+_RRF_SQL = f"""
+    WITH lex AS ({_BM25_SQL}),
+    den0 AS ({_ANN_SQL}),
+    qmap AS (SELECT * FROM (VALUES {_RRF_QMAP_SQL}) AS v(query_id, qvec)),
+    den AS (
+      SELECT m.query_id, d.neighbor_id AS doc_id, d.rank
+      FROM den0 d JOIN qmap m ON d.query_id = m.qvec
+    ),
+    uni AS (
+      SELECT query_id, doc_id, rank FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, rank FROM den
+    ),
+    sc AS (
+      SELECT query_id, doc_id,
+             CAST(sum({similarity.RRF_SCALE} // ({similarity.RRF_K} + rank)) AS BIGINT) AS rrf_scaled,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM uni GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_scaled DESC, doc_id) AS rank
+      FROM sc
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_scaled, n_lists
+    FROM rk WHERE rank <= {_BM25_K}
+    """
+
+
+@q("hybrid_retrieval_rrf", _RRF_SQL)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion (similarity.py
+    rrf_fuse — Cormack et al. 2009): the BM25 lexical top-5 and the
+    exact-cosine dense top-5 for the SAME three queries (each lexical
+    query carries a deterministic query vector), fused as
+    Σ 1e9 div (60 + rank) on the int64 grid and re-ranked — the
+    calibration-free combiner hybrid search stacks standardize on,
+    serving curation's retrieval stages (targeted slicing,
+    decontamination lookups, hard-negative sourcing).  n_lists keeps
+    the agreement signal auditable.  Scale: fusion unions two
+    queries×5-row lists — the cost lives in the audited upstream
+    operators; the oracle replays BOTH retrieval chains and the
+    fusion arithmetic."""
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = text.bm25_topk(docs, _BM25_QUERIES, k=_BM25_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvecs = emb.filter(F.col("vec_id").isin(*_RRF_QVEC.values()))
+    qmap = spark.createDataFrame(
+        [(q, v) for q, v in sorted(_RRF_QVEC.items())], "qid string, qvec long"
+    )
+    den = (
+        similarity.cosine_topk(emb, qvecs, k=_BM25_K)
+        .join(F.broadcast(qmap), F.col("query_id") == F.col("qvec"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    return similarity.rrf_fuse([lex, den], k=_BM25_K)
 
 
 # unit-norm → symmetric int8 quantize (mirrors sampling.with_unit_norm
@@ -6848,7 +6917,7 @@ def streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     it micro-batch by micro-batch.  The IVF index (cell table with
     scaled vectors + norms, `ivf_index_cells`) and its frozen centroid
     table are materialized ONCE; the query set then arrives through a
-    file source in 3 micro-batches, each served inside ``foreachBatch``
+    file source in 2 micro-batches, each served inside ``foreachBatch``
     by `ivf_serve` against the STORED parquet index — per-batch work is
     O(batch × nprobe × cell), the corpus is never rescanned — and each
     batch APPENDS its results idempotently (batch-id-owned overwrite,
@@ -6877,7 +6946,7 @@ def streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         q_dir = os.path.join(tmp, "queries")
         queries = emb.filter(F.col("vec_id") % _IVF_QSAMPLE == 0)
-        write_replay_chunks(queries, q_dir, order_col="vec_id", n_chunks=3)
+        write_replay_chunks(queries, q_dir, order_col="vec_id", n_chunks=2)
         out_dir = os.path.join(tmp, "results")
 
         stream = (
@@ -8312,7 +8381,7 @@ def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sketch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CMS sketch built INCREMENTALLY by a real Structured
     Streaming pipeline — the shape a token counter actually runs at
-    100 TB: documents arrive in 3 micro-batches through a file source,
+    100 TB: documents arrive in 2 micro-batches through a file source,
     each batch sketches ONLY ITSELF inside ``foreachBatch`` and lands
     its bounded (salt, pos, cnt) table (overwriting its own batch-id
     subdir — idempotent under redelivery), and the final sketch is the
@@ -8333,7 +8402,7 @@ def streaming_sketch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
         tmp = tempfile.mkdtemp(prefix="fw_cms_stream_")
-        write_replay_chunks(docs, tmp, order_col="doc_id", n_chunks=3)
+        write_replay_chunks(docs, tmp, order_col="doc_id", n_chunks=2)
         out_dir = f"{tmp}/sketches"
 
         stream = (
@@ -9447,7 +9516,7 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily-ingest dedup as a REAL Structured Streaming pipeline —
     the stream-static production shape: new documents arrive through a
-    file source in 3 micro-batches; each batch runs
+    file source in 2 micro-batches; each batch runs
     `incremental_dedup_indexed` against the STATIC precomputed index
     inside ``foreachBatch`` and APPENDS its verdicts to parquet (the
     nightly-verdict table a crawler pipeline actually lands).  The
@@ -9473,7 +9542,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = u.filter(F.col("_u") >= _INCR_FRAC).drop("_u")
 
         tmp = tempfile.mkdtemp(prefix="fw_incr_stream_")
-        write_replay_chunks(new, tmp, order_col="doc_id", n_chunks=3)
+        write_replay_chunks(new, tmp, order_col="doc_id", n_chunks=2)
         out_dir = f"{tmp}/verdicts"
 
         stream = (
@@ -10648,7 +10717,7 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = tempfile.mkdtemp(prefix="fw_stream_")
         # Spark-written range chunks (VERDICT r4 #1): driver sees only
         # the 2 percentile boundaries, never the rows
-        write_replay_chunks(ev, tmp, n_chunks=3, sentinel=sentinels)
+        write_replay_chunks(ev, tmp, n_chunks=2, sentinel=sentinels)
 
         stream = (
             spark.readStream.schema(
@@ -10822,7 +10891,7 @@ def streaming_ep2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark-written range chunks (VERDICT r4 #1) — per-key frame
         # order is non-decreasing across batches by construction; one
         # executor-side materialization feeds boundary agg + 3 writes
-        write_replay_chunks(ev.localCheckpoint(), tmp, n_chunks=3)
+        write_replay_chunks(ev.localCheckpoint(), tmp, n_chunks=2)
 
         stream = (
             spark.readStream.schema("video_id string, frame_number long")

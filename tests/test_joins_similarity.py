@@ -214,3 +214,29 @@ def test_ivf_pq_refine_exact_rerank(spark):
         true_nn = int(np.argmin(d2))
         top = min(rs, key=lambda r: r["rank"])
         assert top["neighbor_id"] == true_nn, (qid, top, true_nn)
+
+
+def test_rrf_fuse_agreement_and_integer_grid(spark):
+    # doc 10 appears in both lists (ranks 2 and 1) and must outrank
+    # doc 20 (rank 1 in one list only): 1e9//62 + 1e9//61 > 1e9//61
+    lex = spark.createDataFrame(
+        [("q", 20, 1), ("q", 10, 2), ("q", 30, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    den = spark.createDataFrame(
+        [("q", 10, 1), ("q", 40, 2)],
+        "query_id string, doc_id long, rank long",
+    )
+    out = rows(similarity.rrf_fuse([lex, den], k=4), "rank")
+    assert [r["doc_id"] for r in out] == [10, 20, 40, 30]
+    ten = out[0]
+    assert ten["n_lists"] == 2
+    # exact integer-grid contributions, no float anywhere
+    assert ten["rrf_scaled"] == 10**9 // 62 + 10**9 // 61
+    assert out[1]["rrf_scaled"] == 10**9 // 61
+    # deterministic tie-break: equal score -> lower doc_id first
+    tied = spark.createDataFrame(
+        [("q", 7, 1), ("q", 3, 1)], "query_id string, doc_id long, rank long"
+    )
+    t = rows(similarity.rrf_fuse([tied], k=2), "rank")
+    assert [r["doc_id"] for r in t] == [3, 7]

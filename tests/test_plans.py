@@ -146,6 +146,7 @@ def test_forced_broadcasts_have_bounded_build_sides():
         ("dedup.py", "grid"): "constant 8-row (bands, rows) divisor grid",
         ("web.py", "bits.filter"): "<= k*m_bits url-bloom set bits (constants)",
         ("queries.py", "qiv"): "sampled query vectors (constant n)",
+        ("queries.py", "qmap"): "constant 3-row query-id -> query-vec map (rrf)",
         ("queries.py", "grid"): "constant 17-row threshold grid (sweep)",
         ("queries.py", "total"): "1-row corpus doc count (tier boundaries)",
         ("queries.py", "_tbl"): "TPC-H dimension tables (customer/nation/region)",
@@ -198,6 +199,10 @@ def test_no_cartesian_product_anywhere(plans):
         # corpus × k TRAINED centroids — same bounded broadcast product
         # as ann_ivf_topk (the centroid table itself is checkpointed)
         "ann_ivf_trained_topk",
+        # ivf_train/ivf_assign's corpus × k centroid products (the
+        # ann_ivf_trained_topk shapes); the pair stage is an equi-join
+        # on centroid_id and the savings agg is queries-scale
+        "semantic_dedup_pipeline",
         # corpus × k coarse centroids (residuals) and queries × k
         # (probe ranking) — the same bounded IVF broadcast products;
         # the PQ stages themselves are equi-joins on s / centroid_id
@@ -215,6 +220,10 @@ def test_no_cartesian_product_anywhere(plans):
         # 1-row corpus (n_docs, total_tokens) broadcast into the
         # query-term postings — tfidf_topk's shape with BM25 scoring
         "bm25_topk",
+        # composes bm25_topk's 1-row corpus broadcast and ann_topk's
+        # corpus x broadcast-query-sample scan; the fusion stage itself
+        # is a groupBy over queries x k rows
+        "hybrid_retrieval_rrf",
         # sources × sources pair assembly (< join) — one row per
         # source, the mixture-table driver-scale contract; every
         # downstream table is (sources² × k)-bounded
