@@ -249,6 +249,77 @@ def extract_links(df: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+def extract_anchors(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """One row per ``<a href="…">text</a>`` anchor: every non-HTML
+    column carried through, plus ``href`` and ``anchor_text`` — the
+    link-WITH-LABEL form `extract_links` drops (anchor text is the
+    classic relevance/quality signal web search aggregates per target;
+    modern curation reuses it to score crawl frontiers).
+
+    Both capture groups come from the SAME regex run twice (group 1,
+    group 2): the match sets are identical so the arrays zip
+    positionally.  Double-quoted hrefs and `[^<]*` texts only — the
+    templating-engine form, same long-tail posture as extract_links.
+    RE2/Java-common regex; scan-side explode, no shuffle."""
+    pat = '(?i)<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+    pairs = F.arrays_zip(
+        F.expr(f"regexp_extract_all({html_col}, '{pat}', 1)").alias("href"),
+        F.expr(f"regexp_extract_all({html_col}, '{pat}', 2)").alias("anchor_text"),
+    )
+    return df.select(
+        *[c for c in df.columns if c != html_col],
+        F.explode(pairs).alias("_a"),
+    ).select("*", "_a.href", "_a.anchor_text").drop("_a")
+
+
+def anchor_text_agg(
+    anchors: DataFrame,
+    href_col: str = "href",
+    text_col: str = "anchor_text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-TARGET anchor-text aggregation — the inbound-label profile
+    search and curation pipelines keep per URL (what the web calls a
+    page is the strongest cheap relevance signal for it): canonicalize
+    the href, then per canonical target count inlinks, distinct source
+    docs, distinct anchor strings, and the modal anchor TERM.
+
+    Every aggregate is map-side combinable and windowless — a mega
+    target (every page links the homepage) reduces via partial aggs,
+    never one task: the modal term is ``max(struct(cnt, term))`` over
+    the (target, term) counts (tie on count → lexicographically
+    LARGEST term, deterministic), the same hot-key-safe argmax as the
+    blocklist attribution.  No collect_list/collect_set anywhere — a
+    popular target's anchor set is unbounded at 100 TB.
+
+    Output: (target, n_inlinks, n_src_docs, n_distinct_texts,
+    top_term, top_term_count)."""
+    canon = with_canonical_url(anchors, url_col=href_col, out_col="target")
+    per_target = canon.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+        F.countDistinct(id_col).cast("long").alias("n_src_docs"),
+        F.countDistinct(text_col).cast("long").alias("n_distinct_texts"),
+    )
+    terms = canon.select(
+        "target",
+        F.explode(
+            F.expr(f"filter(split(lower({text_col}), ' '), t -> t <> '')")
+        ).alias("term"),
+    )
+    top = (
+        terms.groupBy("target", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("target")
+        .agg(F.max(F.struct("cnt", "term")).alias("_best"))
+        .select(
+            "target",
+            F.col("_best.term").alias("top_term"),
+            F.col("_best.cnt").alias("top_term_count"),
+        )
+    )
+    return per_target.join(top, "target", "left")
+
+
 def host_edges(
     links: DataFrame, src_host_col: str = "src_host", href_col: str = "href"
 ) -> DataFrame:

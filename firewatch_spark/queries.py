@@ -1518,6 +1518,84 @@ def _canon_ctes(src: str, col: str, pfx: str) -> tuple[str, str]:
     )""", f"{pfx}canon"
 
 
+_ANCHOR_PAT = '(?i)<a [^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+_ANCHOR_CANON_BODY, _ANCHOR_CANON_FINAL = _canon_ctes("anch", "href", "at")
+
+_ANCHOR_AGG_SQL = f"""
+    WITH pages AS (SELECT doc_id, {_LINK_HTML_SYNTH} AS html FROM documents),
+    m AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html, '{_ANCHOR_PAT}', 0)) AS a
+      FROM pages
+    ),
+    anch0 AS (
+      SELECT doc_id,
+             regexp_extract(a, '{_ANCHOR_PAT}', 1) AS href,
+             regexp_extract(a, '{_ANCHOR_PAT}', 2) AS anchor_text
+      FROM m
+    ),
+    anch AS (SELECT * FROM anch0 WHERE regexp_matches(href, '^(?i)https?://')),
+    {_ANCHOR_CANON_BODY},
+    tgt AS (
+      SELECT doc_id, anchor_text, canonical_url AS target
+      FROM {_ANCHOR_CANON_FINAL}
+    ),
+    per AS (
+      SELECT target, CAST(count(*) AS BIGINT) AS n_inlinks,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+             CAST(count(DISTINCT anchor_text) AS BIGINT) AS n_distinct_texts
+      FROM tgt GROUP BY 1
+    ),
+    terms AS (
+      SELECT target,
+             unnest(list_filter(string_split(lower(anchor_text), ' '),
+                                x -> x <> '')) AS term
+      FROM tgt
+    ),
+    tc AS (
+      SELECT target, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM terms GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT target, term AS top_term, cnt AS top_term_count FROM (
+        SELECT *, row_number() OVER (PARTITION BY target
+                   ORDER BY cnt DESC, term DESC) AS rn
+        FROM tc)
+      WHERE rn = 1
+    )
+    SELECT p.target, p.n_inlinks, p.n_src_docs, p.n_distinct_texts,
+           t.top_term, t.top_term_count
+    FROM per p LEFT JOIN top t USING (target)
+    """
+
+
+@q("anchor_text_agg", _ANCHOR_AGG_SQL)
+def anchor_text_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation (operators/web.py
+    extract_anchors + anchor_text_agg): every <a href>text</a> pair
+    extracted from the link-graph pages, absolute http(s) hrefs
+    canonicalized to targets (relative-link resolution is upstream by
+    contract), then per target: inlink count, distinct source docs,
+    distinct anchor strings, and the modal anchor TERM — the inbound
+    label profile web search keeps per URL and crawl curation reuses
+    to score frontiers.  Every aggregate is map-side combinable and
+    windowless (the modal term is the blocklist-style struct-max, tie
+    → lexicographically largest term), so a mega-target (every page
+    links the homepage) reduces via partials, never one task; no
+    collect_set anywhere.  The oracle replays extraction,
+    canonicalization, and both aggregation stages."""
+    pages = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("html", F.expr(_LINK_HTML_SYNTH))
+        .drop("text")
+    )
+    anchors = web.extract_anchors(pages).filter(
+        F.col("href").rlike("^(?i)https?://")
+    )
+    return web.anchor_text_agg(anchors)
+
+
 # the href-canonicalization + distinct-frontier CTE chain shared by the
 # frontier_schedule / robots_frontier_filter / frontier_pipeline
 # oracles (consumes the `links` CTE from _LINK_GRAPH_CTES)
@@ -9216,6 +9294,148 @@ def quality_filter_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("c4_keep")
             & (F.col("tier") != "tail")
         ).alias("keep"),
+    )
+
+
+# the component oracles read `FROM documents`; the funnel applies them
+# to the duplicate-planted corpus, so each embedded copy is retargeted
+# to the fun_corpus CTE (exactly one source reference per component —
+# asserted at import so a component refactor can't silently split it)
+def _retarget(sql: str) -> str:
+    assert sql.count("FROM documents") == 1, "funnel retarget drifted"
+    return sql.replace("FROM documents", "FROM fun_corpus")
+
+
+_FUNNEL_SQL = f"""
+    WITH fun_corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    lng AS (SELECT doc_id, effective_lang FROM ({_retarget(_lang_conf_sql())}) l),
+    gop AS (SELECT doc_id, keep AS gopher_keep FROM ({_retarget(_GOPHER_SQL)}) g),
+    qc AS (SELECT doc_id, keep AS q_keep FROM ({_retarget(_QCLS_SQL)}) q),
+    flags AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             md5(d.text) AS h,
+             (l.effective_lang <> 'und') AS k1,
+             (l.effective_lang <> 'und' AND g.gopher_keep) AS k2,
+             (l.effective_lang <> 'und' AND g.gopher_keep AND q.q_keep) AS k3
+      FROM fun_corpus d
+      JOIN lng l USING (doc_id) JOIN gop g USING (doc_id)
+      JOIN qc q USING (doc_id)
+    ),
+    keep3 AS (SELECT h, min(doc_id) AS keeper FROM flags WHERE k3 GROUP BY h),
+    fin AS (
+      SELECT f.*, (f.k3 AND f.doc_id = k.keeper) AS k4
+      FROM flags f LEFT JOIN keep3 k ON f.h = k.h
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS d0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+             CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN k1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN k2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+             CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(sum(CASE WHEN k3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+             CAST(sum(CASE WHEN COALESCE(k4, false) THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+             CAST(sum(CASE WHEN COALESCE(k4, false) THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
+      FROM fin
+    )
+    SELECT CAST(stage AS BIGINT) AS stage, name, docs_kept, tokens_kept FROM (
+      SELECT 0 AS stage, 'ingest' AS name, d0 AS docs_kept, t0 AS tokens_kept FROM agg
+      UNION ALL SELECT 1, 'lang_confident', d1, t1 FROM agg
+      UNION ALL SELECT 2, 'gopher_rules', d2, t2 FROM agg
+      UNION ALL SELECT 3, 'quality_classifier', d3, t3 FROM agg
+      UNION ALL SELECT 4, 'exact_dedup', d4, t4 FROM agg
+    )
+    """
+
+
+@q("curation_funnel", _FUNNEL_SQL)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-stage ATTRITION FUNNEL a production curation run
+    publishes (the FineWeb/Dolma reporting convention — every paper's
+    table 1): docs and tokens surviving each SEQUENTIAL gate —
+    ingest → confidence-gated language ID → Gopher hard rules →
+    quality classifier → exact dedup — where each stage applies to the
+    PREVIOUS stage's survivors (the ensemble row attests the parallel
+    per-filter verdicts; this attests the serialized pipeline view,
+    and the dedup keeper is elected among stage-3 survivors only).
+    The corpus plants the every-4th-doc republication mix so the dedup
+    stage visibly bites.  One pass per component operator (each
+    individually audited), one doc-keyed join each, one keyless agg,
+    5 constant rows out — at 100 TB the funnel is a free rider on the
+    gates a curation run executes anyway."""
+    docs0 = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs0.unionByName(
+        docs0.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    lng = text.with_lang_confidence(corpus).select("doc_id", "effective_lang")
+    gop = text.with_gopher_rules(corpus).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    qc = text.with_quality_classifier(corpus).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    flags = (
+        corpus.join(lng, "doc_id")
+        .join(gop, "doc_id")
+        .join(qc, "doc_id")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            (F.col("effective_lang") != "und").alias("k1"),
+            (
+                (F.col("effective_lang") != "und") & F.col("gopher_keep")
+            ).alias("k2"),
+            (
+                (F.col("effective_lang") != "und")
+                & F.col("gopher_keep")
+                & F.col("q_keep")
+            ).alias("k3"),
+        )
+    )
+    keepers = (
+        flags.filter("k3").groupBy("h").agg(F.min("doc_id").alias("_keeper"))
+    )
+    fin = flags.join(keepers, "h", "left").withColumn(
+        "k4", F.col("k3") & (F.col("doc_id") == F.col("_keeper"))
+    )
+    agg = fin.agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum("n_tokens").cast("long").alias("t0"),
+        *[
+            c
+            for i in (1, 2, 3)
+            for c in (
+                F.sum(F.col(f"k{i}").cast("long")).cast("long").alias(f"d{i}"),
+                F.sum(F.when(F.col(f"k{i}"), F.col("n_tokens")).otherwise(0))
+                .cast("long")
+                .alias(f"t{i}"),
+            )
+        ],
+        F.sum(F.coalesce(F.col("k4"), F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("d4"),
+        F.sum(
+            F.when(F.coalesce(F.col("k4"), F.lit(False)), F.col("n_tokens"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("t4"),
+    )
+    names = ["ingest", "lang_confident", "gopher_rules",
+             "quality_classifier", "exact_dedup"]
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{n}', d{i}, t{i}" for i, n in enumerate(names)
+    )
+    return agg.selectExpr(
+        f"stack(5, {stack_args}) AS (stage, name, docs_kept, tokens_kept)"
     )
 
 

@@ -29,7 +29,8 @@ SAMPLE += ["quality_budget_select", "frontier_pipeline", "curation_pipeline"]
 # round-11 additions: never-attested queries sort INTO the driver
 # window (staleness order), so the unwindowed replay below skips them —
 # gate them here until their first driver row lands
-SAMPLE += ["cross_doc_span_dedup", "semantic_dedup_pipeline", "hybrid_retrieval_rrf"]
+SAMPLE += ["cross_doc_span_dedup", "semantic_dedup_pipeline", "hybrid_retrieval_rrf",
+           "anchor_text_agg", "curation_funnel"]
 
 
 def replay_against_oracle(spark, sf_dir, name):

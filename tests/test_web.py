@@ -849,3 +849,43 @@ def test_parse_sitemap_directives_case_and_colon_handling(spark):
         "https://a.example.com/three.xml",
         "https://a.example.com/two.xml",
     ]
+
+
+def test_extract_anchors_and_agg(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '<p><a href="https://A.com/x">Big Topic</a>'
+                '<a class="z" href="https://b.com/">read more</a>'
+                '<a href="/rel">Home</a>'
+                '<a href="https://a.com/x#f">big news</a></p>'),
+            (2, '<p><a href="https://a.com/x/">big</a>'
+                '<a href="https://a.com/x">big <b>bold</b></a></p>'),
+        ],
+        "doc_id long, html string",
+    )
+    anchors = web.extract_anchors(df)
+    got = {(r["doc_id"], r["href"], r["anchor_text"])
+           for r in rows(anchors, "doc_id")}
+    # the inner-<b> anchor does NOT match (text must be tag-free);
+    # relative and absolute both extract
+    assert (1, "https://A.com/x", "Big Topic") in got
+    assert (1, "/rel", "Home") in got
+    assert (2, "https://a.com/x/", "big") in got
+    assert not any("bold" in t for _, _, t in got)
+
+    agg = {
+        r["target"]: r
+        for r in rows(
+            web.anchor_text_agg(
+                anchors.filter(F.col("href").rlike("^(?i)https?://"))
+            ),
+            "target",
+        )
+    }
+    # case, fragment and trailing slash collapse to one target
+    a = agg["https://a.com/x"]
+    assert a["n_inlinks"] == 3 and a["n_src_docs"] == 2
+    assert a["n_distinct_texts"] == 3
+    # modal term: 'big' appears 3x across the target's anchors
+    assert a["top_term"] == "big" and a["top_term_count"] == 3
+    assert agg["https://b.com/"]["top_term"] in ("read", "more")
