@@ -13,6 +13,8 @@ portable list folds.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1733,10 +1735,19 @@ def with_c4_filters(
 
     ``badwords`` entries are bound as ESCAPED SQL literals (a single
     quote in an entry can no longer break the expression — ADVICE
-    r10), and multi-word phrases (UT1/LDNOOBW lists carry them) match
-    as token-boundary substrings of the whitespace-normalized lowered
-    page, so 'blue pill' matches 'the blue pill today' but not
-    'blue pills'.  Single-word entries keep exact token membership.
+    r10).  Every entry — single words and the multi-word phrases the
+    UT1/LDNOOBW lists carry — matches as a token-boundary substring of
+    the NORMALIZED lowered page, where normalization maps every run of
+    non-alphanumeric characters (whitespace of any kind, punctuation,
+    newlines) to one space (ADVICE r11: the old literal-space phrase
+    check missed 'took the blue pill.' and doubled spaces/tabs/CR;
+    this is C4's \\b word-boundary behavior).  So 'blue pill' matches
+    'the blue pill.' and 'blue\\tpill' but not 'blue pills'.  The same
+    normalization is applied to each entry, so list entries with
+    stray punctuation or doubled spaces still bind correctly.  The
+    explicit '[^a-z0-9]+' class (not '\\W') keeps Java and Python
+    regex semantics identical for the ASCII lists this targets;
+    non-ASCII letters act as separators.
 
     (C4's fourth page rule — three-sentence-span dedup — is the
     separate span_dedup operator; composing them is the caller's
@@ -1758,21 +1769,21 @@ def with_c4_filters(
         "AND NOT contains(lower(l), 'javascript')"
     )
     esc = lambda s: s.replace("'", "''")
-    singles = [b for b in badwords if " " not in b]
-    phrases = [b for b in badwords if " " in b]
-    bad_terms = []
-    if singles:
-        bad_list = ", ".join(f"'{esc(b.lower())}'" for b in singles)
-        bad_terms.append(
-            f"exists(split(lower({text_col}), '[ \\n]'), t -> t IN ({bad_list}))"
+    # one normalized page per row, shared by every entry's contains()
+    norm_entries = [
+        _re.sub(r"[^a-z0-9]+", " ", b.lower()).strip() for b in badwords
+    ]
+    norm_entries = [b for b in norm_entries if b]
+    if norm_entries:
+        norm = (
+            f"concat(' ', regexp_replace(lower({text_col}), "
+            "'[^a-z0-9]+', ' '), ' ')"
         )
-    if phrases:
-        # token-boundary phrase match on the whitespace-normalized page
-        norm = f"concat(' ', replace(lower({text_col}), chr(10), ' '), ' ')"
-        bad_terms.extend(
-            f"contains({norm}, ' {esc(p.lower())} ')" for p in phrases
+        bad_expr = " OR ".join(
+            f"contains({norm}, ' {esc(b)} ')" for b in norm_entries
         )
-    bad_expr = " OR ".join(bad_terms) if bad_terms else "false"
+    else:
+        bad_expr = "false"
     kept = (
         f"transform(array(filter(split({text_col}, '\\n'), {line_keep})), "
         "K -> struct(size(K) AS n_kept_lines, "

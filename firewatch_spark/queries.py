@@ -8847,6 +8847,12 @@ _C4_SYNTH = (
     "'config = { key: value } and some words here.') ELSE '' END"
     ", CASE WHEN doc_id % 23 = 5 THEN concat(chr(10), "
     "'this line has badword1 in it today friends.') ELSE '' END"
+    # punctuation-adjacent multi-word phrase plant (ADVICE r11): the
+    # phrase 'blue pill' is followed by a period and preceded by a
+    # doubled space — exactly the shapes the literal-space matcher
+    # missed before the [^a-z0-9]+ normalization
+    ", CASE WHEN doc_id % 29 = 7 THEN concat(chr(10), "
+    "'so he took  the blue pill. end of that story today.') ELSE '' END"
     ")"
 )
 
@@ -8872,8 +8878,9 @@ _C4_SQL = f"""
       SELECT doc_id, n_lines, n_kept_lines,
              CAST(len(regexp_split_to_array(clean, '[.!?]')) - 1 AS BIGINT)
                AS n_sentences,
-             len(list_filter(string_split_regex(lower(txt), '[ \n]'),
-               t -> t = 'badword1' OR t = 'badword2')) > 0 AS has_badword,
+             (contains(concat(' ', regexp_replace(lower(txt), '[^a-z0-9]+', ' ', 'g'), ' '), ' badword1 ')
+              OR contains(concat(' ', regexp_replace(lower(txt), '[^a-z0-9]+', ' ', 'g'), ' '), ' badword2 ')
+              OR contains(concat(' ', regexp_replace(lower(txt), '[^a-z0-9]+', ' ', 'g'), ' '), ' blue pill ')) AS has_badword,
              contains(lower(txt), 'lorem ipsum') AS has_lorem,
              contains(txt, '{{') AS has_brace,
              CAST(length(clean) AS BIGINT) AS clean_len,
@@ -8905,7 +8912,11 @@ def c4_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .withColumn("text", F.expr(_C4_SYNTH))
     )
-    out = text.with_c4_filters(docs)
+    # the multi-word entry exercises the normalized phrase path
+    # against the punctuation-adjacent plant (ADVICE r11)
+    out = text.with_c4_filters(
+        docs, badwords=(*text.C4_BADWORDS, "blue pill")
+    )
     return out.select(
         "doc_id",
         "n_lines",
@@ -9255,7 +9266,8 @@ def quality_filter_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("keep").alias("gopher_keep")
     )
     c4 = text.with_c4_filters(
-        docs.withColumn("text", F.expr(_C4_SYNTH))
+        docs.withColumn("text", F.expr(_C4_SYNTH)),
+        badwords=(*text.C4_BADWORDS, "blue pill"),
     ).select("doc_id", F.col("keep").alias("c4_keep"))
     # the JM-scored corpus feeds with_global_rank's two phases AND the
     # count — cut the lineage once (curation_pipeline's load-bearing
@@ -9310,7 +9322,8 @@ _FUNNEL_SQL = f"""
     WITH fun_corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+      FROM documents WHERE doc_id % 4 = 0
     ),
     lng AS (SELECT doc_id, effective_lang FROM ({_retarget(_lang_conf_sql())}) l),
     gop AS (SELECT doc_id, keep AS gopher_keep FROM ({_retarget(_GOPHER_SQL)}) g),
@@ -9369,10 +9382,16 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 constant rows out — at 100 TB the funnel is a free rider on the
     gates a curation run executes anyway."""
     docs0 = _tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    # republication ids live above max(doc_id) (ADVICE r11: a constant
+    # +1e6 offset collides with real ids once a scaled corpus exceeds
+    # 10^6 docs, silently fanning out every doc_id join below); the
+    # offset is a 1-row broadcast, and min(doc_id) keeper election
+    # still picks the ORIGINAL copy
+    off = docs0.agg((F.max("doc_id") + F.lit(1)).alias("_off"))
     corpus = docs0.unionByName(
-        docs0.filter(F.col("doc_id") % 4 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
+        docs0.filter(F.col("doc_id") % 4 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("_off")).alias("doc_id"), "text")
     )
     lng = text.with_lang_confidence(corpus).select("doc_id", "effective_lang")
     gop = text.with_gopher_rules(corpus).select(
@@ -11173,10 +11192,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries went >= 3 rounds without a driver row.  Now the order is
 # COMPUTED from the committed evidence itself:
 #
-#   * four permanent pins come first — the two LIVE-STREAMING parity
-#     attestations (the only driver rows exercising a real
-#     micro-batched stateful query) and the two §2.6 custom-join
-#     flagships;
+#   * two permanent pins come first — the LIVE-STREAMING parity
+#     attestations, the only driver rows exercising a real
+#     micro-batched stateful query.  (Rounds 7-11 also pinned the two
+#     §2.6 custom-join flagships; they were unpinned in round 12 so
+#     the r7/r8 staleness drain completes in ONE round — both are
+#     hash-green as of r11 and continuously oracle-replayed in pytest,
+#     and the staleness sort re-attests them within <= 4 rounds like
+#     every other query);
 #   * everything else is sorted by (last GREEN driver attestation
 #     round, name) ascending, read from the repo's CORRECTNESS_r*.json
 #     artifacts at call time.  Never-attested queries sort first
@@ -11196,8 +11219,6 @@ _DRIVER_WINDOW = 50
 _PERMANENT_PINS = [
     "streaming_session_parity",
     "streaming_ep2_parity",
-    "asof_join",
-    "range_join",
 ]
 
 
@@ -11228,11 +11249,16 @@ def _attested_round() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            green = (
-                row.get("hash_match")
-                if row.get("hash_match") is not None
-                else row.get("rows_match")
-            )
+            if row.get("hash_match") is not None:
+                green = row.get("hash_match")
+            elif row.get("err") in (None, "no_oracle"):
+                # rows-only fallback is only an attestation when the
+                # hash step was SKIPPED by design, not when it errored
+                # (ADVICE r11: a row whose hash step failed but whose
+                # counts matched must stay at the front of the window)
+                green = row.get("rows_match")
+            else:
+                green = None
             if green is None and row.get("err") == "no_oracle":
                 # deliberately oracle-less query (e.g. HLL approx):
                 # the driver's weak rows-only check ran and returned —

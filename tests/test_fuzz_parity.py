@@ -665,3 +665,116 @@ def test_domain_blocklist_matches_python_reference_fuzz(spark):
             assert r["matched_entry"] == best, doc_id
             assert r["category"] == cat[best], doc_id
             assert r["match_labels"] == len(best.split(".")), doc_id
+
+
+# --- round 12: _dup_islands family fuzz (VERDICT r11 #4) -------------
+# The island machinery (merge scan, gram-window off-by-ones, keep-first
+# vs all-copies mark predicates) is shared by dup_span_removal,
+# cross_doc_span_dedup AND with_dup_ngram_coverage; the r11 tests fuzz
+# the two removal forms on one seed each.  This drives all THREE
+# surfaces across multiple seeds, gram sizes and corpus shapes —
+# including docs shorter than gram_n (no window), docs exactly gram_n
+# long (one window), whole-doc duplicates (everything removed in the
+# all-copies form, keeper-retained in keep-first) and near-duplicate
+# prefixes (islands that merge at one end and not the other).
+
+
+def _py_dup_coverage(docs: dict[int, str], gram_n: int):
+    """Pure-Python mirror of with_dup_ngram_coverage: union length of
+    all >1x-seen windows per doc (self-repeats count)."""
+    from collections import Counter
+
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    grams: Counter = Counter()
+    for tk in toks.values():
+        for s in range(len(tk) - gram_n + 1):
+            grams[" ".join(tk[s : s + gram_n])] += 1
+    out = {}
+    for did, tk in toks.items():
+        covered: set[int] = set()
+        for s in range(len(tk) - gram_n + 1):
+            if grams[" ".join(tk[s : s + gram_n])] > 1:
+                covered.update(range(s, s + gram_n))
+        out[did] = (len(tk), len(covered))
+    return out
+
+
+def _gen_island_corpus(seed: int) -> dict[int, str]:
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.choice([4, 6, 9]))]
+    docs: dict[int, str] = {}
+    n_docs = rng.randint(20, 45)
+    for i in range(n_docs):
+        r = rng.random()
+        if docs and r < 0.15:
+            # exact whole-doc duplicate
+            docs[i] = docs[rng.choice(list(docs))]
+        elif docs and r < 0.3:
+            # shared prefix + fresh tail: islands merge at the front
+            # of one doc and stop mid-doc in the other (the off-by-one
+            # surface at island boundaries)
+            src = docs[rng.choice(list(docs))].split(" ")
+            cut = rng.randint(1, len(src))
+            tail = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+            docs[i] = " ".join(src[:cut] + tail)
+        else:
+            # includes lengths BELOW and AT typical gram_n values
+            docs[i] = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 30))
+            )
+    return docs
+
+
+def test_dup_islands_family_fuzz_multi_seed(spark):
+    """VERDICT r11 #4: multi-seed fuzz of the whole _dup_islands
+    family — coverage measurement, all-copies removal and
+    first-occurrence-keep removal — against independent pure-Python
+    mirrors, across gram sizes 2..5."""
+    import hashlib
+
+    from firewatch_spark.operators import dedup
+
+    for seed, gram_n in [(101, 2), (102, 3), (103, 4), (104, 5), (105, 3)]:
+        docs = _gen_island_corpus(seed)
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+
+        got_cov = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_positions"])
+            for r in rows(dedup.with_dup_ngram_coverage(df, gram_n=gram_n))
+        }
+        assert got_cov == _py_dup_coverage(docs, gram_n), (seed, gram_n)
+
+        got_all = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_md5"])
+            for r in rows(dedup.dup_span_removal(df, gram_n=gram_n))
+        }
+        exp_all = {
+            d: (n, rm, hashlib.md5(clean.encode()).hexdigest())
+            for d, (n, rm, clean) in _py_dup_span_removal(docs, gram_n).items()
+        }
+        assert got_all == exp_all, (seed, gram_n)
+
+        got_first = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_md5"])
+            for r in rows(dedup.cross_doc_span_dedup(df, gram_n=gram_n))
+        }
+        exp_first = {
+            d: (n, rm, hashlib.md5(clean.encode()).hexdigest())
+            for d, (n, rm, clean) in _py_cross_doc_span_dedup(
+                docs, gram_n
+            ).items()
+        }
+        assert got_first == exp_first, (seed, gram_n)
+
+        # cross-form invariants, per seed:
+        # (a) removal union length == coverage union length in the
+        #     all-copies form (same marked set);
+        # (b) keep-first never removes more than all-copies, per doc;
+        # (c) a doc shorter than gram_n is untouched by every form.
+        for d in docs:
+            assert got_all[d][1] == got_cov[d][1], (seed, gram_n, d)
+            assert got_first[d][1] <= got_all[d][1], (seed, gram_n, d)
+            if got_cov[d][0] < gram_n:
+                assert got_cov[d][1] == 0 and got_first[d][1] == 0

@@ -5,10 +5,24 @@ dirs built by tools/scale_data.py, printing slope_vs_linear per query.
 Usage:  python tools/scale25.py [query ...]
 The session mirrors the round-5 sizing lesson: 48g heap, 64 shuffle
 partitions (the default heap GC-thrashed label propagation at 25x).
+
+Round 12: the probe now RUNS the storm-aware protocol SCALE.md's r11
+IO-storm postmortem documented as manual steps (VERDICT r11 #3) —
+each timing point waits for load1m < 2.5 before starting, stamps
+load1m after finishing, DISCARDS the run as stormy if the stamp
+exceeds 6, and keeps the min of >= 2 non-stormy runs.  Load stamps
+are printed per point so a reader can audit the weather.
+
+The pseudo-query name ``semantic_dedup_kscaled`` probes the SemDeDup
+composition with its production scale control applied: k = 16·sqrt(f)
+cells at the xf point (vs the registered fixed k=16), demonstrating
+that Sigma cell^2 stays controlled when k grows with the corpus
+(Abbas et al. 2023 size k proportional to sqrt(n)).
 """
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -29,6 +43,67 @@ DEFAULT = [
 # subset here drifted, yielding sink-only — wrong — slope timings for
 # crawl_pipeline/csv_ingest/ann_ivf_upsert/length_quantile_sketch)
 from bench import BUILD_TIMED  # noqa: E402
+
+START_LOAD1M = 2.5   # do not start a timing above this
+STORM_LOAD1M = 6.0   # discard a finished timing stamped above this
+MIN_CLEAN_RUNS = 2
+
+
+def _wait_quiet(poll: float = 10.0, timeout: float = 1200.0) -> None:
+    deadline = time.monotonic() + timeout
+    while os.getloadavg()[0] >= START_LOAD1M and time.monotonic() < deadline:
+        print(
+            f"  ... waiting for quiet (load1m {os.getloadavg()[0]:.1f})",
+            file=sys.stderr,
+        )
+        time.sleep(poll)
+
+
+def timed_min_clean(fn) -> tuple[float, list[float]]:
+    """Min of >= MIN_CLEAN_RUNS non-stormy timings of fn(); returns
+    (min_sec, load_stamps).  A run whose post-run load1m exceeds
+    STORM_LOAD1M is discarded (an IO storm mid-run); up to 6 attempts
+    before giving up and using whatever clean runs exist."""
+    clean: list[float] = []
+    stamps: list[float] = []
+    for _ in range(6):
+        _wait_quiet()
+        t = fn()
+        stamp = os.getloadavg()[0]
+        stamps.append(round(stamp, 2))
+        if stamp <= STORM_LOAD1M:
+            clean.append(t)
+            if len(clean) >= MIN_CLEAN_RUNS:
+                break
+        else:
+            print(f"  ... discarding stormy run (load1m {stamp:.1f})",
+                  file=sys.stderr)
+    if not clean:
+        clean = [t]  # all stormy: report the last, stamps tell the story
+    return min(clean), stamps
+
+
+def _semdedup_kscaled(spark, sf_dir: str, k: int):
+    """The semantic_dedup_pipeline composition with caller-controlled
+    k — identical plan shapes, only the cell count varies (the
+    SemDeDup scale knob).  Mirrors queries.semantic_dedup_pipeline."""
+    from pyspark.sql import functions as F
+
+    from firewatch_spark import queries as Q
+    from firewatch_spark.operators import dedup, similarity
+
+    emb = Q._tbl(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, k=k, iters=2)
+    cells = similarity.ivf_assign(emb, cents).select("vec_id", "centroid_id")
+    pairs = similarity.cell_near_dup(emb, cells, threshold=Q._SEMDEDUP_THR)
+    clusters = dedup.near_dup_clusters(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    joined = cells.join(clusters.select("vec_id", "cluster_id"), "vec_id")
+    return joined.groupBy(F.col("centroid_id").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("cluster_id").cast("long").alias("n_kept"),
+    )
 
 
 def main() -> None:
@@ -60,6 +135,15 @@ def main() -> None:
     reg = registry()
 
     def run(name: str, sf_dir: str) -> float:
+        if name == "semantic_dedup_kscaled":
+            # build-timed (ivf_train iterates in-build), k scaled with
+            # the dir's replication factor: sqrt(1)=1 -> k=16 at x1
+            f = factor if sf_dir == dirs[factor] else 1
+            k = max(1, round(16 * math.sqrt(f)))
+            t0 = time.perf_counter()
+            df = _semdedup_kscaled(spark, sf_dir, k)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
         if name in BUILD_TIMED:
             t0 = time.perf_counter()
             df = reg[name].fn(spark, sf_dir)
@@ -76,11 +160,12 @@ def main() -> None:
         # cold vs 2.4 s warm for the audio fingerprint — which would
         # otherwise corrupt the slope's x1 denominator
         run(name, dirs[1])
-        t1 = run(name, dirs[1])
-        tN = run(name, dirs[factor])
+        t1, s1 = timed_min_clean(lambda: run(name, dirs[1]))
+        tN, sN = timed_min_clean(lambda: run(name, dirs[factor]))
         print(
             f"{name}: t_1x={t1:.2f}s t_{factor}x={tN:.2f}s "
-            f"slope_vs_linear={(tN / t1 / factor):.3f}"
+            f"slope_vs_linear={(tN / t1 / factor):.3f} "
+            f"loads_1x={s1} loads_{factor}x={sN}"
         )
     spark.stop()
 
