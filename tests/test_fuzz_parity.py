@@ -602,10 +602,13 @@ def test_c4_filters_match_python_reference_fuzz(spark):
         ]
         clean = "\n".join(kept)
         n_sent = sum(clean.count(c) for c in ".!?")
-        bad = any(
-            t in ("badword1", "badword2")
-            for t in txt.lower().replace("\n", " ").split(" ")
-        )
+        # round 12 (ADVICE r11): badwords match on the punctuation-and-
+        # whitespace-normalized page, so 'badword1.' at a line end now
+        # correctly hits (the old split-on-spaces mirror missed it)
+        import re as _re2
+
+        _norm = " " + _re2.sub(r"[^a-z0-9]+", " ", txt.lower()) + " "
+        bad = " badword1 " in _norm or " badword2 " in _norm
         lorem = "lorem ipsum" in txt.lower()
         brace = "{" in txt
         r = got[doc_id]
@@ -778,3 +781,68 @@ def test_dup_islands_family_fuzz_multi_seed(spark):
             assert got_first[d][1] <= got_all[d][1], (seed, gram_n, d)
             if got_cov[d][0] < gram_n:
                 assert got_cov[d][1] == 0 and got_first[d][1] == 0
+
+
+def test_long_span_dedup_doubling_parity_fuzz(spark):
+    """The hash-doubling gram builder (dedup._doubling_grams) must be
+    OUTPUT-IDENTICAL to the direct window-string builder at every span
+    length — long_span_dedup(builder="doubling") vs
+    cross_doc_span_dedup(gram_n=n) on the same corpus, across powers
+    of two and non-powers (the overlapping-window combine path), plus
+    the Python mirror as the independent referee."""
+    import hashlib
+
+    from firewatch_spark.operators import dedup
+
+    for seed, n in [(201, 2), (202, 3), (203, 4), (204, 7), (205, 8), (206, 13)]:
+        docs = _gen_island_corpus(seed)
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_md5"])
+            for r in rows(dedup.long_span_dedup(df, span_len=n, builder="doubling"))
+        }
+        direct = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_md5"])
+            for r in rows(dedup.cross_doc_span_dedup(df, gram_n=n))
+        }
+        assert got == direct, (seed, n)
+        expected = {
+            d: (nt, rm, hashlib.md5(clean.encode()).hexdigest())
+            for d, (nt, rm, clean) in _py_cross_doc_span_dedup(docs, n).items()
+        }
+        assert got == expected, (seed, n)
+
+
+def test_long_span_dedup_at_production_length(spark):
+    """span_len=50 end-to-end on long docs, BOTH builders: a planted
+    60-token shared block is cut from the later doc only; a doc with
+    no 50-token repeat is untouched; a doc shorter than 50 tokens
+    carries no window."""
+    import hashlib
+
+    from firewatch_spark.operators import dedup
+
+    block = " ".join(f"b{i % 7}" for i in range(60))
+    docs = {
+        0: block + " " + " ".join(f"t{i}" for i in range(20)),
+        1: " ".join(f"u{i}" for i in range(30)) + " " + block,
+        2: " ".join(f"v{i}" for i in range(80)),
+        3: "short doc here",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    expected = {
+        d: (nt, rm, hashlib.md5(clean.encode()).hexdigest())
+        for d, (nt, rm, clean) in _py_cross_doc_span_dedup(docs, 50).items()
+    }
+    for builder in ("direct", "doubling"):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_md5"])
+            for r in rows(dedup.long_span_dedup(df, span_len=50, builder=builder))
+        }
+        assert got == expected, builder
+        # keeper doc 0 retains the block; doc 1 loses all 60 tokens
+        assert got[0][1] == 0
+        assert got[1][1] == 60
+        assert got[2][1] == 0 and got[3][1] == 0

@@ -148,6 +148,7 @@ def test_forced_broadcasts_have_bounded_build_sides():
         ("queries.py", "qiv"): "sampled query vectors (constant n)",
         ("queries.py", "qmap"): "constant 3-row query-id -> query-vec map (rrf)",
         ("queries.py", "grid"): "constant 17-row threshold grid (sweep)",
+        ("queries.py", "off"): "1-row max(doc_id)+1 offset agg (funnel republication)",
         ("queries.py", "total"): "1-row corpus doc count (tier boundaries)",
         ("queries.py", "_tbl"): "TPC-H dimension tables (customer/nation/region)",
     }
@@ -220,6 +221,9 @@ def test_no_cartesian_product_anywhere(plans):
         # 1-row corpus (n_docs, total_tokens) broadcast into the
         # query-term postings — tfidf_topk's shape with BM25 scoring
         "bm25_topk",
+        # 1-row max(doc_id)+1 offset broadcast into the republication
+        # branch (ADVICE r11: collision-free duplicate ids at any SF)
+        "curation_funnel",
         # composes bm25_topk's 1-row corpus broadcast and ann_topk's
         # corpus x broadcast-query-sample scan; the fusion stage itself
         # is a groupBy over queries x k rows

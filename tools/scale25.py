@@ -61,23 +61,32 @@ def _wait_quiet(poll: float = 10.0, timeout: float = 1200.0) -> None:
 
 def timed_min_clean(fn) -> tuple[float, list[float]]:
     """Min of >= MIN_CLEAN_RUNS non-stormy timings of fn(); returns
-    (min_sec, load_stamps).  A run whose post-run load1m exceeds
-    STORM_LOAD1M is discarded (an IO storm mid-run); up to 6 attempts
-    before giving up and using whatever clean runs exist."""
+    (min_sec, load_stamps — pre-run values, ambient-only).
+
+    The post-run storm check only applies to SHORT runs: a run on
+    local[32] drives load1m toward ~32 all by itself with a 1-minute
+    time constant, so a multi-minute run's post-run stamp measures the
+    run, not the weather (first draft of this protocol discarded every
+    long run as "stormy" and looped — the r11 manual protocol's
+    post-run stamp worked only because its rows were ~10 s, where the
+    self-contribution stays under the 6.0 threshold).  Long runs are
+    protected by the PRE-run quiet gate + min-of-2 with a cooldown
+    between them: a mid-run storm inflates one of the two, the min
+    survives."""
     clean: list[float] = []
     stamps: list[float] = []
-    for _ in range(6):
+    for _ in range(4):
         _wait_quiet()
+        stamps.append(round(os.getloadavg()[0], 2))
         t = fn()
-        stamp = os.getloadavg()[0]
-        stamps.append(round(stamp, 2))
-        if stamp <= STORM_LOAD1M:
-            clean.append(t)
-            if len(clean) >= MIN_CLEAN_RUNS:
-                break
-        else:
-            print(f"  ... discarding stormy run (load1m {stamp:.1f})",
+        post = os.getloadavg()[0]
+        if t < 45.0 and post > STORM_LOAD1M:
+            print(f"  ... discarding stormy short run (post load1m {post:.1f})",
                   file=sys.stderr)
+            continue
+        clean.append(t)
+        if len(clean) >= MIN_CLEAN_RUNS:
+            break
     if not clean:
         clean = [t]  # all stormy: report the last, stamps tell the story
     return min(clean), stamps
