@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -139,21 +140,49 @@ BUILD_TIMED = {
 # quiets down.  SPARK_GRAFT_BENCH_FORCE=1 restores the old
 # warn-and-stamp behavior for debugging ONLY; a forced artifact still
 # carries load_warning=true and must never be committed.
-IDLE_LOAD1M = 1.0
+# Round 13 (VERDICT r12 #1a): thresholds scale with the core count.
+# The r12 absolute gates (load1m < 1.0 to start / storm >= 1.5) were
+# unreachable bars on this 32-core box — 1.0 is 3 % utilization, the
+# sandbox's AMBIENT load sits ~2.2, and the bench's own just-finished
+# stages keep load1m >= 1.5 essentially always — so the r12 driver run
+# dissolved into back-to-back 120 s cooldowns until the driver timeout
+# killed it (BENCH_r12.json: rc=124, zero parsed results).  The gates
+# now measure load as a FRACTION of the machine: idle = < 15 % of
+# cores busy (4.8 on 32 cores — ambient 2.2 passes, a real storm at
+# 8+ still waits), decaying-storm 5m gate at 25 %, per-row storm
+# stamp at 20 %.  The max(...) floors keep the old absolute semantics
+# on small boxes (and keep the guard tests meaningful at ncpu=1).
+NCPU = os.cpu_count() or 1
+IDLE_LOAD1M = max(1.0, 0.15 * NCPU)
 # Round 12 (VERDICT r11 #1): the load1m-only gate let a DECAYING storm
 # through — r11's driver artifact passed at load1m 0.86 while
 # load5m/15m sat at 8.6/9.6, i.e. the machine was minutes out of heavy
 # load and its page cache / scheduler state still carried the storm
 # (symptoms: flagship p50 +49 %, pandas_vs_row 1.19x vs the idle
-# 2.11x).  The gate now also requires load5m below IDLE_LOAD5M, so a
+# 2.11x).  The gate also requires load5m below IDLE_LOAD5M, so a
 # recently-stormy machine must actually cool down before timing starts.
-IDLE_LOAD5M = 2.5
+IDLE_LOAD5M = max(2.5, 0.25 * NCPU)
 # Per-row storm stamp threshold: a query whose start-of-run load1m
 # exceeded this is re-timed in the retry pass (VERDICT r11 #1c) — the
 # automated form of SCALE.md's manual storm protocol.
-STORM_LOAD1M = 1.5
-IDLE_WAIT_SEC = 900
+STORM_LOAD1M = max(1.5, 0.20 * NCPU)
+# A machine more than half-busy after the full wait is genuinely
+# slammed: timing there is pure weather, so the start gate still
+# refuses (SystemExit) past this line.  BETWEEN IDLE_LOAD1M and this,
+# an expired wait now runs WITH load_warning=true instead of refusing
+# — VERDICT r12 #1 adjudicated a stamped-warning artifact as strictly
+# better evidence than no artifact at all (the r10 "refusal, not
+# warning" doctrine cost round 12 its entire perf record).
+REFUSE_LOAD1M = max(4.0, 0.5 * NCPU)
+IDLE_WAIT_SEC = 600
 IDLE_POLL_SEC = 15
+# Total mid-bench cooldown across the WHOLE run (VERDICT r12 #1b).
+# r12's per-trigger 120 s cooldowns had no global cap, so ~30 stormy-
+# stamped slope rows alone could burn an hour of driver budget.  Every
+# mid-bench wait now draws from this shared pot; once it's spent, the
+# run stamps and proceeds — never waits again.
+COOLDOWN_BUDGET_SEC = 300.0
+_cooldown_spent = 0.0
 
 
 def wait_for_idle(
@@ -199,9 +228,22 @@ def wait_for_idle(
                 file=sys.stderr,
             )
             return load1
+        if load1 < REFUSE_LOAD1M:
+            # VERDICT r12 #1: the r10 refusal doctrine zeroed round
+            # 12's entire perf record.  A merely-non-idle machine now
+            # runs with the warning stamped in the artifact; only a
+            # genuinely slammed one (>= 50 % of cores) still refuses.
+            print(
+                f"bench: still non-idle after {timeout_sec:.0f}s (load1m "
+                f"{load1:.2f} / load5m {load5:.2f}) — proceeding with "
+                "load_warning=true; do not commit this artifact "
+                "(VERDICT r12 #1: a stamped warning beats no evidence)",
+                file=sys.stderr,
+            )
+            return load1
         print(
-            f"bench: REFUSING to run — load1m {load1:.2f} / load5m "
-            f"{load5:.2f} still >= {threshold} / {threshold5m} after "
+            f"bench: REFUSING to run — load1m {load1:.2f} >= "
+            f"{REFUSE_LOAD1M} ({0.5 * NCPU:.0f} = half the cores) after "
             f"waiting {timeout_sec:.0f}s; timings would measure machine "
             "weather, not code (VERDICT r10 #1, r11 #1).  Re-run when "
             "idle, or set SPARK_GRAFT_BENCH_FORCE=1 for a debug-only run.",
@@ -209,6 +251,46 @@ def wait_for_idle(
         )
         raise SystemExit(2)
     return load1
+
+
+def cooldown(timeout_sec: float = 120.0) -> float:
+    """Mid-bench cooldown drawing from the shared COOLDOWN_BUDGET_SEC
+    pot (VERDICT r12 #1b).  Once the budget is spent the bench never
+    waits again — it stamps the load and proceeds, so weather can slow
+    the run but can no longer starve it into a driver timeout."""
+    global _cooldown_spent
+    remaining = COOLDOWN_BUDGET_SEC - _cooldown_spent
+    if remaining <= 0:
+        load1 = os.getloadavg()[0]
+        print(
+            f"bench: cooldown budget exhausted ({COOLDOWN_BUDGET_SEC:.0f}s "
+            f"spent) — proceeding at load1m {load1:.2f}; row stamps tell "
+            "the story",
+            file=sys.stderr,
+        )
+        return load1
+    t0 = time.monotonic()
+    load1 = wait_for_idle(
+        timeout_sec=min(timeout_sec, remaining), exit_on_busy=False
+    )
+    _cooldown_spent += time.monotonic() - t0
+    return load1
+
+
+# Driver-timeout backstop (VERDICT r12 #1c): after every completed
+# pass main() stores the freshest driver-parseable compact line here;
+# if the driver's `timeout` SIGTERMs the bench, the handler prints it
+# before dying, so a truncated run still delivers everything timed so
+# far (r12 lost all ~187 per-query timings to rc=124 with an empty
+# stdout).  BENCH_FULL.json is likewise rewritten at each checkpoint.
+_SNAPSHOT: dict = {"line": None}
+
+
+def _emit_snapshot_and_exit(signum, frame):  # pragma: no cover - signal path
+    line = _SNAPSHOT.get("line")
+    if line:
+        print(line, flush=True)
+    os._exit(3)
 
 
 def main() -> None:
@@ -264,6 +346,149 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # ---- incremental evidence assembly (VERDICT r12 #1c) ----------
+    # State the passes fill in as they complete; assemble() tolerates
+    # the not-yet-run ones so a checkpoint after ANY pass yields a
+    # valid (partial-flagged) artifact + compact line.
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    SCALE_FACTOR = 5
+    times: dict[str, float] = {}
+    times_detail: dict[str, dict[str, float]] = {}
+    flagship_runs: list[float] = []
+    inference: dict | None = None
+    scaling: dict = {}
+    retry_overturned: list[str] = []
+    retry_dropped: list[str] = []
+    n_events: int | None = None
+
+    def assemble(stage: str) -> dict:
+        total = round(sum(times.values()), 4)
+        fr = flagship_runs
+        pct = (
+            (lambda p: round(fr[min(int(p * len(fr)), len(fr) - 1)], 4))
+            if fr
+            else (lambda p: None)
+        )
+        p50 = pct(0.5)
+        med = fr[len(fr) // 2] if fr else None
+        stream_t = times.get("streaming_session_parity")
+        full = {
+            "metric": "total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": dict(times),
+            "queries_runs": times_detail,
+            "sf": float(sf),
+            "rows_per_sec_flagship": (
+                round(n_events / med, 1) if n_events and med else None
+            ),
+            # min-of-5 beside p50 (VERDICT r6 #6): min is the standard
+            # noise-robust latency statistic for fixed work — use
+            # flagship_min_sec for round-over-round code comparison
+            "flagship_min_sec": round(fr[0], 4) if fr else None,
+            "flagship_p50_sec": p50,
+            "flagship_p95_sec": pct(0.95),
+            # flagship sanity gate (VERDICT r9 #2): if p50 moved >25 %
+            # against the PRIOR committed artifact the ratio says so in
+            # the artifact itself; load stamps tell weather from code
+            "flagship_p50_prev": prev_p50,
+            "flagship_p50_vs_prev": (
+                round(p50 / prev_p50, 3) if p50 and prev_p50 else None
+            ),
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+            "load_warning": load_warning,
+            "cooldown_spent_sec": round(_cooldown_spent, 1),
+            # streaming throughput headline: the full stateful session
+            # operator (W1-W4) replayed as a real micro-batched query
+            # end-to-end — comparable to the reference's 20-30
+            # fps/processor figure (docs/PERFORMANCE.md:7-9)
+            "sessionized_rows_per_sec_stream": (
+                round(n_events / stream_t, 1) if n_events and stream_t else None
+            ),
+            "batched_inference": inference,
+            "retry_overturned": retry_overturned,
+            "retry_dropped": retry_dropped,
+            "scaling": {"factor": SCALE_FACTOR, "queries": scaling},
+        }
+        if stage != "final":
+            full["partial"] = stage
+        return full
+
+    def compact_line(full: dict, min_sec: float) -> str:
+        tmap = full["queries"]
+        kept = {n: round(v, 2) for n, v in tmap.items() if v >= min_sec}
+        payload = {
+            "metric": "total_wall_sec",
+            "value": full["value"],
+            "unit": "sec",
+            "sf": full["sf"],
+            "n_queries": len(tmap),
+            # slowest-first: the informative end of the distribution
+            "queries": dict(sorted(kept.items(), key=lambda kv: -kv[1])),
+            "q_omitted_below_sec": min_sec,
+            "q_omitted": len(tmap) - len(kept),
+            "rows_per_sec_flagship": full.get("rows_per_sec_flagship"),
+            "flagship_min_sec": full.get("flagship_min_sec"),
+            "flagship_p50_sec": full.get("flagship_p50_sec"),
+            "flagship_p95_sec": full.get("flagship_p95_sec"),
+            "load1m_start": round(load_start[0], 2),
+            "load_warning": full["load_warning"],
+            "sessionized_rows_per_sec_stream": full.get(
+                "sessionized_rows_per_sec_stream"
+            ),
+        }
+        if full.get("partial"):
+            payload["partial"] = full["partial"]
+        inf = full.get("batched_inference") or {}
+        if "pandas_vs_row_speedup" in inf:
+            payload["pandas_vs_row_speedup"] = inf["pandas_vs_row_speedup"]
+            payload["column_vs_row_speedup"] = inf["column_vs_row_speedup"]
+        sc = (full.get("scaling") or {}).get("queries") or {}
+        if sc:
+            payload["scaling_slope_vs_linear"] = {
+                n: s["slope_vs_linear"] for n, s in sc.items()
+            }
+        payload["full"] = "BENCH_FULL.json"
+        return json.dumps(payload, separators=(",", ":"))
+
+    def fit_line(full: dict) -> str:
+        # ONE compact line guaranteed < 1.9 kB so the driver's 2 kB
+        # capture parses it (VERDICT r5 #1: rounds 4 and 5 both lost
+        # the external perf record to mid-line truncation).
+        line = compact_line(full, 0.0)
+        for threshold in (0.05, 0.1, 0.2, 0.3, 0.5, 1.0):
+            if len(line) <= 1900:
+                return line
+            line = compact_line(full, threshold)
+        if len(line) > 1900:
+            # graceful degradation (r7): drop the slope map FIRST
+            # (verbatim in BENCH_FULL.json), then truncate the query
+            # map slowest-first — the expensive tail ALWAYS survives.
+            payload = json.loads(compact_line(full, 1.0))
+            payload.pop("scaling_slope_vs_linear", None)
+            qs = list(payload["queries"].items())  # already slowest-first
+            while True:
+                payload["queries"] = dict(qs)
+                payload["q_omitted"] = payload["n_queries"] - len(qs)
+                line = json.dumps(payload, separators=(",", ":"))
+                if len(line) <= 1900 or not qs:
+                    break
+                qs = qs[:-1]
+        return line
+
+    def checkpoint(stage: str) -> dict:
+        """Write BENCH_FULL.json and refresh the SIGTERM snapshot line
+        with everything timed so far (VERDICT r12 #1c: a driver
+        timeout may truncate the bench, never zero its evidence)."""
+        full = assemble(stage)
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+        _SNAPSHOT["line"] = fit_line(full)
+        return full
+
+    signal.signal(signal.SIGTERM, _emit_snapshot_and_exit)
+
     # warmup: pay JVM/codegen/parquet-footer costs outside the clock
     reg["completion_stats"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
@@ -283,6 +508,7 @@ def main() -> None:
     reg["streaming_session_parity"].fn(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
     # flagship latency percentiles (reference scripts/bench.py reports
     # p50/p95/p99 per frame; the batch analog is repeated query runs).
@@ -311,11 +537,9 @@ def main() -> None:
     # first}) plus the start-of-row load1m stamp (VERDICT r11 #1b) so a
     # reader can tell weather from code per ROW, not just per session.
     MIN2_FLOOR_SEC = 0.5
-    times: dict[str, float] = {}
-    times_detail: dict[str, dict[str, float]] = {}
 
     def time_queries(names) -> None:
-        for name in names:
+        for i, name in enumerate(names, 1):
             row_load = os.getloadavg()[0]
             t1 = run(name)
             t = min(t1, run(name)) if t1 >= MIN2_FLOOR_SEC else t1
@@ -325,6 +549,12 @@ def main() -> None:
                 "t1": round(t1, 4),
                 "load1m": round(row_load, 2),
             }
+            # mid-pass snapshot every 25 rows (VERDICT r12 #1c): the
+            # per-query pass is the longest stretch of the run, so a
+            # driver timeout landing inside it must still find the
+            # rows timed so far in the artifact + SIGTERM line
+            if i % 25 == 0:
+                checkpoint(f"queries:{i}")
 
     # (Round-11 restructure note: a mid-bench `spark.stop()` +
     # re-`get_spark()` before the streaming rows was TRIED and measured
@@ -336,6 +566,7 @@ def main() -> None:
     # count dropped 3→2 (VERDICT r10 #6) which fresh-process probes
     # put at ep2 3.4-4.1 s / blocklist 4.2-5.6 s.)
     time_queries(sorted(reg))
+    checkpoint("queries")
 
     # Batched-inference demonstration — the reference's explicitly
     # deferred win (docs/PERFORMANCE.md:148-150): same surrogate model
@@ -390,7 +621,7 @@ def main() -> None:
     if inference_load >= STORM_LOAD1M or os.getloadavg()[0] >= STORM_LOAD1M:
         # storm retry (same doctrine as the per-query pass below): wait
         # out the weather and keep the per-variant min across sessions
-        wait_for_idle(timeout_sec=120, exit_on_busy=False)
+        cooldown(timeout_sec=120)
         inference["storm_retry"] = True
         for key, col in (
             ("row_udf_sec", row_udf(F.col("event_id"))),
@@ -410,6 +641,7 @@ def main() -> None:
     inference["column_vs_row_speedup"] = round(
         inference["row_udf_sec"] / inference["column_expr_sec"], 2
     )
+    checkpoint("inference")
 
     # Scaling slope (VERDICT r4 #3): the capped/bucketed operators,
     # re-timed on a 5x replication of SF_DIR's documents+embeddings
@@ -427,7 +659,6 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    SCALE_FACTOR = 5
     SCALE_QUERIES = [
         "dedup_exact",
         "dedup_minhash_lsh",
@@ -537,7 +768,6 @@ def main() -> None:
     # for several operators, so a 0.3 s jitter spike doubles the
     # reported slope — r11's probes saw ann_lsh_buckets read 2.07
     # "slope" from exactly that, on unchanged code
-    scaling = {}
     for name in SCALE_QUERIES:
         slope_load = os.getloadavg()[0]
         t_base = min(run(name, dirs[1]), run(name, dirs[1]))
@@ -547,7 +777,7 @@ def main() -> None:
         if slope_load >= STORM_LOAD1M or os.getloadavg()[0] >= STORM_LOAD1M:
             # storm-aware slope protocol (VERDICT r11 #3): a stormy x1
             # point doubles the reported slope — cool down, keep mins
-            wait_for_idle(timeout_sec=120, exit_on_busy=False)
+            cooldown(timeout_sec=120)
             t_base = min(t_base, run(name, dirs[1]))
             t_scaled = min(t_scaled, run(name, dirs[SCALE_FACTOR]))
         scaling[name] = {
@@ -556,6 +786,7 @@ def main() -> None:
             "slope_vs_linear": round(t_scaled / t_base / SCALE_FACTOR, 3),
             "load1m": round(slope_load, 2),
         }
+    checkpoint("scaling")
 
     # Outlier-retry pass (round 11, extended round 12): this host's
     # weather comes in MINUTE-long slow windows invisible to loadavg
@@ -586,12 +817,22 @@ def main() -> None:
         n for n, d in times_detail.items()
         if d.get("load1m", 0.0) >= STORM_LOAD1M
     }
-    retry = sorted(regressed | stormy, key=lambda n: -times[n])[:30]
-    retry_overturned: list[str] = []
+    retry_candidates = sorted(regressed | stormy, key=lambda n: -times[n])
+    retry = retry_candidates[:30]
+    # ADVICE r12: the [:30] cap must not be silent — in a widespread
+    # storm the overflow rows keep contaminated timings with no retry,
+    # so the artifact names them (retry_dropped) and stderr logs them.
+    retry_dropped.extend(retry_candidates[30:])
+    if retry_dropped:
+        print(
+            f"bench: retry cap 30 hit — {len(retry_dropped)} stormy/"
+            f"regressed rows NOT retried: {retry_dropped}",
+            file=sys.stderr,
+        )
     if retry:
         # cool down before re-timing: retrying INTO the same storm that
         # stamped the row would just re-measure the weather
-        wait_for_idle(timeout_sec=120, exit_on_busy=False)
+        cooldown(timeout_sec=120)
         # re-pay the streaming warmup so stateful retries measure the
         # operator, not engine cold-start
         if any(n.startswith("streaming_") for n in retry):
@@ -599,11 +840,15 @@ def main() -> None:
                 spark, "/root/testdata/sf0.001"
             ).write.format("noop").mode("overwrite").save()
         for name in retry:
+            # ADVICE r12: stamp load BEFORE the retried run — a
+            # post-run load1m on local[32] measures the run's own
+            # self-generated load, not ambient weather (SCALE.md r12
+            # postmortem), inverting the stamp's meaning vs the
+            # per-row start-of-run convention.
+            retry_load = os.getloadavg()[0]
             t3 = run(name)
             times_detail[name]["t_retry"] = round(t3, 4)
-            times_detail[name]["retry_load1m"] = round(
-                os.getloadavg()[0], 2
-            )
+            times_detail[name]["retry_load1m"] = round(retry_load, 2)
             if name in stormy:
                 times_detail[name]["storm_retry"] = True
             if t3 < times[name]:
@@ -625,115 +870,8 @@ def main() -> None:
         if rerun[len(rerun) // 2] < flagship_runs[len(flagship_runs) // 2]:
             flagship_runs = rerun
 
-    pct = lambda p: round(flagship_runs[min(int(p * len(flagship_runs)), len(flagship_runs) - 1)], 4)
-
-    total = round(sum(times.values()), 4)
-    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
-    flagship_rps = round(n_events / flagship_runs[len(flagship_runs) // 2], 1)
-    # min-of-5 beside p50 (VERDICT r6 #6): min is the standard
-    # noise-robust latency statistic for fixed work — under driver-side
-    # ambient load the median absorbs machine weather (r6's p50 read
-    # 0.509 s driver vs 0.396 s judge rerun on identical code); use
-    # flagship_min_sec for round-over-round code-regression comparison
-    flagship_min = round(flagship_runs[0], 4)
-    # streaming throughput headline: the full stateful session operator
-    # (W1-W4) replayed as a real micro-batched query end-to-end —
-    # comparable to the reference's 20-30 fps/processor figure
-    # (docs/PERFORMANCE.md:7-9): events sessionized per wall-second
-    # including replay authoring, micro-batch scheduling and state-store
-    # commits.
-    stream_rps = round(n_events / times["streaming_session_parity"], 1)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-
-    # flagship sanity gate (VERDICT r9 #2): if p50 moved >25 % against
-    # the PRIOR committed artifact, say so in the artifact itself —
-    # with the load stamps a reader can tell weather from code.
-    p50 = pct(0.5)
-    p50_vs_prev = round(p50 / prev_p50, 3) if prev_p50 else None
-    load_end = os.getloadavg()
-
-    full = {
-        "metric": "total_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "queries_runs": times_detail,
-        "sf": float(sf),
-        "rows_per_sec_flagship": flagship_rps,
-        "flagship_min_sec": flagship_min,
-        "flagship_p50_sec": p50,
-        "flagship_p95_sec": pct(0.95),
-        "flagship_p50_prev": prev_p50,
-        "flagship_p50_vs_prev": p50_vs_prev,
-        "loadavg_start": [round(x, 2) for x in load_start],
-        "loadavg_end": [round(x, 2) for x in load_end],
-        "load_warning": load_warning,
-        "sessionized_rows_per_sec_stream": stream_rps,
-        "batched_inference": inference,
-        "retry_overturned": retry_overturned,
-        "scaling": {"factor": SCALE_FACTOR, "queries": scaling},
-    }
-    # Full detail goes to a committed file; stdout gets ONE compact
-    # line guaranteed < 1.9 kB so the driver's 2 kB capture parses it
-    # (VERDICT r5 #1: rounds 4 and 5 both lost the external perf record
-    # to mid-line truncation).
-    with open(full_path, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-
-    def compact_line(min_sec: float) -> str:
-        kept = {n: round(v, 2) for n, v in times.items() if v >= min_sec}
-        payload = {
-            "metric": "total_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "sf": float(sf),
-            "n_queries": len(times),
-            # slowest-first: the informative end of the distribution
-            "queries": dict(
-                sorted(kept.items(), key=lambda kv: -kv[1])
-            ),
-            "q_omitted_below_sec": min_sec,
-            "q_omitted": len(times) - len(kept),
-            "rows_per_sec_flagship": flagship_rps,
-            "flagship_min_sec": flagship_min,
-            "flagship_p50_sec": p50,
-            "flagship_p95_sec": pct(0.95),
-            "load1m_start": round(load_start[0], 2),
-            "load_warning": load_warning,
-            "sessionized_rows_per_sec_stream": stream_rps,
-            "pandas_vs_row_speedup": inference["pandas_vs_row_speedup"],
-            "column_vs_row_speedup": inference["column_vs_row_speedup"],
-            "scaling_slope_vs_linear": {
-                n: s["slope_vs_linear"] for n, s in scaling.items()
-            },
-            "full": "BENCH_FULL.json",
-        }
-        return json.dumps(payload, separators=(",", ":"))
-
-    line = compact_line(0.0)
-    for threshold in (0.05, 0.1, 0.2, 0.3, 0.5, 1.0):
-        if len(line) <= 1900:
-            break
-        line = compact_line(threshold)
-    if len(line) > 1900:
-        # graceful degradation (r7: the registry outgrew even the >=1s
-        # map + slope map, and the old all-or-nothing fallback nuked
-        # the whole per-query record — the r5 evidence-loss failure in
-        # a new coat).  Drop the slope map FIRST (it's verbatim in
-        # BENCH_FULL.json), then truncate the query map slowest-first
-        # until the line fits: the expensive tail is the informative
-        # part and ALWAYS survives.
-        payload = json.loads(compact_line(1.0))
-        payload.pop("scaling_slope_vs_linear", None)
-        qs = list(payload["queries"].items())  # already slowest-first
-        while True:
-            payload["queries"] = dict(qs)
-            payload["q_omitted"] = payload["n_queries"] - len(qs)
-            line = json.dumps(payload, separators=(",", ":"))
-            if len(line) <= 1900 or not qs:
-                break
-            qs = qs[:-1]
-    print(line)
+    checkpoint("final")
+    print(_SNAPSHOT["line"])
     spark.stop()
 
 

@@ -454,3 +454,71 @@ def with_prediction(
             F.col(height).cast("long"),
         ),
     )
+
+
+def make_iter_predict_fn(backend_name: str):
+    """Build the generator the iterator-form pandas UDF wraps —
+    exposed separately so tests can drive it with hand-made batches
+    and count the one-time setup.
+
+    The iterator contract is the load-bearing part (the shape real
+    model serving uses, reference docs/PERFORMANCE.md:148-150): the
+    function receives ALL of a partition's Arrow batches through one
+    iterator, so per-worker setup — backend resolution here; model
+    weights onto the device in a real torch backend — runs ONCE per
+    partition, not once per batch, and the partition round-trips
+    through ONE Python worker invocation."""
+
+    def _predict_iter(it):
+        # one-time per-partition setup: resolve the backend INSIDE the
+        # worker (only the name is serialized), before the batch loop —
+        # a real backend loads its weights exactly here
+        predict_batch = get_backend(backend_name).predict_batch
+        for seq_s, width_s, height_s in it:
+            yield predict_batch(
+                pd.DataFrame(
+                    {"seq": seq_s, "width": width_s, "height": height_s}
+                )
+            )
+
+    return _predict_iter
+
+
+def with_prediction_iter(
+    df: DataFrame,
+    backend_name: str,
+    seq: str,
+    width: str,
+    height: str,
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Iterator-form Arrow-batched inference (M2' — the reference's
+    deferred batched-inference win as a REGISTERED path, VERDICT r12
+    #4): same PREDICTION_SCHEMA output as with_prediction's scalar UDF
+    (hash-matched by the predict_batch oracle row), but the pandas UDF
+    is the Iterator[Tuple[Series, ...]] -> Iterator[DataFrame] form,
+    so model setup amortizes over the whole partition and every full
+    Arrow batch (maxRecordsPerBatch, default 10k) clears the
+    autocast-at-batch>=16 gate of make_densenet_backend.  Plan-wise
+    this is ONE ArrowEvalPython node — one Python worker round-trip
+    serves the partition (asserted in tests/test_models.py)."""
+    from typing import Iterator, Tuple
+
+    from pyspark.sql.functions import pandas_udf
+
+    _predict_iter = make_iter_predict_fn(backend_name)
+    # manual annotations: `from __future__ import annotations` would
+    # stringify inline hints and break pandas_udf eval-type inference
+    _predict_iter.__annotations__ = {
+        "it": Iterator[Tuple[pd.Series, pd.Series, pd.Series]],
+        "return": Iterator[pd.DataFrame],
+    }
+    udf = pandas_udf(_predict_iter, returnType=PREDICTION_SCHEMA)
+    return df.withColumn(
+        out_col,
+        udf(
+            F.col(seq).cast("long"),
+            F.col(width).cast("long"),
+            F.col(height).cast("long"),
+        ),
+    )

@@ -1864,6 +1864,14 @@ def long_span_dedup(
 
     Output per doc (the family contract): ``n_tokens``,
     ``n_removed_tokens``, ``cleaned_md5``."""
+    if builder not in ("direct", "doubling"):
+        # ADVICE r12: a typo like builder='doubing' must not silently
+        # run the wrong gram builder — output parity would hide it but
+        # any timing comparison the caller intended is invalidated.
+        raise ValueError(
+            f"long_span_dedup: unknown builder {builder!r} "
+            "(expected 'direct' or 'doubling')"
+        )
     if builder == "doubling":
         grams = _doubling_grams(docs, span_len, text_col, id_col)
         islands = _mark_and_islands(

@@ -1769,27 +1769,40 @@ def with_c4_filters(
         "AND NOT contains(lower(l), 'javascript')"
     )
     esc = lambda s: s.replace("'", "''")
-    # one normalized page per row, shared by every entry's contains()
+    # One normalized page per row, MATERIALIZED once as a column
+    # (ADVICE r12: the previous form textually duplicated the full
+    # regexp_replace subtree inside every entry's contains() — with
+    # UT1/LDNOOBW-scale lists (hundreds-thousands of entries) that
+    # risks Catalyst analysis slowdown and the 64 KB whole-stage-
+    # codegen fallback).  Single-token entries collapse into ONE
+    # exists/IN membership pass over the split page; only multi-word
+    # phrases keep a per-entry contains().
     norm_entries = [
         _re.sub(r"[^a-z0-9]+", " ", b.lower()).strip() for b in badwords
     ]
     norm_entries = [b for b in norm_entries if b]
-    if norm_entries:
-        norm = (
-            f"concat(' ', regexp_replace(lower({text_col}), "
-            "'[^a-z0-9]+', ' '), ' ')"
+    singles = sorted({b for b in norm_entries if " " not in b})
+    phrases = sorted({b for b in norm_entries if " " in b})
+    bad_parts = []
+    if singles:
+        in_list = ", ".join(f"'{esc(s)}'" for s in singles)
+        bad_parts.append(
+            f"exists(split(trim(_bw_norm), ' '), t -> t IN ({in_list}))"
         )
-        bad_expr = " OR ".join(
-            f"contains({norm}, ' {esc(b)} ')" for b in norm_entries
-        )
-    else:
-        bad_expr = "false"
+    bad_parts.extend(f"contains(_bw_norm, ' {esc(p)} ')" for p in phrases)
+    bad_expr = " OR ".join(bad_parts) if bad_parts else "false"
     kept = (
         f"transform(array(filter(split({text_col}, '\\n'), {line_keep})), "
         "K -> struct(size(K) AS n_kept_lines, "
         "array_join(K, '\\n') AS clean_text))[0]"
     )
-    out = df.withColumn("_k", F.expr(kept)).select(
+    out = df.withColumn(
+        "_bw_norm",
+        F.expr(
+            f"concat(' ', regexp_replace(lower({text_col}), "
+            "'[^a-z0-9]+', ' '), ' ')"
+        ),
+    ).withColumn("_k", F.expr(kept)).select(
         "*",
         F.expr(f"size(split({text_col}, '\\n'))").cast("long").alias("n_lines"),
         F.col("_k.n_kept_lines").cast("long").alias("n_kept_lines"),
@@ -1808,7 +1821,7 @@ def with_c4_filters(
         & (~F.col("has_lorem"))
         & (~F.col("has_brace"))
         & (F.col("n_sentences") >= F.lit(int(min_sentences))),
-    ).drop("_k")
+    ).drop("_k", "_bw_norm")
 
 
 def with_lang_confidence(

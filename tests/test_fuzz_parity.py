@@ -846,3 +846,16 @@ def test_long_span_dedup_at_production_length(spark):
         assert got[0][1] == 0
         assert got[1][1] == 60
         assert got[2][1] == 0 and got[3][1] == 0
+
+
+def test_long_span_dedup_rejects_unknown_builder(spark):
+    # ADVICE r12: a typo like builder='doubing' must raise, not
+    # silently run the direct builder (output parity would hide it
+    # but invalidate any timing comparison the caller intended)
+    import pytest as _pytest
+
+    from firewatch_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="unknown builder"):
+        dedup.long_span_dedup(df, span_len=3, builder="doubing")

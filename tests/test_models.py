@@ -60,3 +60,60 @@ def test_prediction_schema_contract(spark):
     assert [f.name for f in pred.fields] == [
         "has_fire", "fire_probability", "no_fire_probability", "model_type", "detections",
     ]
+
+
+# --- round 13: iterator-form batched inference (VERDICT r12 #4) ------
+
+
+def test_iter_path_equals_scalar_udf_path(spark):
+    df = _frames(spark)
+    scalar_out = rows(
+        models.with_prediction(df, "surrogate", "seq_id", "w", "h", use_udf=True),
+        "seq_id",
+    )
+    iter_out = rows(
+        models.with_prediction_iter(df, "surrogate", "seq_id", "w", "h"),
+        "seq_id",
+    )
+    assert len(scalar_out) == len(iter_out) == 20
+    for a, b in zip(scalar_out, iter_out):
+        assert a["prediction"] == b["prediction"], (a, b)
+
+
+def test_iter_path_single_arrow_python_roundtrip(spark):
+    # the partition must round-trip through ONE Python worker node —
+    # one ArrowEvalPython, no row-at-a-time BatchEvalPython anywhere
+    out = models.with_prediction_iter(
+        _frames(spark), "surrogate", "seq_id", "w", "h"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_iter_fn_setup_runs_once_per_partition(monkeypatch):
+    # the iterator form's reason to exist: backend resolution (a real
+    # backend's weight load) happens ONCE before the batch loop, not
+    # once per Arrow batch
+    import pandas as pd
+
+    calls = []
+    real_get = models.get_backend
+
+    def counting_get(name):
+        calls.append(name)
+        return real_get(name)
+
+    monkeypatch.setattr(models, "get_backend", counting_get)
+    fn = models.make_iter_predict_fn("surrogate")
+    batches = [
+        (
+            pd.Series([i, i + 1]),
+            pd.Series([640, 640]),
+            pd.Series([480, 480]),
+        )
+        for i in range(0, 6, 2)
+    ]
+    outs = list(fn(iter(batches)))
+    assert len(outs) == 3 and all(len(o) == 2 for o in outs)
+    assert calls == ["surrogate"]

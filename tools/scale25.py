@@ -2,7 +2,11 @@
 selected documents-only registry queries on the x1 and x25 replicated
 dirs built by tools/scale_data.py, printing slope_vs_linear per query.
 
-Usage:  python tools/scale25.py [query ...]
+Usage:  python tools/scale25.py [--stages] [query ...]
+``--stages`` runs the SemDeDup per-stage probe instead (VERDICT r12
+#5): train/assign/pairs/cluster wall seconds at x1 (k=16) and at the
+scale point under BOTH fixed k=16 and k = 16*sqrt(f), so the n*k vs
+n^2/k split is measured per stage rather than inferred from totals.
 The session mirrors the round-5 sizing lesson: 48g heap, 64 shuffle
 partitions (the default heap GC-thrashed label propagation at 25x).
 
@@ -59,9 +63,11 @@ def _wait_quiet(poll: float = 10.0, timeout: float = 1200.0) -> None:
         time.sleep(poll)
 
 
-def timed_min_clean(fn) -> tuple[float, list[float]]:
+def timed_min_clean(fn) -> tuple[float, list[str]]:
     """Min of >= MIN_CLEAN_RUNS non-stormy timings of fn(); returns
-    (min_sec, load_stamps — pre-run values, ambient-only).
+    (min_sec, load_stamps — 'pre=X/post=Y[/STORMY]' per attempt, so
+    the audit trail shows both the start weather and the post-run
+    reading that drove any discard).
 
     The post-run storm check only applies to SHORT runs: a run on
     local[32] drives load1m toward ~32 all by itself with a 1-minute
@@ -74,13 +80,22 @@ def timed_min_clean(fn) -> tuple[float, list[float]]:
     between them: a mid-run storm inflates one of the two, the min
     survives."""
     clean: list[float] = []
-    stamps: list[float] = []
+    raw: list[float] = []
+    stamps: list[str] = []
     for _ in range(4):
         _wait_quiet()
-        stamps.append(round(os.getloadavg()[0], 2))
+        pre = os.getloadavg()[0]
         t = fn()
         post = os.getloadavg()[0]
-        if t < 45.0 and post > STORM_LOAD1M:
+        raw.append(t)
+        # ADVICE r12: the stamp list carries BOTH readings so the
+        # printed audit trail shows why a run was discarded (the
+        # discard decision is post-run; pre-only stamps couldn't).
+        stormy = t < 45.0 and post > STORM_LOAD1M
+        stamps.append(
+            f"pre={pre:.2f}/post={post:.2f}" + ("/STORMY" if stormy else "")
+        )
+        if stormy:
             print(f"  ... discarding stormy short run (post load1m {post:.1f})",
                   file=sys.stderr)
             continue
@@ -88,7 +103,11 @@ def timed_min_clean(fn) -> tuple[float, list[float]]:
         if len(clean) >= MIN_CLEAN_RUNS:
             break
     if not clean:
-        clean = [t]  # all stormy: report the last, stamps tell the story
+        # ADVICE r12: all 4 attempts stormy — report min of ALL raw
+        # timings (not just the last) and flag it; min is still the
+        # noise-floor statistic even when every run was contaminated.
+        stamps.append("ALL_STORMY:min_of_raw")
+        return min(raw), stamps
     return min(clean), stamps
 
 
@@ -115,6 +134,76 @@ def _semdedup_kscaled(spark, sf_dir: str, k: int):
     )
 
 
+def _semdedup_stages(spark, sf_dir: str, k: int) -> dict[str, float]:
+    """Per-stage wall seconds for the SemDeDup composition (VERDICT
+    r12 #5): train / assign / pairs / cluster, each stage materialized
+    via localCheckpoint so its clock is isolated from lineage
+    re-execution.  This turns the n·k (train/assign) vs n²/k (pairs)
+    split from arithmetic into measurement: at a scale point, compare
+    fixed k=16 against k = 16·sqrt(f) stage by stage to see WHERE the
+    k-scaling knob pays and where it costs."""
+    from pyspark.sql import functions as F
+
+    from firewatch_spark import queries as Q
+    from firewatch_spark.operators import dedup, similarity
+
+    out: dict[str, float] = {}
+    emb = Q._tbl(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    cents = similarity.ivf_train(emb, k=k, iters=2).localCheckpoint()
+    out["train"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cells = (
+        similarity.ivf_assign(emb, cents)
+        .select("vec_id", "centroid_id")
+        .localCheckpoint()
+    )
+    out["assign"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pairs = similarity.cell_near_dup(
+        emb, cells, threshold=Q._SEMDEDUP_THR
+    ).localCheckpoint()
+    out["pairs"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    clusters = dedup.near_dup_clusters(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+    joined = cells.join(clusters.select("vec_id", "cluster_id"), "vec_id")
+    agg = joined.groupBy(F.col("centroid_id").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("cluster_id").cast("long").alias("n_kept"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    out["cluster"] = time.perf_counter() - t0
+    return out
+
+
+def run_semdedup_stage_probe(spark, dirs: dict[int, str], factor: int) -> None:
+    """--stages mode: per-stage seconds at x1 (k=16) and at x{factor}
+    under BOTH fixed k=16 and the k = 16·sqrt(factor) scale control,
+    with load stamps so a reader can audit the weather per point."""
+    points = [
+        ("x1/k16", dirs[1], 16),
+        (f"x{factor}/k16-fixed", dirs[factor], 16),
+        (
+            f"x{factor}/k{max(1, round(16 * math.sqrt(factor)))}-scaled",
+            dirs[factor],
+            max(1, round(16 * math.sqrt(factor))),
+        ),
+    ]
+    for label, d, k in points:
+        _wait_quiet()
+        pre = os.getloadavg()[0]
+        stages = _semdedup_stages(spark, d, k)
+        post = os.getloadavg()[0]
+        total = sum(stages.values())
+        detail = " ".join(f"{s}={t:.2f}s" for s, t in stages.items())
+        print(
+            f"semdedup_stages {label}: {detail} total={total:.2f}s "
+            f"load_pre={pre:.2f} load_post={post:.2f}"
+        )
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -123,7 +212,9 @@ def main() -> None:
     # SPARK_GRAFT_SCALE_FACTOR=125 probes x1 -> x125 instead (build the
     # dir first: tools/scale_data.py /root/testdata/sf0.1 .bench_scale/x125 125)
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "25"))
-    names = sys.argv[1:] or DEFAULT
+    argv = sys.argv[1:]
+    stages_mode = "--stages" in argv
+    names = [a for a in argv if a != "--stages"] or DEFAULT
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_scale"
     )
@@ -142,6 +233,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
+
+    if stages_mode:
+        run_semdedup_stage_probe(spark, dirs, factor)
+        spark.stop()
+        return
 
     def run(name: str, sf_dir: str) -> float:
         if name == "semantic_dedup_kscaled":
