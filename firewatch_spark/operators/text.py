@@ -1560,7 +1560,12 @@ def interpolated_lm_score(
         .agg(F.sum("c_bg").alias("c_prev"))
     )
     # unigram stats need ALL token positions (a doc's last token is a
-    # bigram suffix but never a prefix), so one token-level pass
+    # bigram suffix but never a prefix), so one token-level pass.
+    # (r13 probe: deriving total from a CHECKPOINTED uni_tf — one
+    # corpus explode instead of two — was measured 2-7x WORSE: the
+    # RDD-backed relation loses size stats, so the vocabulary-keyed
+    # scoring join flips from broadcast to sort-merge.  The second
+    # explode+count pass is the cheaper trade; left as-is on evidence.)
     tokens = df.select(F.explode(F.expr(toks)).alias("tok"))
     uni_tf = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
     total = tokens.agg(F.count(F.lit(1)).alias("_t"))

@@ -392,7 +392,13 @@ def pagerank(
     spark = edges.sparkSession
     ckpt = make_checkpointer(spark, checkpoint_dir)
 
-    edges = edges.select("src_host", "dst_host").distinct()
+    # r13 (guide §2.4): the distinct edge list feeds the host universe
+    # (twice, via the union), the out-degree table and EVERY round's
+    # join — uncut, each consumer replays the whole upstream link-
+    # extraction chain (~8 replays for 5 rounds).  One materialization
+    # of the two-short-strings-per-row edge table cuts that; at 10^10
+    # edges this is the "edge list" dataset any PageRank job persists.
+    edges = ckpt(edges.select("src_host", "dst_host").distinct())
     hosts = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
@@ -445,26 +451,22 @@ def keeper_per_canonical(
     and return exactly ONE (canonical_url, n_variants, keeper_md5,
     html) row per canonical URL.
 
-    The join back to the payload runs through a DISTINCT on
-    (canonical_url, payload_md5, payload) FIRST (VERDICT r8): two
-    crawl variants with byte-identical payloads would otherwise both
-    match the (canonical_url, keeper_md5) equi-join and every
-    downstream per-keeper stage (the HTML→text regex chain in
-    crawl_pipeline) would run once per copy — at 100 TB that silently
-    multiplies the heaviest kernel by the re-crawl rate.  The distinct
-    shuffles each unique (canonical, content) payload once, which is
-    exactly the extraction unit; the groupBy shuffles only
-    (canonical_url, md5) pairs."""
-    grp = canon.groupBy(url_col).agg(
+    ONE aggregation (r13, guide §2.3/§2.4): ``min_by(payload, md5)``
+    picks the keeper payload inside the same groupBy that counts the
+    variants, so the payload crosses exactly one exchange — and the
+    partial (map-side) aggregate already reduces each map partition to
+    one candidate payload per canonical URL before anything shuffles.
+    The r8 concern this stage's previous DISTINCT + join-back form
+    addressed (byte-identical crawl variants multiplying the downstream
+    extraction) is satisfied by construction here: the output is one
+    row per canonical URL, period.  ``min_by`` ties can only occur
+    between byte-identical payloads (the tie key IS the content hash),
+    so the result is deterministic."""
+    return canon.groupBy(url_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_variants"),
         F.min(md5_col).alias("keeper_md5"),
+        F.min_by(payload_col, md5_col).alias("html"),
     )
-    keepers = canon.select(
-        url_col,
-        F.col(md5_col).alias("keeper_md5"),
-        F.col(payload_col).alias("html"),
-    ).distinct()
-    return grp.join(keepers, [url_col, "keeper_md5"])
 
 
 def html_extract(

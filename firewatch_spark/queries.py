@@ -1092,9 +1092,17 @@ def _write_warc_dump(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     import shutil
     import tempfile
 
+    # r13: repartition(4), not coalesce(4) — the single-file test scan
+    # yields ONE partition and coalesce never raises a partition count,
+    # so the URL/HTML synthesis and the write all ran on one task
+    # (measured 3.5 s single-threaded at sf0.1).  The shuffle moves only
+    # the narrow (doc_id, source, text) input; the synthesis then runs
+    # 4-way, one task per output part file.  This is a fixture writer
+    # (test-scale by construction), so a fixed fan-out is fine.
     pages = (
         _tbl(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
+        .repartition(4)
         .withColumn("url", F.expr(_URL_SYNTH))
         .withColumn("html", F.expr(_HTML_SYNTH))
     )
@@ -1106,9 +1114,7 @@ def _write_warc_dump(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     tmp = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     data_dir = os.path.join(tmp, "data")
-    pages.select(record.alias("value")).coalesce(4).write.mode(
-        "overwrite"
-    ).text(data_dir)
+    pages.select(record.alias("value")).write.mode("overwrite").text(data_dir)
     with open(os.path.join(data_dir, "bad.warc"), "w") as f:
         for rec in _WARC_BAD_RECORDS:
             f.write(rec)
@@ -1694,11 +1700,14 @@ def frontier_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     links, frontier = _link_frontier(spark, sf_dir)
     edges = web.host_edges(links)
     ranks = web.pagerank(edges)
+    # r13: the prioritized frontier feeds the politeness rank's two
+    # passes (per-bucket counts + the local rank join) — materialize it
+    # once (guide §2.4)
     pri = (
         frontier.join(ranks, "host", "left")
         .withColumn("host_pr", F.coalesce(F.col("pr"), F.lit(0)).cast("long"))
         .drop("pr")
-    )
+    ).localCheckpoint()
     return web.frontier_schedule(pri, per_host_rate=_FRONTIER_RATE).select(
         "host", "canonical_url", "host_pr", "slot_in_host", "fetch_wave"
     )
@@ -2592,10 +2601,17 @@ def _recrawl_fetched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recrawl_flow(sm: DataFrame, fetched: DataFrame) -> DataFrame:
+def _recrawl_flow(
+    sm: DataFrame, fetched: DataFrame, materialize: bool = False
+) -> DataFrame:
     """triage → schedule-the-due → output projection, shared by the
-    batch and streamed recrawl rows."""
+    batch and streamed recrawl rows.  ``materialize`` localCheckpoints
+    the triage table, which feeds BOTH the schedule and the final
+    projection — the streamed twin sets it because inside a micro-batch
+    the duplicated subtree is re-planned and re-run per batch (r13)."""
     out = web.recrawl_outcomes(sm, fetched)
+    if materialize:
+        out = out.localCheckpoint()
     due = out.filter(F.col("due")).select("host", "canonical_url")
     sched = web.frontier_schedule(due, per_host_rate=_FRONTIER_RATE).select(
         "canonical_url", "slot_in_host", "fetch_wave"
@@ -2687,8 +2703,8 @@ def streaming_recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     — how sitemap refreshes actually arrive: per-site sitemap
     deliveries landing continuously, each micro-batch triaged against
     the STORED last-fetch table and its due URLs scheduled
-    immediately.  The synthetic sitemap universe arrives as 5
-    host-group files (hosts n % 5 = c per file) through a JSON file
+    immediately.  The synthetic sitemap universe arrives as 3
+    host-group files (hosts n % 3 = c per file) through a JSON file
     stream, one file per micro-batch; each batch runs the SAME
     parse → canonicalize → triage → schedule chain as batch
     `recrawl_schedule` inside ``foreachBatch`` (stream-static join
@@ -2716,13 +2732,22 @@ def streaming_recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("doc_id") % 97).cast("int").alias("n"))
             .distinct()
         )
-        sm_src = hosts.withColumn("sitemap_xml", F.expr(_SITEMAP_SYNTH))
-        # 5 host-group delivery files: chunking by n % 5 keeps every
-        # host's sitemap COMPLETE within one file (the slot-mergeability
-        # precondition); a bounded driver loop over 5 chunks, like the
-        # warc dump's coalesce(4)
-        for c in range(5):
-            sm_src.filter(F.col("n") % 5 == c).coalesce(1).write.mode(
+        # r13: localCheckpoint the (≤ 97-row) sitemap table BEFORE the
+        # delivery loop — each filtered write otherwise re-runs the
+        # documents scan + distinct + sitemap synthesis (one full
+        # corpus pass per tiny file; guide §2.4)
+        sm_src = hosts.withColumn(
+            "sitemap_xml", F.expr(_SITEMAP_SYNTH)
+        ).localCheckpoint()
+        # 3 host-group delivery files (r13: was 5 — micro-batch count
+        # is the dominant cost of the streamed twin at ~1.5 s of
+        # planning + stream-static join + write per batch, and three
+        # batches prove union-of-batches ≡ whole-corpus exactly as
+        # five did; the r10 session-replay 3→2 precedent): chunking by
+        # n % 3 keeps every host's sitemap COMPLETE within one file
+        # (the slot-mergeability precondition)
+        for c in range(3):
+            sm_src.filter(F.col("n") % 3 == c).coalesce(1).write.mode(
                 "append"
             ).json(arrive_dir)
         fetched = _recrawl_fetched(spark, sf_dir).localCheckpoint()
@@ -2740,9 +2765,15 @@ def streaming_recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             sm_b = canon.select(
                 F.expr(_FRONTIER_HOST).alias("host"), "canonical_url", "lastmod"
             )
-            _recrawl_flow(sm_b, fetched).write.mode("overwrite").parquet(
-                f"{out_dir}/batch_id={batch_id}"
-            )
+            # (r13: a forced broadcast hint on the static side measured
+            # faster at sf0.1 but was REJECTED by the audit — the stored
+            # fetch table is host-derived, unbounded at a 10^8-host
+            # frontier; the shuffled stream-static join is the plan that
+            # scales.  materialize=True is the honest win: the triage
+            # table feeds two consumers per batch.)
+            _recrawl_flow(sm_b, fetched, materialize=True).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/batch_id={batch_id}")
 
         query = (
             stream.writeStream.foreachBatch(run_batch)
@@ -2860,6 +2891,11 @@ def _crawl_budget_spark(spark: SparkSession, sf_dir: str):
     """(frontier, alloc) — the Spark twin of _crawl_budget_ctes through
     wf: per-host PageRank-weighted fetch allocations."""
     links, frontier = _link_frontier(spark, sf_dir)
+    # r13: the distinct frontier feeds the due-URL counts AND (in
+    # crawl_budget_apply) the politeness schedule's two passes —
+    # materialize it once instead of replaying extract→canonicalize→
+    # distinct per consumer (guide §2.4)
+    frontier = frontier.localCheckpoint()
     ranks = web.pagerank(web.host_edges(links))
     counts = frontier.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("due_urls")
@@ -5557,9 +5593,16 @@ def quality_tier_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = text.interpolated_lm_score(
         docs, lam_num=_JM_LAM_NUM, lam_den=_JM_LAM_DEN
     ).select("doc_id", F.col("sum_interp_scaled").alias("score"))
+    # r13 (guide §2.4): the scored corpus feeds with_global_rank's
+    # three internal passes + the total count + (through qt) the tier
+    # stats and the budget cap's two passes — the before-plan replayed
+    # the JM-score join ~7x (2518-operator plan, ~300 document scans;
+    # plans/r13/quality_tier_mixture_before.txt).  Materialize qd once,
+    # and qt once below, exactly where a production pipeline writes its
+    # "scored corpus" / "tiered corpus" stage datasets.
     qd = scored.join(docs, "doc_id").withColumn(
         "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
-    )
+    ).localCheckpoint()
     ranked = sampling.with_global_rank(qd, "score", out_col="_rk")
     total = qd.agg(F.count(F.lit(1)).alias("_n"))
     qt = ranked.crossJoin(F.broadcast(total)).withColumn(
@@ -5569,7 +5612,7 @@ def quality_tier_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHEN (_rk - 1) * 3 < 2 * _n THEN 'middle' "
             "ELSE 'tail' END"
         ),
-    )
+    ).select("doc_id", "tier", "n_tokens", "text").localCheckpoint()
     stats = (
         qt.groupBy("tier")
         .agg(F.sum("n_tokens").cast("long").alias("avail_tokens"))
@@ -9594,8 +9637,17 @@ def web_corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction once per unique page, 32-byte keys in the dedup
     shuffles, pure-Column rule folds, two-phase budget rank — no
     one-task window)."""
-    ex = _crawl_extracted(spark, sf_dir, "fw_webcorpus_").select(
-        "canonical_url", "extracted"
+    # r13 §2.4/§5: the dump→parse→keeper→HTML→text chain below fed FOUR
+    # downstream consumers (the mirror branch, the text-md5 groupBy, the
+    # extracted join-back, and through them the budget rank) with no
+    # materialization — the before-plan re-read the dump text 80 times
+    # across 180 Exchanges (plans/r13/web_corpus_pipeline_before.txt).
+    # One localCheckpoint runs the extraction regex ONCE; this is the
+    # "extracted corpus" stage write a production pipeline does anyway.
+    ex = (
+        _crawl_extracted(spark, sf_dir, "fw_webcorpus_")
+        .select("canonical_url", "extracted")
+        .localCheckpoint()
     )
     mirrored = ex.filter(
         F.expr("substr(md5(extracted), 1, 1) IN ('0', '1', '2', '3')")
@@ -9606,20 +9658,23 @@ def web_corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted",
     )
     exm = ex.unionByName(mirrored)
-    exd = exm.groupBy(F.md5(F.col("extracted")).alias("text_md5")).agg(
+    # ONE aggregation replaces the old groupBy + DISTINCT + join-back:
+    # within a text_md5 group every `extracted` is byte-identical (it IS
+    # the group key's preimage), so min(extracted) is exactly the value
+    # the old equi-join on the min-URL keeper recovered — the corpus
+    # text now crosses one exchange instead of two (guide §2.3/§2.4).
+    corpus = exm.groupBy(F.md5(F.col("extracted")).alias("text_md5")).agg(
         F.min("canonical_url").alias("url"),
         F.count(F.lit(1)).cast("long").alias("n_text_copies"),
-    )
-    corpus = exd.join(
-        exm.select(
-            F.col("canonical_url").alias("url"), "extracted"
-        ).distinct(),
-        "url",
+        F.min("extracted").alias("extracted"),
     )
     gop = text.with_gopher_rules(corpus, text_col="extracted")
+    # narrow (url, md5, 3 ints) table consumed by the budget rank's
+    # three passes + the final join — checkpoint instead of re-running
+    # the Gopher rule folds per consumer
     kept = gop.filter(F.col("keep")).select(
         "url", "text_md5", "n_text_copies", "n_tokens", "n_distinct_stopwords"
-    )
+    ).localCheckpoint()
     sel = sampling.quality_budget_select(
         kept,
         _WEB_CORPUS_BUDGET,
