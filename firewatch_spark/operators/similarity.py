@@ -32,7 +32,17 @@ SCALE = 1_000_000  # floor(x * 1e6) — exact int64 components
 def with_scaled_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "iv") -> DataFrame:
     """array<float> → array<bigint> via floor(x*1e6).  floor (not round)
     because it has no tie cases: the double multiply is IEEE-identical
-    in every engine, so the ints are too."""
+    in every engine, so the ints are too.
+
+    Short-circuits when ``out_col`` already exists (r13, guide §2.4):
+    every ANN/SemDeDup stage opens with this projection, so a pipeline
+    that materializes the scaled corpus ONCE can pass it to ivf_train /
+    ivf_assign / cell_near_dup and none of them re-derives it.  The
+    column is only ever produced by this function from the same
+    ``vec_col``, so an existing ``iv`` is by construction the same
+    value (pinned in tests)."""
+    if out_col in df.columns:
+        return df
     return df.withColumn(
         out_col,
         F.expr(
@@ -322,6 +332,12 @@ def embedding_near_dup(
     """
     b = with_norm2(with_scaled_vec(ensure_parallelism(corpus), vec_col))
     b = with_lsh_bucket(b, vec_col, num_planes, iv_col="iv")
+    # r13 (guide §2.4): the self-join consumes b TWICE and the planner
+    # replays the scale+norm+bucket projection per side (no exchange to
+    # reuse — the bucket join's exchanges differ by output aliases).
+    # Lazy localCheckpoint computes it once at first use, inside the
+    # timed action whichever bench clock applies.
+    b = b.localCheckpoint(eager=False)
     a = b.select(
         F.col(id_col).alias("doc_a"), "bucket",
         F.col("iv").alias("aiv"), F.col("n2").alias("an2"),
@@ -364,7 +380,13 @@ def cell_near_dup(
     output); each vector is in exactly one cell, so no pair is emitted
     twice."""
     b = with_norm2(with_scaled_vec(ensure_parallelism(corpus), vec_col))
-    b = b.join(cells.select(id_col, "centroid_id"), id_col)
+    # r13 (guide §2.4): checkpoint BELOW the self-join — both sides
+    # otherwise replay the scale+norm projection AND the cells join
+    # (and `cells` is typically a full ivf_assign argmin pass).  Lazy:
+    # materializes at first use inside the timed action.
+    b = b.join(cells.select(id_col, "centroid_id"), id_col).localCheckpoint(
+        eager=False
+    )
     a = b.select(
         F.col(id_col).alias("doc_a"), "centroid_id",
         F.col("iv").alias("aiv"), F.col("n2").alias("an2"),
@@ -808,7 +830,17 @@ def ivf_pq_topk(
     Output (query_id, neighbor_id, rank, adc_d2)."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(corpus, k_centroids, id_col, vec_col)
+    # r13 (guide §2.4): cents feeds BOTH the residual build and the
+    # probe list, and q_probe feeds BOTH the LUT and the candidate
+    # join — uncut, each consumer replays its upstream corpus pass
+    # (the centroid sample is a full corpus TakeOrdered; the probe
+    # list a corpus filter + argmin).  Both tables are tiny (k rows /
+    # queries × nprobe rows); lazy localCheckpoint computes each once
+    # at first use WITHIN the timed action — honest under either bench
+    # clock convention.
+    cents = ivf_centroids(corpus, k_centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     res = ivf_residuals(corpus, cents, id_col, vec_col).localCheckpoint()
     dim = _residual_dim(res)  # ONE probe job, threaded through (ADVICE r7 #4)
     cb = pq_train(res, m, ks, train_iters, id_col, dim)
@@ -833,6 +865,7 @@ def ivf_pq_topk(
             "centroid_id",
             F.zip_with("iv", "civ", lambda x, c: x - c).alias("rs"),
         )
+        .localCheckpoint(eager=False)  # feeds the LUT and the candidate join
     )
     lut = (
         _explode_subvectors(q_probe, m, sub_dim, ["query_id", "centroid_id"])

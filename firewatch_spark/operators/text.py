@@ -626,6 +626,7 @@ def bpe_merge_round(
     id_col: str = "doc_id",
     joiner: str = "_",
     top: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """ONE round of BPE-style pair merging over the whole corpus — the
     tokenizer-induction primitive: find the most frequent adjacent
@@ -652,12 +653,22 @@ def bpe_merge_round(
     it already materialized for its stop-rule check, saving one bigram
     count job per round.  An EMPTY top makes the round a no-op
     (n_merges 0, text unchanged) — the conditional-round semantics the
-    induction oracle replays."""
+    induction oracle replays.
+
+    ``carry`` names extra input columns to pass through unchanged into
+    the output (r13, guide §2.4): the K-round loops accumulate a merge
+    counter, and joining each round's output back to the counter table
+    shuffled the rebuilt corpus text one extra time PER ROUND — riding
+    the counter through the rebuild projection costs nothing (the
+    rebuild join on ``mpos`` already carries the text)."""
     if top is None:
         top = top_adjacent_pair(df, text_col)
 
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col), F.col(text_col)).withColumn("__T__", toks)
+    carry_cols = [F.col(c) for c in carry]
+    base = df.select(F.col(id_col), F.col(text_col), *carry_cols).withColumn(
+        "__T__", toks
+    )
     positions = base.select(
         F.col(id_col),
         F.posexplode(
@@ -710,6 +721,7 @@ def bpe_merge_round(
         id_col,
         F.size("_mpos").cast("long").alias("n_merges"),
         F.concat_ws(" ", "_new").alias("new_text"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -747,13 +759,12 @@ def bpe_merge_k(
         F.col(id_col), F.col(text_col), F.lit(0).cast("long").alias("_acc")
     )
     for _ in range(k):
-        out = bpe_merge_round(
-            cur.select(id_col, text_col), text_col, id_col, joiner
-        )
+        # carry the accumulator through the round instead of joining it
+        # back (r13): the join shuffled the rebuilt corpus text once
+        # more per round
+        out = bpe_merge_round(cur, text_col, id_col, joiner, carry=("_acc",))
         cur = ckpt(
-            cur.select(id_col, "_acc")
-            .join(out, id_col)
-            .select(
+            out.select(
                 id_col,
                 F.col("new_text").alias(text_col),
                 (F.col("_acc") + F.col("n_merges")).alias("_acc"),
@@ -799,13 +810,14 @@ def bpe_apply(
         top = df.sparkSession.createDataFrame(
             [(left, right)], "pair_left string, pair_right string"
         )
+        # carry the accumulator through the round instead of joining it
+        # back (r13): the join shuffled the rebuilt corpus text once
+        # more per round
         out = bpe_merge_round(
-            cur.select(id_col, text_col), text_col, id_col, joiner, top=top
+            cur, text_col, id_col, joiner, top=top, carry=("_acc",)
         )
         cur = ckpt(
-            cur.select(id_col, "_acc")
-            .join(out, id_col)
-            .select(
+            out.select(
                 id_col,
                 F.col("new_text").alias(text_col),
                 (F.col("_acc") + F.col("n_merges")).alias("_acc"),
@@ -904,13 +916,14 @@ def bpe_vocab_induction(
         top_rows = top.collect()
         if not top_rows or top_rows[0]["pair_count"] < min_freq:
             break
+        # carry the accumulator through the round instead of joining it
+        # back (r13): the join shuffled the rebuilt corpus text once
+        # more per round
         out = bpe_merge_round(
-            cur.select(id_col, text_col), text_col, id_col, joiner, top=top
+            cur, text_col, id_col, joiner, top=top, carry=("_acc",)
         )
         cur = ckpt(
-            cur.select(id_col, "_acc")
-            .join(out, id_col)
-            .select(
+            out.select(
                 id_col,
                 F.col("new_text").alias(text_col),
                 (F.col("_acc") + F.col("n_merges")).alias("_acc"),

@@ -789,3 +789,31 @@ def test_bpe_apply_uses_trained_ranks_not_recounts(spark):
     retrained = text_ops.bpe_merge_k(df, k=2).collect()[0]
     assert retrained["n_merges"] == 6
     assert retrained["new_text"] == "x_y_z x_y_z x_y_z"
+
+
+def test_bpe_merge_round_carry_passthrough(spark):
+    """r13: the K-round loops ride their accumulator THROUGH the merge
+    round (carry=...) instead of joining it back per round — the carry
+    column must arrive unchanged next to the merge results, and the
+    merge results must be identical to the no-carry call."""
+    docs = [(1, "a a a a", 7), (2, "b c b c", 11), (3, "z", 0)]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "_acc"])
+    top = spark.createDataFrame(
+        [("a", "a")], "pair_left string, pair_right string"
+    )
+    out = {
+        r["doc_id"]: (r["n_merges"], r["new_text"], r["_acc"])
+        for r in text.bpe_merge_round(df, top=top, carry=("_acc",)).collect()
+    }
+    assert out == {
+        1: (2, "a_a a_a", 7),
+        2: (0, "b c b c", 11),
+        3: (0, "z", 0),
+    }
+    plain = {
+        r["doc_id"]: (r["n_merges"], r["new_text"])
+        for r in text.bpe_merge_round(
+            df.select("doc_id", "text"), top=top
+        ).collect()
+    }
+    assert plain == {d: v[:2] for d, v in out.items()}

@@ -240,3 +240,20 @@ def test_rrf_fuse_agreement_and_integer_grid(spark):
     )
     t = rows(similarity.rrf_fuse([tied], k=2), "rank")
     assert [r["doc_id"] for r in t] == [3, 7]
+
+
+def test_with_scaled_vec_short_circuits_on_existing_iv(spark):
+    """r13: pipelines that materialize the scaled corpus once pass it
+    back through operators that open with with_scaled_vec — the
+    function must return the input untouched when `iv` already exists
+    (same values, no recomputed column)."""
+    from firewatch_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    once = sim.with_scaled_vec(df)
+    twice = sim.with_scaled_vec(once)
+    assert twice is once  # literal pass-through, no new projection
+    vals = {r["vec_id"]: r["iv"] for r in twice.collect()}
+    assert vals == {1: [500000, -250000], 2: [1000000, 0]}
