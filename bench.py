@@ -126,6 +126,21 @@ BUILD_TIMED = {
     # round-11: ivf_train's per-iteration checkpoints + the label-
     # propagation actions run in-build (the embedding_dedup_keep shape)
     "semantic_dedup_pipeline",
+    # round-13: these four gained lazy localCheckpoint cuts of their
+    # multiply-consumed stage tables (OPTIMIZATION_r13.md CS2/CS3) — and
+    # Dataset.checkpoint(eager=false) materializes the AQE query stages
+    # UP TO the checkpoint at call time (only the result stage is
+    # deferred), so the cut work runs in-build; the sink-only clock
+    # would miss it.  Caught for frontier_pipeline by
+    # tests/test_plans.py::test_build_time_work_is_declared_build_timed;
+    # the other three sit under that guard's 5-job threshold but move
+    # the same kernel work in-build, so they are declared too (the
+    # pre-r13 code did no in-build jobs in any of the four, so their
+    # earlier sink-only numbers remain comparable).
+    "video_frame_dedup",
+    "video_segment_dedup",
+    "embedding_near_dup",
+    "frontier_pipeline",
 }
 
 

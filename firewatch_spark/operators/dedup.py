@@ -292,12 +292,15 @@ def lsh_candidate_pairs(
     sig = sig.withColumn(
         "_rep_id", F.min(id_col).over(Window.partitionBy("_sig_key"))
     )
-    # r13 (guide §2.4): sig feeds BOTH the star-edge branch and the
-    # representative branch — uncut, the shingle→minhash lineage (the
-    # operator's dominant kernel) runs twice.  Lazy localCheckpoint of
-    # the narrow (id, sig, key, rep) table computes it once at first
-    # use, inside the timed action under either bench clock.
-    sig = sig.localCheckpoint(eager=False)
+    # r13 NEGATIVE result (guide §1.3), tried and reverted on evidence:
+    # sig feeds both the star-edge and representative branches, so a
+    # localCheckpoint here looked like the §2.4 cut — but it measured
+    # 0.80 → 1.84 s on dedup_minhash_lsh (the checkpoint materializes
+    # in-build, blocks AQE coalescing downstream, and the persist costs
+    # more than the second minhash pass), while every heavyweight
+    # consumer (near_dup_clusters*, llm_pipeline, lsh_verify,
+    # split_leakage_*) already truncates the pairs lineage via its own
+    # per-round propagation checkpoints (measured neutral there).
     dup_pairs = sig.filter(F.col(id_col) != F.col("_rep_id")).select(
         F.col("_rep_id").alias("doc_a"),
         F.col(id_col).alias("doc_b"),

@@ -2229,16 +2229,27 @@ def frontier_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = lfront.withColumn("src", F.lit("link")).unionByName(
         sfront.withColumn("src", F.lit("sitemap"))
     )
-    ufront = uni.groupBy("host", "canonical_url").agg(
-        F.concat_ws(",", F.array_sort(F.collect_set("src"))).alias(
-            "discovered_by"
+    # r13 (guide §2.4): ufront feeds the robots synthesis AND both sides
+    # of robots_filter's rule join; allowed feeds both branches of
+    # frontier_schedule's two-phase rank — uncut, the link-extraction +
+    # canonicalize + union chain replayed ~5×.  Lazy: the narrow
+    # (host, url, discovered_by) tables materialize at first use inside
+    # the timed action.
+    ufront = (
+        uni.groupBy("host", "canonical_url")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("src"))).alias(
+                "discovered_by"
+            )
         )
+        .localCheckpoint(eager=False)
     )
     rules = web.parse_robots(_synth_robots(ufront))
     allowed = (
         web.robots_filter(ufront, rules)
         .filter(F.col("allowed"))
         .select("host", "canonical_url", "discovered_by")
+        .localCheckpoint(eager=False)
     )
     return web.frontier_schedule(allowed, per_host_rate=_FRONTIER_RATE).select(
         "host", "canonical_url", "discovered_by", "slot_in_host", "fetch_wave"
@@ -4630,6 +4641,12 @@ def llm_pipeline(
     # instead of re-running the clean→dedup lineage per reference
     split_docs = ckpt(sampling.split_by_hash(survivors, _SPLIT_FRACTIONS))
 
+    # r13 NEGATIVE result, left uncut on evidence (guide §1.3): lazy-
+    # checkpointing `chunks` (it feeds the packer AND the chunk agg)
+    # measured 6.7 -> 8.4 s — the chunk rows carry corpus-scale text, so
+    # persisting them costs more than replaying the token-explode over
+    # the already-checkpointed split_docs.  The cheap replay is the
+    # right trade on both clocks.
     chunks = text.chunk_documents(
         split_docs.select("doc_id", "text"), max_tokens=PACK_CHUNK, overlap=0
     )
@@ -8878,10 +8895,18 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = text.boilerplate_line_removal(
         docs.select("doc_id", F.col("t").alias("text")), min_doc_freq=_BP_MIN_DF
     )
+    # r13 (guide §2.4): the cleaned corpus feeds the JM scorer (which
+    # consumes it once more internally for the corpus LM) AND the token
+    # counter — uncut, the two-level line-md5 boilerplate aggregation
+    # replayed per consumer.  This is the "cleaned dataset" stage write
+    # of a production pass; BUILD_TIMED keeps the eager cut on the bench
+    # clock.  The scorer's vocabulary side stays broadcastable — the cut
+    # is on the corpus (big) side, so no join-strategy flip (the
+    # interpolated_lm_score trap).
     cln = clean.select(
         "doc_id",
         F.regexp_replace(F.col("clean_text"), "\n", " ").alias("text"),
-    )
+    ).localCheckpoint()
     imp = text.interpolated_lm_score(
         cln, lam_num=_JM_LAM_NUM, lam_den=_JM_LAM_DEN
     ).select("doc_id", F.col("sum_interp_scaled").alias("score"))
@@ -9225,7 +9250,7 @@ def streaming_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the static blocklist before anything is fetched (the
     stream-static join shape of incremental_dedup, with the batch
     operator unchanged inside ``foreachBatch`` — one code path for
-    both modes).  The ~120-host frontier arrives through a 4-file
+    both modes).  The ~120-host frontier arrives through a 3-file
     parquet stream one file per micro-batch; every batch explodes
     suffixes, joins the list, and appends its verdicts idempotently
     (batch-id-owned overwrite).  The decision is row-pure given the
@@ -9248,7 +9273,13 @@ def streaming_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tmp = tempfile.mkdtemp(prefix="fw_blocklist_stream_")
         in_dir = os.path.join(tmp, "frontier")
-        hosts.repartition(4).write.mode("overwrite").parquet(in_dir)
+        # 3 files (was 4): micro-batch fixed cost (~1 s planning + join +
+        # write each) dominates this twin, and 3 batches prove the
+        # union-of-batches ≡ whole-corpus property exactly as 4 did —
+        # the per-row verdict is row-pure given the static list, so the
+        # output is batch-partitioning-independent (r13, guide §1/§2;
+        # the streaming_recrawl_schedule 5→3 precedent).
+        hosts.repartition(3).write.mode("overwrite").parquet(in_dir)
         out_dir = os.path.join(tmp, "verdicts")
 
         bl = spark.createDataFrame(
