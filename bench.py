@@ -141,6 +141,14 @@ BUILD_TIMED = {
     "video_segment_dedup",
     "embedding_near_dup",
     "frontier_pipeline",
+    # round-13 second pass: these three gained localCheckpoint cuts of
+    # multiply-consumed tables (the DSIR importance table, the scored
+    # corpus, the phash-keyed pair table), so the cut kernel work now
+    # runs in-build (their pre-cut code did no in-build jobs — earlier
+    # sink-only numbers remain comparable)
+    "dsir_importance_sample",
+    "quality_budget_select",
+    "image_text_pair_dedup",
 }
 
 

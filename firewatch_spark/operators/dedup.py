@@ -778,6 +778,15 @@ def hamming_band_pairs(
     sh = sh.withColumn(
         "_rep_id", F.min(id_col).over(Window.partitionBy("simhash"))
     )
+    # r13 NEGATIVE result, measured and reverted (guide §1/§2.4): sh
+    # feeds BOTH the dup-pair leg and the representative banding leg,
+    # so a localCheckpoint here looked like the standard replay cut —
+    # but the same-VM A/B read simhash_pairs 2.33→2.93 s,
+    # image_phash_dedup 0.78→1.27 s, audio_fingerprint_dedup
+    # 1.27→1.75 s: the fingerprint kernel is scan-side column algebra
+    # (cheap to replay) while the checkpoint pays a full
+    # materialization barrier and drops AQE fusion below it.  Same
+    # arithmetic as the lsh_candidate_pairs revert.
     dup_pairs = sh.filter(F.col(id_col) != F.col("_rep_id")).select(
         F.col("_rep_id").alias("doc_a"),
         F.col(id_col).alias("doc_b"),

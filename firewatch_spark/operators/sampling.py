@@ -581,10 +581,20 @@ def dsir_importance_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
+    materialize: bool = False,
 ) -> DataFrame:
     """Select the top ``keep_frac`` of the pool by DSIR importance —
     the selection operator the quality_classifier lacks (it scores
     intrinsically; this selects toward a TARGET distribution).
+
+    ``materialize`` localCheckpoints the per-doc importance table
+    (3 ints per doc) before the rank tail — the tail references it
+    three times (stats row, bucket counts, final rank join), and
+    uncut each reference replays the whole two-gram-explode DSIR
+    chain (guide §2.4; the registered query's plan was 104 Exchanges
+    / 40 scans of ONE documents table).  Every downstream join keeps
+    its explicit broadcast hint, so the RDD-backed relation's missing
+    size stats cannot flip a join strategy.
 
     The global rank is the corpus_shuffle two-phase trick generalized
     to a VALUE key: (1) each doc's descending sort key
@@ -601,6 +611,8 @@ def dsir_importance_sample(
     Σ of thousands of lr terms (CLT-spread), and AQE re-splits hot
     buckets.  Output: kept docs with (n_grams, importance, rank)."""
     imp = dsir_importance(pool, target, text_col, id_col, n_buckets)
+    if materialize:
+        imp = imp.localCheckpoint()
     stats = imp.agg(
         F.max("importance").alias("_max"),
         F.min("importance").alias("_min"),

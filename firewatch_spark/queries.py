@@ -3773,6 +3773,14 @@ def image_text_pair_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_key",
         F.md5(F.col("caption").cast("binary")).alias("caption_key"),
     )
+    # r13 (guide §2.4): the two keeper rounds consume this table from
+    # five branches (image-keeper agg, its join-back, then the
+    # survivors' caption-keeper agg, its join-back, and the dup_image
+    # leg) — uncut, the 72-md5 dHash kernel over the 3-way union
+    # replayed per branch (plan: 36 parquet scans of ONE documents
+    # table).  The keyed table is (id, two 64-bit keys); BUILD_TIMED
+    # keeps the eager cut on the bench clock.
+    keyed = keyed.localCheckpoint()
     return dedup.image_text_pair_dedup(keyed)
 
 
@@ -5972,8 +5980,14 @@ def dsir_importance_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(
         F.expr(f"source IN {_DSIR_TARGET_SOURCES}")
     ).select("text")
+    # r13 (guide §2.4): materialize the per-doc importance table once —
+    # the rank tail references it three times (stats row, bucket
+    # counts, final rank join) and uncut each reference replayed the
+    # whole two-gram-explode DSIR chain (plan: 104 Exchanges / 40
+    # documents scans → one chain pass).  BUILD_TIMED keeps the eager
+    # cut on the bench clock.
     return sampling.dsir_importance_sample(
-        docs, target, keep_frac=_DSIR_KEEP_FRAC
+        docs, target, keep_frac=_DSIR_KEEP_FRAC, materialize=True
     )
 
 
@@ -6022,8 +6036,16 @@ def quality_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
+    # r13 (guide §2.4): the curation_pipeline lesson applied here too —
+    # quality_budget_select references its input four times (stats row,
+    # range-bucket keying, bucket counts, final join), and uncut each
+    # reference replayed the DSIR chain + the token-count pass (plan:
+    # 112 Exchanges / 48 documents scans → one chain pass).  The scored
+    # table is 4 ints per doc; BUILD_TIMED keeps the eager cut on the
+    # bench clock.
+    scored = imp.join(toks, "doc_id").localCheckpoint()
     return sampling.quality_budget_select(
-        imp.join(toks, "doc_id"), _QB_TOKEN_BUDGET, "importance"
+        scored, _QB_TOKEN_BUDGET, "importance"
     ).select("doc_id", "importance", "n_tokens", "cum_tokens_before")
 
 

@@ -74,6 +74,33 @@ def test_dsir_selects_target_like_docs(spark):
     assert [r["rank"] for r in out] == [1, 2]
 
 
+def test_dsir_materialize_parity_and_plan_cut(spark):
+    """materialize=True localCheckpoints the importance table before
+    the rank tail (the r13 replay cut): output is identical to the
+    uncut path, and the final plan reads the checkpointed RDD instead
+    of replaying the DSIR chain (no in-memory table scan of the pool's
+    LocalTableScan below the rank join)."""
+    target = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("beta gamma alpha beta",)], "text string"
+    )
+    pool = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 7} gamma tok{i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    cut = sampling.dsir_importance_sample(
+        pool, target, keep_frac=0.5, materialize=True
+    )
+    uncut = sampling.dsir_importance_sample(
+        pool, target, keep_frac=0.5, materialize=False
+    )
+    key = lambda r: (r["doc_id"], r["n_grams"], r["importance"], r["rank"])
+    assert sorted(map(key, cut.collect())) == sorted(map(key, uncut.collect()))
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    # the rank tail must consume the checkpointed RDD, not replay the
+    # gram-explode chain per consumer
+    assert "Scan ExistingRDD" in plan
+
+
 def test_dsir_two_phase_rank_matches_naive_window(spark):
     """The range-bucket two-phase global rank is bit-identical to the
     one-task row_number() OVER (ORDER BY importance DESC, doc_id)."""
