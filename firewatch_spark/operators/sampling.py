@@ -469,19 +469,11 @@ def _ilog(expr: str) -> str:
     return f"CAST(floor(ln(CAST({expr} AS DOUBLE)) * {DSIR_LOG_SCALE}.0) AS BIGINT)"
 
 
-def _hashed_grams(
-    df: DataFrame,
-    text_col: str,
-    keep: list[str],
-    n_buckets: int = DSIR_BUCKETS,
-) -> DataFrame:
-    """One row per word unigram AND bigram occurrence, hashed into
-    ``n_buckets`` via the house md5 idiom (first 8 nibbles of
-    md5('dsir|'||gram) — the same portable bucket hash as
-    text._cms_pos, so the DuckDB oracle replays collisions exactly).
-    The gram arrays are built column-side (no join for bigrams); the
-    explode output carries only (keep…, bucket int) — grams
-    themselves never shuffle."""
+def _grams_expr(text_col: str) -> str:
+    """SQL expression for a doc's unigram+bigram array, built
+    column-side (no join for bigrams) — shared by the exploded
+    bucket-count pass and the scan-side scoring pass so the two can
+    never drift."""
     toks = "split(" + text_col + ", ' ')"
     bigrams = (
         f"CASE WHEN size({toks}) >= 2 THEN "
@@ -489,14 +481,31 @@ def _hashed_grams(
         f"slice({toks}, 2, size({toks}) - 1), (a, b) -> concat(a, ' ', b)) "
         "ELSE array() END"
     )
-    grams = f"concat({toks}, {bigrams})"
-    bucket = (
-        "CAST(conv(substring(md5(CAST(concat('dsir|', _gram) AS BINARY)), 1, 8), 16, 10) "
-        f"AS BIGINT) % {n_buckets}"
-    )
+    return f"concat({toks}, {bigrams})"
+
+
+def _bucket_expr(gram_operand: str, n_buckets: int) -> str:
+    """The house md5 gram-bucket hash (first 8 nibbles of
+    md5('dsir|'||gram) — same as text._cms_pos, so the DuckDB oracle
+    replays collisions exactly), over any SQL operand."""
     return (
-        df.select(*keep, F.explode(F.expr(grams)).alias("_gram"))
-        .select(*keep, F.expr(bucket).alias("bucket"))
+        f"CAST(conv(substring(md5(CAST(concat('dsir|', {gram_operand}) "
+        f"AS BINARY)), 1, 8), 16, 10) AS BIGINT) % {n_buckets}"
+    )
+
+
+def _hashed_grams(
+    df: DataFrame,
+    text_col: str,
+    keep: list[str],
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """One row per word unigram AND bigram occurrence, hashed into
+    ``n_buckets``.  The explode output carries only (keep…, bucket
+    int) — grams themselves never shuffle."""
+    return (
+        df.select(*keep, F.explode(F.expr(_grams_expr(text_col))).alias("_gram"))
+        .select(*keep, F.expr(_bucket_expr("_gram", n_buckets)).alias("bucket"))
     )
 
 
@@ -564,6 +573,18 @@ def dsir_importance(
             ).alias("lr"),
         )
     )
+    # r13 NEGATIVE result, measured and reverted (guide §1/§4): scoring
+    # scan-side — a per-row aggregate() over the gram array against a
+    # one-row broadcast lr MAP, removing the second corpus explode, the
+    # broadcast join and the doc-keyed exchange — measured ~2× SLOWER
+    # (dsir_importance_sample 4.3-4.6 → 8.9-9.3 s, quality_budget_select
+    # 3.8-4.1 → 7.2-7.7 s, same-VM A/B, oracle-identical): higher-order
+    # lambdas never enter whole-stage codegen, so the per-gram md5 runs
+    # interpreted, costing far more than the codegen'd explode + hash
+    # join it replaced (the with_image_phash 64-CASE lesson again).
+    # The explode+join tail below stays: grams shuffle nothing (the
+    # exchange carries (doc_id, lr) ints) and every per-gram op is
+    # codegen'd.
     return (
         doc_grams.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
