@@ -149,6 +149,19 @@ BUILD_TIMED = {
     "dsir_importance_sample",
     "quality_budget_select",
     "image_text_pair_dedup",
+    # round-14 (VERDICT r13 #4): the structural guard — any query whose
+    # FINAL plan reads a Scan ExistingRDD materialized part of its
+    # lineage in-build (tests/test_plans.py::
+    # test_checkpointing_queries_are_build_timed) — caught these five
+    # running sub-5-job checkpoints the old job-count threshold missed;
+    # declaring them moves that work ONTO the clock (their r13-and-
+    # earlier sink-only numbers under-measured, so r14 rows can only
+    # read slower than a true comparison, never faster)
+    "bm25_topk",
+    "domain_blocklist_filter",
+    "hybrid_retrieval_rrf",
+    "lsh_band_plan",
+    "quality_threshold_sweep",
 }
 
 

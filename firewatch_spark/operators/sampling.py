@@ -471,9 +471,11 @@ def _ilog(expr: str) -> str:
 
 def _grams_expr(text_col: str) -> str:
     """SQL expression for a doc's unigram+bigram array, built
-    column-side (no join for bigrams) — shared by the exploded
-    bucket-count pass and the scan-side scoring pass so the two can
-    never drift."""
+    column-side (no join for bigrams).  Single source of truth for the
+    gram array: the only live consumer is ``_hashed_grams``; the
+    factoring exists so the r13 scan-side scoring attempt (measured ~2×
+    slower — HOF lambdas never enter codegen — and reverted) stays
+    reproducible without expression drift."""
     toks = "split(" + text_col + ", ' ')"
     bigrams = (
         f"CASE WHEN size({toks}) >= 2 THEN "

@@ -90,6 +90,48 @@ def test_build_time_work_is_declared_build_timed(built):
     )
 
 
+def test_checkpointing_queries_are_build_timed(built):
+    """VERDICT r13 #4: the >= 5-job threshold above has a hole — a
+    checkpoint that runs UNDER 5 in-build jobs falls off the clock
+    silently (three r13 queries were declared manually for exactly
+    this).  Structural form: a `Scan ExistingRDD` leaf in the FINAL
+    executed plan means some prefix of the query's lineage was
+    materialized while the DataFrame was BUILT (localCheckpoint /
+    checkpoint — eager or AQE-forced lazy), so a sink-only clock would
+    miss that work regardless of job count.  Every such query must be
+    in bench.BUILD_TIMED."""
+    import bench
+
+    plans, _ = built
+    undeclared = sorted(
+        n
+        for n, p in plans.items()
+        if "Scan ExistingRDD" in p and n not in bench.BUILD_TIMED
+    )
+    assert not undeclared, (
+        "queries whose final plan reads an in-build-materialized RDD "
+        f"(Scan ExistingRDD) but are not in bench.BUILD_TIMED: {undeclared}"
+    )
+
+
+def test_existing_rdd_signal_catches_sub_threshold_checkpoint(spark):
+    """Red-green witness for the structural guard above: a trivial
+    localCheckpoint runs far fewer than 5 in-build jobs (under the
+    job-count guard's radar) yet its plan carries the Scan ExistingRDD
+    leaf the structural guard keys on."""
+    sc = spark.sparkContext
+    group = "fw-synthetic-ckpt"
+    sc.setJobGroup(group, group)
+    try:
+        df = spark.range(8).localCheckpoint()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group) or [])
+    assert n_jobs < 5  # invisible to the job-count threshold
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan  # visible to the structural guard
+
+
 def test_forced_broadcasts_have_bounded_build_sides():
     """VERDICT r9 #1 (the frontier_schedule lesson): a forced
     ``F.broadcast(x)`` hint asserts x fits on every executor AND the

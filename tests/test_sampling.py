@@ -99,6 +99,13 @@ def test_dsir_materialize_parity_and_plan_cut(spark):
     # the rank tail must consume the checkpointed RDD, not replay the
     # gram-explode chain per consumer
     assert "Scan ExistingRDD" in plan
+    # ADVICE r13: "Scan ExistingRDD is present" alone would still pass
+    # if only ONE of the tail consumers read the checkpoint while the
+    # others replayed the gram chain — so also assert the replayed
+    # chain is ABSENT: the 'dsir|' gram-bucket md5 (sampling._bucket_expr)
+    # appears in every gram-explode replay and must not survive below
+    # the checkpoint.
+    assert "dsir|" not in plan
 
 
 def test_dsir_two_phase_rank_matches_naive_window(spark):
