@@ -162,6 +162,10 @@ BUILD_TIMED = {
     "hybrid_retrieval_rrf",
     "lsh_band_plan",
     "quality_threshold_sweep",
+    # round-14 replay cuts (lazy localCheckpoint of narrow stage tables
+    # materializes their upstream AQE stages in-build)
+    "curation_funnel",
+    "crawl_delay_schedule",
 }
 
 

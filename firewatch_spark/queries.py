@@ -2520,6 +2520,14 @@ def crawl_delay_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE greatest(1, 4 DIV crawl_delay) END AS BIGINT)"
         ),
     )
+    # r14 (§2.4): frontier_schedule's two-phase rank consumes fr from
+    # several branches, and fr's own tree contains the link-extract
+    # frontier chain TWICE (join left side + the robots synthesis
+    # feeding delays) — uncut, the extraction kernel replayed per
+    # branch (plan: 24 Exchanges / 10 parquet scans for one documents
+    # table).  fr is narrow (host, url, provenance, delay, rate); the
+    # registered frontier_schedule row took the same cut in r13.
+    fr = fr.localCheckpoint(eager=False)
     return web.frontier_schedule(fr, rate_col="rate").select(
         "host",
         "canonical_url",
@@ -4649,18 +4657,22 @@ def llm_pipeline(
     # instead of re-running the clean→dedup lineage per reference
     split_docs = ckpt(sampling.split_by_hash(survivors, _SPLIT_FRACTIONS))
 
-    # r13 NEGATIVE result, left uncut on evidence (guide §1.3): lazy-
-    # checkpointing `chunks` (it feeds the packer AND the chunk agg)
-    # measured 6.7 -> 8.4 s — the chunk rows carry corpus-scale text, so
-    # persisting them costs more than replaying the token-explode over
-    # the already-checkpointed split_docs.  The cheap replay is the
-    # right trade on both clocks.
-    chunks = text.chunk_documents(
+    # r13 NEGATIVE result: lazy-checkpointing `chunks` WITH its text
+    # column (it feeds the packer AND the chunk agg) measured
+    # 6.7 -> 8.4 s — chunk rows carry corpus-scale text, so persisting
+    # them costs more than replaying the token-explode.  r14 (VERDICT
+    # r13 #4, guide §5 "persist keys, not payloads"): NEITHER consumer
+    # reads the chunk text — pack_chunks_per_doc folds (chunk_idx,
+    # n_tokens) and the agg sums n_tokens — so checkpoint only the
+    # NARROW (doc_id, chunk_idx, n_tokens) projection; the token-
+    # explode over the checkpointed split_docs runs once instead of
+    # twice and the persisted bytes are three ints per chunk.
+    chunk_meta = text.chunk_documents(
         split_docs.select("doc_id", "text"), max_tokens=PACK_CHUNK, overlap=0
-    )
-    packs = text.pack_chunks_per_doc(chunks, budget=PACK_BUDGET)
+    ).select("doc_id", "chunk_idx", "n_tokens").localCheckpoint(eager=False)
+    packs = text.pack_chunks_per_doc(chunk_meta, budget=PACK_BUDGET)
     splits = split_docs.select("doc_id", "split")
-    chunk_agg = chunks.join(splits, "doc_id").groupBy("split").agg(
+    chunk_agg = chunk_meta.join(splits, "doc_id").groupBy("split").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("sum_chunk_tokens"),
     )
@@ -9585,6 +9597,15 @@ def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("k3"),
         )
     )
+    # r14 (§2.4): flags feeds BOTH the keeper election and the final
+    # join — uncut, the whole three-kernel (lang/gopher/quality) join
+    # tree computes twice (the k3 filter pushes into the keeper branch,
+    # so the subtrees diverge and AQE stage reuse cannot absorb the
+    # replay).  The table is NARROW (id, n_tokens, h, three booleans —
+    # no text), exactly the "persist keys, not payloads" shape; at
+    # production scale it is the per-doc verdict table a curation run
+    # publishes anyway.
+    flags = flags.localCheckpoint(eager=False)
     keepers = (
         flags.filter("k3").groupBy("h").agg(F.min("doc_id").alias("_keeper"))
     )

@@ -42,6 +42,27 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Round 14 (VERDICT r13 #1): size post-shuffle partitions by
+        # BYTES, not by core count.  parallelismFirst=true (the Spark
+        # default) stops coalescing at one partition per core, so a
+        # kilobyte-scale shuffle still schedules 32 tasks — pure
+        # scheduling tax (the r13 scaling block: the full bench ran
+        # FASTER at 8 cores than at 32).  With parallelismFirst=false
+        # AQE coalesces to the advisory size: tiny stages collapse to
+        # one task locally, while at 100 TB the same rule yields
+        # thousands of ~64 MB partitions — the same bytes-per-task
+        # target either way (guide §2.2; Spark's own docs recommend
+        # false on busy clusters).  spark.sql.shuffle.partitions stays
+        # the INITIAL fan-out (env SPARK_GRAFT_SHUFFLE; raise it on a
+        # real cluster — AQE only ever merges, it never splits).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         # Arrow batches for the pandas-UDF path (inference / media ops).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
