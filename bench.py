@@ -166,6 +166,7 @@ BUILD_TIMED = {
     # materializes their upstream AQE stages in-build)
     "curation_funnel",
     "crawl_delay_schedule",
+    "recrawl_schedule",
 }
 
 

@@ -2709,7 +2709,14 @@ def recrawl_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = entries.select(
         F.expr(_FRONTIER_HOST).alias("host"), "canonical_url", "lastmod"
     )
-    return _recrawl_flow(sm, _recrawl_fetched(spark, sf_dir))
+    # r14: materialize=True for the BATCH row too — the streamed twin
+    # had the cut since r13 but the batch path was never A/B'd; on the
+    # honest build+sink clock (BUILD_TIMED) the same-session
+    # interleaved A/B reads 2.50 -> 1.24 s (2.0x): the triage table
+    # feeds the schedule AND the final projection, and the replayed
+    # subtree is the whole sitemap-parse -> canonicalize -> stream-
+    # static-join chain.
+    return _recrawl_flow(sm, _recrawl_fetched(spark, sf_dir), materialize=True)
 
 
 # the streamed twin attests the SAME oracle: outcomes are row-pure
@@ -4415,9 +4422,13 @@ def split_leakage_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized join back to the split table."""
     docs = _tbl(spark, sf_dir, "documents")
     audit = split_leakage_audit_q(spark, sf_dir)
+    # r14 (§2.4): ONE reference to the audit tree — the old
+    # union-of-two-selects referenced it twice (the exact-jaccard
+    # verify tail above the candidates checkpoint planned per leg;
+    # AQE absorbed most of the replay at runtime but the plan carried
+    # it).  explode(array(doc_a, doc_b)) is the same multiset of ids.
     moved = (
-        audit.select(F.col("doc_a").alias("doc_id"))
-        .union(audit.select(F.col("doc_b").alias("doc_id")))
+        audit.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
     splits = sampling.split_by_hash(docs.select("doc_id"), _SPLIT_FRACTIONS)
