@@ -167,6 +167,10 @@ BUILD_TIMED = {
     "curation_funnel",
     "crawl_delay_schedule",
     "recrawl_schedule",
+    # r14: the k-scaled SemDeDup row (VERDICT r13 #7) — same in-build
+    # Lloyd checkpoints as semantic_dedup_pipeline, plus the count()
+    # that sizes k
+    "semantic_dedup_kscaled",
 }
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import re
 from collections.abc import Callable
@@ -7007,7 +7008,7 @@ def ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stored.unionByName(delta)
 
 
-def _ivf_train_ctes(k: int = _IVF_K, iters: int = 2) -> tuple[str, str]:
+def _ivf_train_ctes(k: int | str = _IVF_K, iters: int = 2) -> tuple[str, str]:
     """Textually-iterated Lloyd refinement as a CTE body — upgrades
     ivf_train from Python-reference-pinned to fully hash-gated (the
     BPE-k pattern): per iteration, argmin assignment against the
@@ -11076,6 +11077,79 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     cents = similarity.ivf_train(sc, k=_IVF_K, iters=2)
+    cells = (
+        similarity.ivf_assign(sc, cents)
+        .select("vec_id", "centroid_id")
+        .localCheckpoint()
+    )
+    pairs = similarity.cell_near_dup(sc, cells, threshold=_SEMDEDUP_THR)
+    clusters = dedup.near_dup_clusters(
+        pairs, sc.select("vec_id"), id_col="vec_id"
+    )
+    joined = cells.join(clusters.select("vec_id", "cluster_id"), "vec_id")
+    agg = joined.groupBy(F.col("centroid_id").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("cluster_id").cast("long").alias("n_kept"),
+    )
+    return agg.select(
+        "cell",
+        "n_vectors",
+        "n_kept",
+        (F.col("n_vectors") - F.col("n_kept")).cast("long").alias("n_removed"),
+        (
+            (F.col("n_vectors") - F.col("n_kept")).cast("double")
+            / F.col("n_vectors").cast("double")
+        ).alias("savings_frac"),
+    )
+
+
+# r14 (VERDICT r13 #7): the k ∝ √n scale control as an ORACLE-GATED
+# row, not just a probe flag.  SemDeDup's Σ cell² pair term is
+# controlled by growing the cell count with the corpus (Abbas et al.
+# 2023); the portable rule both engines derive from the DATA alone is
+#   k = max(4, isqrt(K_REF² · n // N_REF))
+# with (K_REF, N_REF) = (16, 2000) anchored to the fixed-k row at
+# sf0.1 — k(2000) = 16 (bit-identical to the fixed row there),
+# k(50 000) = 80 (the k the r13 scale25 probe measured 2× faster at
+# the 25× point: SCALE.md r13, pair stage 88–92 s → 11.5 s).
+# floor(sqrt(double(m))) == isqrt(m) for every m here: the doubles are
+# exact below 2^53 and a floor flip needs 1/(2k) < ulp, i.e. k > 6·10⁷
+# cells — far beyond any real cell count.
+_SEMDEDUP_K_REF = 16
+_SEMDEDUP_N_REF = 2000
+_SEMDEDUP_K_EXPR = (
+    f"greatest(4, CAST(floor(sqrt(CAST(({_SEMDEDUP_K_REF * _SEMDEDUP_K_REF}"
+    f" * (SELECT count(*) FROM embeddings)) // {_SEMDEDUP_N_REF}"
+    " AS DOUBLE))) AS BIGINT))"
+)
+
+
+def _semdedup_scaled_k(n: int) -> int:
+    return max(4, math.isqrt(_SEMDEDUP_K_REF * _SEMDEDUP_K_REF * n
+                             // _SEMDEDUP_N_REF))
+
+
+@q("semantic_dedup_kscaled", _semantic_dedup_sql(k=_SEMDEDUP_K_EXPR))
+def semantic_dedup_kscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup_pipeline with its PRODUCTION scale control
+    applied: the cell count grows with the corpus, k = isqrt(16²·n ÷
+    2000) (≥ 4) — k ∝ √n, anchored so the sf0.1 bench point matches
+    the fixed-k row's k = 16 while a 25× corpus trains 80 cells.  This
+    keeps the within-cell pair term Σ cell² ≈ n²/k ∝ n^1.5 instead of
+    n² (SCALE.md's SemDeDup arithmetic; the r13 per-stage probe
+    measured the pair stage 88–92 s → 11.5 s at 50 k vectors under
+    this rule).  The oracle derives the SAME k from count(*) inside
+    the seed CTE's LIMIT, so the row is value-hash-gated end to end at
+    every SF.  BUILD_TIMED: Lloyd's per-iteration checkpoints and the
+    count() that sizes k run in-build."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    k = _semdedup_scaled_k(emb.count())
+    sc = (
+        similarity.with_scaled_vec(similarity.ensure_parallelism(emb))
+        .select("vec_id", "iv")
+        .localCheckpoint()
+    )
+    cents = similarity.ivf_train(sc, k=k, iters=2)
     cells = (
         similarity.ivf_assign(sc, cents)
         .select("vec_id", "centroid_id")

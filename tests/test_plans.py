@@ -246,6 +246,9 @@ def test_no_cartesian_product_anywhere(plans):
         # ann_ivf_trained_topk shapes); the pair stage is an equi-join
         # on centroid_id and the savings agg is queries-scale
         "semantic_dedup_pipeline",
+        # same composition with k derived from count(*) — same bounded
+        # corpus × k products (r14, VERDICT r13 #7)
+        "semantic_dedup_kscaled",
         # corpus × k coarse centroids (residuals) and queries × k
         # (probe ranking) — the same bounded IVF broadcast products;
         # the PQ stages themselves are equi-joins on s / centroid_id

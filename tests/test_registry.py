@@ -31,6 +31,9 @@ SAMPLE += ["quality_budget_select", "frontier_pipeline", "curation_pipeline"]
 # gate them here until their first driver row lands
 SAMPLE += ["cross_doc_span_dedup", "semantic_dedup_pipeline", "hybrid_retrieval_rrf",
            "anchor_text_agg", "curation_funnel"]
+# round-14 addition: the k ∝ √n SemDeDup row (VERDICT r13 #7) — gate it
+# here until its first driver window row lands
+SAMPLE += ["semantic_dedup_kscaled"]
 
 
 def replay_against_oracle(spark, sf_dir, name):
