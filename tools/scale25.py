@@ -224,8 +224,11 @@ def main() -> None:
             raise SystemExit(f"missing scaled dir {d} — run bench.py first (x1/x5) "
                              "and tools/scale_data.py for x25")
 
+    # r14 (VERDICT r13 #2): core count is a parameter so the probe can
+    # produce 8-vs-32-core evidence at a scale where compute dominates
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.ui.enabled", "false")
